@@ -1,0 +1,13 @@
+"""autogptq_tpu — a TPU-native GPTQ quantization & inference framework.
+
+JAX/XLA/Pallas re-design of the capabilities of AutoGPTQ: GPTQ post-training
+weight quantization for causal LMs (2/3/4/8-bit, grouped, act-order),
+reference-compatible checkpoint I/O, and quantized inference with fused
+Pallas dequant-matmul kernels, sharded over TPU meshes via GSPMD.
+"""
+
+__version__ = "0.1.0"
+
+from .quantization import BaseQuantizeConfig
+
+__all__ = ["BaseQuantizeConfig", "__version__"]

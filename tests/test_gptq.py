@@ -1,0 +1,251 @@
+"""Quantizer + GPTQ solver tests, including oracle comparisons against the
+reference torch implementation (loaded by file path from the read-only
+reference mount, run on CPU)."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from autogptq_tpu.quantization import (  # noqa: E402
+    GPTQConfig,
+    QuantizerConfig,
+    find_params,
+    gptq_quantize,
+    hessian_init,
+    hessian_update,
+    quantize_rtn,
+)
+
+
+def _load_reference_gptq():
+    """Load reference quantization package (quantizer + gptq) by path."""
+    pkg_dir = os.path.join(REFERENCE_ROOT, "auto_gptq", "quantization")
+    pkg = types.ModuleType("ref_quantization")
+    pkg.__path__ = [pkg_dir]
+    sys.modules["ref_quantization"] = pkg
+    mods = {}
+    for name in ("quantizer", "gptq"):
+        spec = importlib.util.spec_from_file_location(
+            f"ref_quantization.{name}", os.path.join(pkg_dir, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"ref_quantization.{name}"] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods["quantizer"], mods["gptq"]
+
+
+# ---------------------------------------------------------------------------
+# Quantizer params
+# ---------------------------------------------------------------------------
+
+
+@requires_reference
+@pytest.mark.parametrize("sym", [True, False])
+@pytest.mark.parametrize("mse", [False, True])
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_find_params_matches_reference(sym, mse, bits, rng):
+    torch = pytest.importorskip("torch")
+    ref_quantizer_mod, _ = _load_reference_gptq()
+
+    w = rng.standard_normal((16, 64)).astype(np.float32)
+    w[3] = 0.0  # degenerate all-zero row
+    w[5] = np.abs(w[5])  # positive-only row
+
+    q = ref_quantizer_mod.Quantizer()
+    q.configure(bits, perchannel=True, sym=sym, mse=mse)
+    q.find_params(torch.from_numpy(w), weight=True)
+    ref_scale = q.scale.numpy().reshape(-1)
+    ref_zero = q.zero.numpy().reshape(-1)
+
+    cfg = QuantizerConfig(bits=bits, sym=sym, mse=mse)
+    scale, zero = find_params(jnp.asarray(w), cfg)
+    np.testing.assert_allclose(np.asarray(scale), ref_scale, rtol=1e-6, atol=1e-7)
+    # XLA fp32 division is not IEEE-correctly-rounded: zero points sitting on
+    # an exact .5 boundary may round differently (see find_params docstring).
+    # Allow a rare off-by-one code; everything else must match tightly.
+    z = np.asarray(zero)
+    exact = np.isclose(z, ref_zero, rtol=1e-6, atol=1e-7)
+    off_by_one = np.abs(z - ref_zero) <= 1.0
+    assert np.all(exact | off_by_one)
+    assert np.mean(~exact) <= 0.1
+
+
+def test_quantize_rtn_grid(rng):
+    w = rng.standard_normal((8, 32)).astype(np.float32)
+    cfg = QuantizerConfig(bits=4, sym=False)
+    scale, zero = find_params(jnp.asarray(w), cfg)
+    q = quantize_rtn(jnp.asarray(w), scale[:, None], zero[:, None], cfg.maxq)
+    # On-grid: re-quantizing is a fixed point.
+    q2 = quantize_rtn(q, scale[:, None], zero[:, None], cfg.maxq)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q), rtol=0, atol=1e-6)
+    # Max error bounded by scale/2 within clip range.
+    err = np.abs(np.asarray(q) - w)
+    assert np.all(err <= np.asarray(scale)[:, None] * 0.5 + 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Hessian accumulation
+# ---------------------------------------------------------------------------
+
+
+def test_hessian_update_running_mean(rng):
+    k = 16
+    h, n = hessian_init(k)
+    xs = [rng.standard_normal((2, 5, k)).astype(np.float32) for _ in range(3)]
+    for x in xs:
+        h, n = hessian_update(h, n, jnp.asarray(x))
+    all_x = np.concatenate([x.reshape(-1, k) for x in xs], axis=0)
+    expected = 2.0 / 6 * (all_x.T @ all_x)  # 6 sequences
+    np.testing.assert_allclose(np.asarray(h), expected, rtol=1e-4, atol=1e-5)
+    assert int(n) == 6
+
+
+# ---------------------------------------------------------------------------
+# GPTQ solver vs reference
+# ---------------------------------------------------------------------------
+
+
+def _run_reference_gptq(w, x, bits, group_size, sym, actorder, static_groups):
+    torch = pytest.importorskip("torch")
+    _, ref_gptq_mod = _load_reference_gptq()
+    # Reference fasterquant calls torch.cuda.synchronize() unconditionally.
+    ref_gptq_mod.torch.cuda.synchronize = lambda *a, **k: None
+
+    lin = torch.nn.Linear(w.shape[1], w.shape[0], bias=False)
+    lin.weight.data = torch.from_numpy(w.copy())
+    g = ref_gptq_mod.GPTQ(lin)
+    g.quantizer.configure(bits, perchannel=True, sym=sym, mse=False)
+    for xb in x:
+        xt = torch.from_numpy(xb)
+        g.add_batch(xt, torch.zeros(1))
+    scale, zero, g_idx = g.fasterquant(
+        blocksize=32,
+        percdamp=0.01,
+        group_size=group_size,
+        actorder=actorder,
+        static_groups=static_groups,
+    )
+    return (
+        lin.weight.data.numpy(),  # fake-quantized weights [N, K]
+        scale.numpy().T,  # -> [G, N]
+        zero.numpy().T,
+        g_idx.numpy(),
+    )
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "group_size,actorder,static_groups,sym",
+    [
+        (-1, False, False, True),
+        (32, False, False, True),
+        (32, False, False, False),
+        (32, True, False, True),
+        (32, True, True, True),
+        (48, False, False, True),  # group size not dividing blocksize
+    ],
+)
+def test_gptq_matches_reference(group_size, actorder, static_groups, sym, rng):
+    n, k = 24, 96
+    bits = 4
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = [rng.standard_normal((3, 8, k)).astype(np.float32) for _ in range(2)]
+
+    ref_q, ref_scale, ref_zero, ref_gidx = _run_reference_gptq(
+        w, x, bits, group_size, sym, actorder, static_groups
+    )
+
+    h, ns = hessian_init(k)
+    for xb in x:
+        h, ns = hessian_update(h, ns, jnp.asarray(xb))
+    cfg = GPTQConfig(
+        bits=bits,
+        group_size=group_size,
+        sym=sym,
+        desc_act=actorder,
+        static_groups=static_groups,
+        blocksize=32,
+    )
+    res = gptq_quantize(jnp.asarray(w), h, cfg)
+
+    np.testing.assert_array_equal(np.asarray(res.g_idx), ref_gidx)
+
+    # GPTQ is chaotic at rounding boundaries: a 1-ulp difference (XLA division
+    # is not IEEE-exact) can flip one quantized code, whose propagated error
+    # then perturbs later group params. Require near-total elementwise
+    # agreement plus parity of the Hessian-weighted objective (the quantity
+    # GPTQ minimizes), which is robust to individual boundary flips.
+    scale = np.asarray(res.scale)
+    zero = np.asarray(res.zero)
+    q = np.asarray(res.qweight)
+
+    scale_ok = np.isclose(scale, ref_scale, rtol=1e-5, atol=1e-6)
+    assert np.mean(~scale_ok) < 0.03, f"{np.mean(~scale_ok):.2%} scales differ"
+    np.testing.assert_allclose(scale, ref_scale, rtol=0.05, atol=1e-6)
+    zero_ok = np.isclose(zero, ref_zero, rtol=1e-5, atol=1e-6)
+    assert np.mean(~zero_ok) < 0.03, f"{np.mean(~zero_ok):.2%} zeros differ"
+
+    # One flipped code cascades through error propagation to later columns, so
+    # elementwise comparison is only exact for the first block; past that,
+    # require majority agreement and objective parity within 2%.
+    q_mismatch = np.mean(~np.isclose(q, ref_q, rtol=1e-4, atol=1e-5))
+    assert q_mismatch < 0.5, f"{q_mismatch:.2%} of entries differ from reference"
+
+    hn = np.asarray(h)
+    def obj(qm):
+        e = qm - w
+        return float(np.trace(e @ hn @ e.T))
+
+    ours, refs = obj(q), obj(ref_q)
+    assert ours <= refs * 1.02 + 1e-6, f"objective {ours} vs reference {refs}"
+
+
+def test_gptq_beats_rtn(rng):
+    """GPTQ's Hessian-weighted objective should not be worse than plain RTN."""
+    n, k = 16, 64
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((8, 16, k)).astype(np.float32)
+    h, ns = hessian_init(k)
+    h, ns = hessian_update(h, ns, jnp.asarray(x))
+    cfg = GPTQConfig(bits=3, group_size=-1, sym=False)
+    res = gptq_quantize(jnp.asarray(w), h, cfg)
+
+    scale, zero = find_params(jnp.asarray(w), cfg.quantizer())
+    rtn = np.asarray(quantize_rtn(jnp.asarray(w), scale[:, None], zero[:, None], cfg.maxq))
+
+    hn = np.asarray(h)
+    def obj(q):
+        e = q - w
+        return np.trace(e @ hn @ e.T)
+
+    assert obj(np.asarray(res.qweight)) <= obj(rtn) * 1.001
+
+
+def test_gptq_on_grid_roundtrip(rng):
+    """GPTQ output must be exactly representable by (scale, zero, g_idx)."""
+    n, k, gs = 8, 64, 32
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    x = rng.standard_normal((4, 8, k)).astype(np.float32)
+    h, ns = hessian_init(k)
+    h, ns = hessian_update(h, ns, jnp.asarray(x))
+    cfg = GPTQConfig(bits=4, group_size=gs, sym=False, desc_act=True)
+    res = gptq_quantize(jnp.asarray(w), h, cfg)
+
+    scale = np.asarray(res.scale)
+    zero = np.asarray(res.zero)
+    g_idx = np.asarray(res.g_idx)
+    q = np.asarray(res.qweight)  # [N, K]
+    # int code = q / scale + zero must be integral in [0, maxq]
+    codes = q / scale[g_idx].T + zero[g_idx].T
+    np.testing.assert_allclose(codes, np.round(codes), atol=1e-3)
+    assert codes.min() >= -1e-3 and codes.max() <= cfg.maxq + 1e-3
