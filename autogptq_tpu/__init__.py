@@ -8,6 +8,8 @@ Pallas dequant-matmul kernels, sharded over TPU meshes via GSPMD.
 
 __version__ = "0.1.0"
 
+from .models.auto import AutoGPTQForCausalLM
+from .models.base import GPTQModel
 from .quantization import BaseQuantizeConfig
 
-__all__ = ["BaseQuantizeConfig", "__version__"]
+__all__ = ["AutoGPTQForCausalLM", "GPTQModel", "BaseQuantizeConfig", "__version__"]

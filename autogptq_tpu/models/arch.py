@@ -1,0 +1,482 @@
+"""Generic decoder-only transformer engine (functional JAX).
+
+The reference implements 31 model families as declarative name-lists over HF
+torch modules (/root/reference/auto_gptq/modeling/*.py). Here the equivalent
+is ONE pure-functional transformer parameterized by :class:`ArchConfig`;
+each family module only supplies (a) an HF-config translation, (b) an HF
+checkpoint name map, and (c) the quantization ordering lists (the analog of
+``inside_layer_modules``).
+
+Everything is jit-compatible: static shapes, KV cache as a fixed-size pytree
+with a write cursor, linear layers dispatched between dense bf16 and
+quantized (Pallas / XLA fallback) at trace time based on pytree node type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import quantlinear as qlin
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchConfig:
+    """Static architecture description (hashable; safe as a jit static arg)."""
+
+    model_type: str = "llama"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    intermediate_size: int = 11008
+    max_position_embeddings: int = 2048
+    # "rmsnorm" | "layernorm"
+    norm_type: str = "rmsnorm"
+    norm_eps: float = 1e-5
+    # "rope" (neox/llama interleaved-halves) | "rope_gptj" (even/odd) |
+    # "learned" (OPT/GPT2 positional table) | "alibi" | "none"
+    pos_embedding: str = "rope"
+    rope_theta: float = 10000.0
+    rotary_dim: Optional[int] = None          # partial rotary (GPT-J, NeoX, phi)
+    # "silu_glu" (gate/up), "gelu_glu", "gelu", "gelu_new", "relu"
+    mlp_act: str = "silu_glu"
+    parallel_block: bool = False              # GPT-J/NeoX-style attn+mlp in parallel
+    attn_qkv_bias: bool = False
+    attn_out_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    # OPT applies final layer norm; GPT2 uses ln_f; llama rms final norm.
+    final_norm: bool = True
+    # learned-position offset (OPT uses +2)
+    pos_offset: int = 0
+    # scale embeddings by sqrt(hidden) (gemma)
+    scale_embedding: bool = False
+    # normalize before lm head with embedding scale etc are handled per family
+    moe_num_experts: int = 0                  # >0 => Mixtral-style MoE MLP
+    moe_top_k: int = 2
+    # attention softmax scale override (None => 1/sqrt(head_dim))
+    attn_scale: Optional[float] = None
+    # clip QKV (mpt)
+    sliding_window: Optional[int] = None      # mistral
+
+    @property
+    def kv_repeat(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+
+# A "linear" in a params tree is either a DenseLinear or a
+# quantlinear.QuantLinear; dispatch happens on node type at trace time.
+
+
+@struct.dataclass
+class DenseLinear:
+    kernel: jnp.ndarray                 # [K, N]
+    bias: Optional[jnp.ndarray] = None
+
+
+def apply_linear(p: Any, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+    if isinstance(p, qlin.QuantLinear):
+        return qlin.matmul(x, p, backend=backend)
+    y = jax.lax.dot_general(
+        x, p.kernel.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if p.bias is not None:
+        y = y + p.bias.astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dtype) * weight.astype(dtype)
+
+
+def layer_norm(x, weight, bias, eps):
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def apply_norm(norm_params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
+    if cfg.norm_type == "rmsnorm":
+        return rms_norm(x, norm_params["weight"], cfg.norm_eps)
+    return layer_norm(x, norm_params["weight"], norm_params.get("bias"), cfg.norm_eps)
+
+
+# ---------------------------------------------------------------------------
+# Rotary embeddings
+# ---------------------------------------------------------------------------
+
+
+def _rope_freqs(cfg: ArchConfig, positions: jnp.ndarray, rotary_dim: int):
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, rd/2]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(q, k, positions, cfg: ArchConfig):
+    """q/k: [B, T, H, D]; positions: [B, T]. Neox-style (rotate halves) or
+    GPT-J-style (rotate even/odd pairs), with optional partial rotary_dim."""
+    d = q.shape[-1]
+    rd = cfg.rotary_dim or d
+    cos, sin = _rope_freqs(cfg, positions, rd)  # [B, T, rd/2]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
+
+    def rot(x):
+        x_rot, x_pass = x[..., :rd], x[..., rd:]
+        if cfg.pos_embedding == "rope_gptj":
+            x1 = x_rot[..., 0::2]
+            x2 = x_rot[..., 1::2]
+            r1 = x1 * cos - x2 * sin
+            r2 = x2 * cos + x1 * sin
+            out = jnp.stack([r1, r2], axis=-1).reshape(x_rot.shape)
+        else:  # neox/llama: split halves
+            half = rd // 2
+            x1 = x_rot[..., :half]
+            x2 = x_rot[..., half:]
+            r1 = x1 * cos - x2 * sin
+            r2 = x2 * cos + x1 * sin
+            out = jnp.concatenate([r1, r2], axis=-1)
+        if rd == d:
+            return out.astype(x.dtype)
+        return jnp.concatenate([out.astype(x.dtype), x_pass], axis=-1)
+
+    return rot(q), rot(k)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class KVCache:
+    k: jnp.ndarray        # [L, B, S, Hkv, D]
+    v: jnp.ndarray        # [L, B, S, Hkv, D]
+    length: jnp.ndarray   # scalar int32: number of valid positions
+
+    @classmethod
+    def create(cls, cfg: ArchConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            length=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Attention / MLP / Block
+# ---------------------------------------------------------------------------
+
+
+def attention(
+    bp: dict,
+    x: jnp.ndarray,                     # [B, T, H*D?] hidden
+    layer_idx: int,
+    cache: Optional[KVCache],
+    positions: jnp.ndarray,             # [B, T]
+    cfg: ArchConfig,
+    backend: str = "auto",
+    attn_mask: Optional[jnp.ndarray] = None,   # [B, S] key-side validity
+    capture: Optional[dict] = None,            # calibration: linear inputs
+):
+    b, t, _ = x.shape
+    h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    if capture is not None:
+        capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
+
+    q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
+    k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
+    v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
+
+    if cfg.pos_embedding in ("rope", "rope_gptj"):
+        q, k = apply_rope(q, k, positions, cfg)
+
+    # Causality is computed in cache-SLOT space (uniform across the batch,
+    # works with left padding); logical positions feed only RoPE/learned-pos.
+    if cache is not None:
+        start = cache.length
+        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+        keys, values = ck, cv
+        s = ck.shape[1]
+        kv_slot = jnp.arange(s)[None, :]                   # [1, S]
+        q_slot = (start + jnp.arange(t))[None, :, None]    # [1, T, 1]
+        mask = kv_slot[:, None, :] <= q_slot               # [1, T, S]
+        mask = jnp.broadcast_to(mask, (b, t, s))
+    else:
+        keys, values = k, v
+        s = t
+        q_slot = jnp.arange(t)[None, :, None]
+        mask = jnp.broadcast_to(jnp.tril(jnp.ones((t, s), bool))[None], (b, t, s))
+
+    if attn_mask is not None:
+        # attn_mask: [B, S] key-side validity (pads = 0)
+        mask = mask & attn_mask[:, None, :].astype(bool)
+
+    if cfg.sliding_window is not None:
+        kv_slot = jnp.arange(s)[None, None, :]
+        mask = mask & (kv_slot > q_slot - cfg.sliding_window)
+
+    scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+
+    # GQA: fold repeat into the einsum via head grouping.
+    rep = h // hkv
+    qh = q.reshape(b, t, hkv, rep, d)
+    logits = jnp.einsum(
+        "bthrd,bshd->bhrts", qh.astype(jnp.float32), keys.astype(jnp.float32)
+    ) * scale                                               # [B, Hkv, rep, T, S]
+    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
+
+    if cfg.pos_embedding == "alibi":
+        # Slot-space relative distances == logical distances inside the valid
+        # region (both shift by the pad length under left padding).
+        slopes = _alibi_slopes(h).reshape(1, hkv, rep, 1, 1)
+        kv_slot_a = jnp.arange(s).reshape(1, 1, 1, 1, s)
+        q_slot_a = q_slot.reshape(1, 1, 1, t, 1)
+        logits = logits + slopes * (kv_slot_a - q_slot_a)
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrts,bshd->bthrd", probs, values.astype(jnp.float32))
+    out = out.reshape(b, t, h * d).astype(x.dtype)
+    if capture is not None:
+        capture["o_proj"] = out
+    out = apply_linear(bp["o_proj"], out, backend)
+
+    if cache is not None:
+        return out, (ck, cv)
+    return out, None
+
+
+def _alibi_slopes(num_heads: int) -> jnp.ndarray:
+    import math
+
+    def slopes_power_of_2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        s = slopes_power_of_2(num_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(num_heads))
+        s = slopes_power_of_2(closest)
+        extra = slopes_power_of_2(2 * closest)[0::2][: num_heads - closest]
+        s = s + extra
+    return jnp.asarray(s, jnp.float32)
+
+
+def mlp(
+    bp: dict,
+    x: jnp.ndarray,
+    cfg: ArchConfig,
+    backend: str = "auto",
+    capture: Optional[dict] = None,
+) -> jnp.ndarray:
+    if cfg.moe_num_experts > 0:
+        return moe_mlp(bp, x, cfg, backend, capture)
+    if capture is not None:
+        capture["up_proj"] = x
+        if cfg.mlp_act.endswith("_glu"):
+            capture["gate_proj"] = x
+    if cfg.mlp_act.endswith("_glu"):
+        gate = apply_linear(bp["gate_proj"], x, backend)
+        up = apply_linear(bp["up_proj"], x, backend)
+        act = jax.nn.silu if cfg.mlp_act == "silu_glu" else jax.nn.gelu
+        h = act(gate) * up
+        if capture is not None:
+            capture["down_proj"] = h
+        return apply_linear(bp["down_proj"], h, backend)
+    h = apply_linear(bp["up_proj"], x, backend)
+    if cfg.mlp_act == "gelu":
+        h = jax.nn.gelu(h, approximate=False)
+    elif cfg.mlp_act == "gelu_new":
+        h = jax.nn.gelu(h, approximate=True)
+    elif cfg.mlp_act == "relu":
+        h = jax.nn.relu(h)
+    else:
+        raise ValueError(f"unknown activation {cfg.mlp_act}")
+    if capture is not None:
+        capture["down_proj"] = h
+    return apply_linear(bp["down_proj"], h, backend)
+
+
+def moe_mlp(
+    bp: dict,
+    x: jnp.ndarray,
+    cfg: ArchConfig,
+    backend: str = "auto",
+    capture: Optional[dict] = None,
+) -> jnp.ndarray:
+    """Mixtral-style sparse MoE: dense top-k routing.
+
+    TPU-first design: instead of the reference's 24 separate Linears per
+    block (modeling/mixtral.py:8-40), experts are evaluated with a shared
+    batched einsum over a [E, ...] stacked weight tree when dense, or a
+    per-expert loop of quantized matmuls (static unroll over E) with the
+    routing weights applied as a mask — compiler-friendly, no dynamic shapes.
+    """
+    b, t, hdim = x.shape
+    router_logits = apply_linear(bp["router"], x, backend)          # [B, T, E]
+    e = cfg.moe_num_experts
+    weights, sel = jax.lax.top_k(router_logits.astype(jnp.float32), cfg.moe_top_k)
+    weights = jax.nn.softmax(weights, axis=-1)                      # [B, T, k]
+    # dense combine mask [B, T, E]
+    combine = jnp.zeros((b, t, e), jnp.float32)
+    combine = jax.vmap(
+        lambda c, s, w: c.at[s].add(w), in_axes=(0, 0, 0)
+    )(combine.reshape(-1, e), sel.reshape(-1, cfg.moe_top_k), weights.reshape(-1, cfg.moe_top_k))
+    combine = combine.reshape(b, t, e)
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for i in range(e):
+        ep = bp["experts"][i]
+        routed = (combine[..., i] > 0).astype(x.dtype)[..., None]   # [B, T, 1]
+        if capture is not None:
+            # Hessians must see only the tokens actually routed to this
+            # expert (zeroed rows contribute nothing to X^T X), mirroring the
+            # reference's hook-on-routed-inputs behavior.
+            capture[f"experts.{i}.gate_proj"] = x * routed
+            capture[f"experts.{i}.up_proj"] = x * routed
+        gate = apply_linear(ep["gate_proj"], x, backend)
+        up = apply_linear(ep["up_proj"], x, backend)
+        h = jax.nn.silu(gate) * up
+        if capture is not None:
+            capture[f"experts.{i}.down_proj"] = h * routed
+        y = apply_linear(ep["down_proj"], h, backend)
+        out = out + y.astype(jnp.float32) * combine[..., i][..., None]
+    return out.astype(x.dtype)
+
+
+def block_forward(
+    bp: dict,
+    x: jnp.ndarray,
+    layer_idx: int,
+    cache: Optional[KVCache],
+    positions: jnp.ndarray,
+    cfg: ArchConfig,
+    backend: str = "auto",
+    attn_mask: Optional[jnp.ndarray] = None,
+    capture: Optional[dict] = None,
+):
+    """One decoder block. Returns (hidden, (cache_k, cache_v) or None).
+
+    With ``capture`` a dict, inputs feeding each linear are recorded under
+    the block-relative path ("attn.q_proj", "mlp.down_proj", ...) — the
+    functional replacement for the reference's forward hooks
+    (modeling/_base.py:310-334).
+    """
+    attn_cap = {} if capture is not None else None
+    mlp_cap = {} if capture is not None else None
+
+    h = apply_norm(bp["input_norm"], x, cfg)
+    attn_out, kv = attention(
+        bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask, attn_cap
+    )
+    if cfg.parallel_block:
+        mlp_out = mlp(bp["mlp"], h, cfg, backend, mlp_cap)
+        x = x + attn_out + mlp_out
+    else:
+        x = x + attn_out
+        h2 = apply_norm(bp["post_norm"], x, cfg)
+        x = x + mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
+
+    if capture is not None:
+        for k, v in attn_cap.items():
+            capture[f"attn.{k}"] = v
+        for k, v in mlp_cap.items():
+            capture[f"mlp.{k}"] = v
+    return x, kv
+
+
+def embed(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cfg: ArchConfig, dtype=jnp.bfloat16):
+    x = params["embed_tokens"][tokens].astype(dtype)
+    if cfg.scale_embedding:
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
+    if cfg.pos_embedding == "learned":
+        x = x + params["embed_positions"][positions + cfg.pos_offset].astype(dtype)
+    return x
+
+
+def unembed(params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
+    if cfg.final_norm:
+        x = apply_norm(params["final_norm"], x, cfg)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32), params["embed_tokens"].astype(jnp.float32))
+    else:
+        logits = apply_linear(params["lm_head"], x, backend="auto").astype(jnp.float32)
+    return logits
+
+
+def forward(
+    params: dict,
+    tokens: jnp.ndarray,                # [B, T]
+    cfg: ArchConfig,
+    cache: Optional[KVCache] = None,
+    positions: Optional[jnp.ndarray] = None,
+    backend: str = "auto",
+    attn_mask: Optional[jnp.ndarray] = None,
+    dtype=jnp.bfloat16,
+):
+    """Full forward. Returns (logits [B, T, V], new_cache or None)."""
+    b, t = tokens.shape
+    if positions is None:
+        start = cache.length if cache is not None else 0
+        if attn_mask is not None and cache is None:
+            positions = jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
+        else:
+            positions = jnp.broadcast_to(jnp.arange(t)[None, :] + start, (b, t))
+
+    x = embed(params, tokens, positions, cfg, dtype)
+
+    new_k, new_v = (cache.k, cache.v) if cache is not None else (None, None)
+    for i, bp in enumerate(params["layers"]):
+        x, kv = block_forward(bp, x, i, cache, positions, cfg, backend, attn_mask)
+        if cache is not None:
+            new_k = new_k.at[i].set(kv[0])
+            new_v = new_v.at[i].set(kv[1])
+
+    logits = unembed(params, x, cfg)
+    if cache is not None:
+        cache = KVCache(k=new_k, v=new_v, length=cache.length + t)
+    return logits, cache
+
+
+__all__ = [
+    "ArchConfig",
+    "DenseLinear",
+    "KVCache",
+    "apply_linear",
+    "apply_norm",
+    "attention",
+    "mlp",
+    "moe_mlp",
+    "block_forward",
+    "embed",
+    "unembed",
+    "forward",
+]

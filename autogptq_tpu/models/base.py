@@ -1,0 +1,415 @@
+"""GPTQModel: the user-facing orchestrator (quantize / save / load / generate).
+
+Functional re-design of the reference's ``BaseGPTQForCausalLM``
+(/root/reference/auto_gptq/modeling/_base.py:90-1300):
+
+  * ``quantize()`` — layer-by-layer calibration. The reference captures layer
+    inputs with forward hooks and an exception-raising "Catcher"
+    (_base.py:221-273); here the decoder is already a list of pure block
+    functions, so we simply run the embedding once, then fold each block over
+    the cached hidden states, capturing linear inputs functionally
+    (arch.block_forward(capture=...)), accumulating Hessians, solving GPTQ
+    per sublist in ``true_sequential`` order, and re-running the block with
+    quantized weights before moving on (matching _base.py:288-377).
+  * ``save_quantized()`` / ``from_quantized()`` — reference-compatible
+    safetensors + quantize_config.json.
+  * ``from_pretrained()`` — loads an fp HF checkpoint into the JAX tree.
+  * ``generate()`` — jit-compiled greedy/sampling/beam decode with a
+    preallocated KV cache.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import logging
+import os
+import time
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quantlinear as qlin
+from ..quantization import (
+    BaseQuantizeConfig,
+    GPTQConfig,
+    gptq_quantize,
+    hessian_init,
+    hessian_update,
+)
+from ..quantization.config import QUANTIZE_BLACK_LIST
+from ..utils import hf_io
+from . import arch, params as params_lib
+from .arch import ArchConfig, KVCache
+from .registry import FamilySpec, get_family
+
+logger = logging.getLogger(__name__)
+
+
+def _pad_examples(
+    examples: Sequence[dict], pad_token_id: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Left-pad a list of {input_ids} dicts to a common length.
+
+    Mirrors the reference's pad-and-collate prep (_base.py:131-174 +
+    utils/data_utils.collate_data) — left padding, attention mask zeros on
+    pads.
+    """
+    ids = [np.asarray(e["input_ids"]).reshape(-1) for e in examples]
+    max_len = max(len(x) for x in ids)
+    batch = np.full((len(ids), max_len), pad_token_id, dtype=np.int32)
+    mask = np.zeros((len(ids), max_len), dtype=np.int32)
+    for i, x in enumerate(ids):
+        batch[i, max_len - len(x):] = x
+        mask[i, max_len - len(x):] = 1
+    return batch, mask
+
+
+class GPTQModel:
+    """A causal LM with (potentially) GPTQ-quantized linear layers."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: ArchConfig,
+        spec: FamilySpec,
+        quantize_config: BaseQuantizeConfig,
+        quantized: bool = False,
+        backend: str = "auto",
+        dtype=jnp.bfloat16,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.spec = spec
+        self.quantize_config = quantize_config
+        self.quantized = quantized
+        self.backend = backend
+        self.dtype = dtype
+        # "{layer}.{path}" -> PackedQuantLinear (disk layout) after quantize()
+        self.packed_layers: dict[str, qlin.PackedQuantLinear] = {}
+        self._jit_cache: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_dir: str,
+        quantize_config: Optional[BaseQuantizeConfig] = None,
+        dtype=jnp.bfloat16,
+        **kwargs,
+    ) -> "GPTQModel":
+        hf_cfg = hf_io.load_hf_config(model_dir)
+        spec = get_family(hf_cfg["model_type"])
+        cfg = spec.arch_fn(hf_cfg)
+        tensors = hf_io.load_tensors(model_dir)
+        params = params_lib.build_fp_params(tensors, spec, cfg, dtype)
+        qc = quantize_config or BaseQuantizeConfig()
+        qc.model_name_or_path = model_dir
+        return cls(params, cfg, spec, qc, quantized=False, dtype=dtype)
+
+    @classmethod
+    def from_quantized(
+        cls,
+        model_dir: str,
+        dtype=jnp.bfloat16,
+        backend: str = "auto",
+        **kwargs,
+    ) -> "GPTQModel":
+        hf_cfg = hf_io.load_hf_config(model_dir)
+        spec = get_family(hf_cfg["model_type"])
+        cfg = spec.arch_fn(hf_cfg)
+        qc = BaseQuantizeConfig.from_pretrained(model_dir, **kwargs)
+        qc.model_name_or_path = model_dir
+        if qc.checkpoint_format == "gemm":
+            tensors = _convert_awq_tensors(model_dir, spec, cfg, qc)
+        else:
+            tensors = hf_io.load_tensors(model_dir, qc.model_file_base_name)
+        params = params_lib.build_quantized_params(
+            tensors, spec, cfg, qc.bits, qc.group_size, dtype
+        )
+        return cls(params, cfg, spec, qc, quantized=True, backend=backend, dtype=dtype)
+
+    # ------------------------------------------------------------------
+    # Quantization (the core calibration loop)
+    # ------------------------------------------------------------------
+
+    def quantize(
+        self,
+        examples: Sequence[dict],
+        batch_size: int = 1,
+        calib_dtype=jnp.float32,
+    ) -> None:
+        """Run GPTQ calibration over ``examples`` (list of {"input_ids"}).
+
+        Follows the reference flow (modeling/_base.py:176-396): capture layer-0
+        inputs, then per decoder block accumulate Hessians per
+        ``inside_layer_modules`` sublist, solve, swap in quantized weights,
+        and re-forward to produce the next block's inputs.
+        """
+        if self.quantized:
+            raise RuntimeError("model is already quantized")
+        if self.quantize_config.quant_method in QUANTIZE_BLACK_LIST:
+            raise NotImplementedError(
+                f"quant method {self.quantize_config.quant_method} is inference-only"
+            )
+        qc = self.quantize_config
+        cfg = self.cfg
+        spec = self.spec
+
+        gcfg = GPTQConfig(
+            bits=qc.bits,
+            group_size=qc.group_size,
+            sym=qc.sym,
+            desc_act=qc.desc_act,
+            static_groups=qc.static_groups,
+            percdamp=qc.damp_percent,
+            mse=qc.mse,
+        )
+
+        # 1. Batch + embed all examples once (the "Catcher" equivalent).
+        batches = []
+        for i in range(0, len(examples), batch_size):
+            batches.append(_pad_examples(examples[i : i + batch_size]))
+
+        embed_fn = jax.jit(
+            lambda tokens, positions: arch.embed(self.params, tokens, positions, cfg, calib_dtype)
+        )
+        hidden, masks, positions = [], [], []
+        for tokens, mask in batches:
+            pos = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+            hidden.append(embed_fn(jnp.asarray(tokens), jnp.asarray(pos)))
+            masks.append(jnp.asarray(mask))
+            positions.append(jnp.asarray(pos))
+
+        quant_sublists = spec.quant_layers
+        if not qc.true_sequential:
+            quant_sublists = [[p for sub in spec.quant_layers for p in sub]]
+
+        block_caps = {p for sub in quant_sublists for p in sub}
+
+        # jitted per-block capture pass and forward pass
+        @jax.jit
+        def block_capture(bp, x, pos, mask):
+            cap: dict = {}
+            arch.block_forward(bp, x, 0, None, pos, cfg, "xla", mask, cap)
+            return {k: v for k, v in cap.items() if k in block_caps}
+
+        @jax.jit
+        def block_apply(bp, x, pos, mask):
+            y, _ = arch.block_forward(bp, x, 0, None, pos, cfg, "xla", mask)
+            return y
+
+        avg_losses = []
+        t_start = time.time()
+        for li, block in enumerate(self.params["layers"]):
+            block = dict(block)  # shallow copy we mutate as sublists quantize
+            for sublist in quant_sublists:
+                present = [p for p in sublist if self._has_path(block, p)]
+                if not present:
+                    continue
+                # Hessian accumulation over all batches for every linear in
+                # the sublist, from ONE capture pass per batch.
+                hs = {}
+                for bi in range(len(batches)):
+                    caps = block_capture(block, hidden[bi], positions[bi], masks[bi])
+                    for p in present:
+                        x_in = caps[p]
+                        if p not in hs:
+                            hs[p] = hessian_init(x_in.shape[-1])
+                        hs[p] = hessian_update(hs[p][0], hs[p][1], x_in)
+
+                for p in present:
+                    node = params_lib.get_in(block, p)
+                    w = np.asarray(node.kernel, dtype=np.float32).T  # [N, K]
+                    h, _ = hs[p]
+                    res = gptq_quantize(jnp.asarray(w), h, gcfg)
+                    avg_losses.append(float(res.total_loss))
+                    packed = qlin.pack_from_solver(
+                        np.asarray(res.qweight),
+                        np.asarray(res.scale),
+                        np.asarray(res.zero),
+                        np.asarray(res.g_idx),
+                        bits=qc.bits,
+                        group_size=qc.group_size,
+                        bias=None if node.bias is None else np.asarray(node.bias),
+                    )
+                    self.packed_layers[f"{li}.{p}"] = packed
+                    params_lib.set_in_block(block, p, qlin.from_packed(packed))
+                    del hs[p]
+                logger.info(
+                    "layer %d/%d sublist %s quantized", li + 1, cfg.num_layers, sublist
+                )
+
+            # Re-forward with quantized weights for the next layer's inputs.
+            for bi in range(len(batches)):
+                hidden[bi] = block_apply(block, hidden[bi], positions[bi], masks[bi])
+            self.params["layers"][li] = block
+
+        logger.info(
+            "quantized %d layers in %.1fs (mean solver loss %.4f)",
+            cfg.num_layers,
+            time.time() - t_start,
+            float(np.mean(avg_losses)) if avg_losses else float("nan"),
+        )
+        self.quantized = True
+
+    @staticmethod
+    def _has_path(block: dict, path: str) -> bool:
+        try:
+            node = params_lib.get_in(block, path)
+        except (KeyError, IndexError, TypeError):
+            return False
+        return node is not None
+
+    # ------------------------------------------------------------------
+    # Save / load
+    # ------------------------------------------------------------------
+
+    def save_quantized(
+        self,
+        save_dir: str,
+        safetensors_metadata: Optional[dict] = None,
+        max_shard_size: Optional[int] = None,
+        hf_config: Optional[dict] = None,
+    ) -> None:
+        """Write a reference-compatible quantized checkpoint: sharded (or
+        single) safetensors + quantize_config.json + config.json (with
+        ``quantization_config`` embedded, like _base.py:502-577)."""
+        if not self.quantized:
+            raise RuntimeError("save_quantized only saves quantized models")
+        os.makedirs(save_dir, exist_ok=True)
+        tensors = params_lib.flatten_quantized_params(
+            self.params, self.packed_layers, self.spec, self.cfg
+        )
+        model_base = self.quantize_config.model_file_base_name or (
+            f"gptq_model-{self.quantize_config.bits}bit-{self.quantize_config.group_size}g"
+        )
+        self.quantize_config.model_file_base_name = model_base
+        meta = dict(safetensors_metadata or {})
+        meta.setdefault("format", "pt")
+        meta["gptq_bits"] = str(self.quantize_config.bits)
+        meta["gptq_group_size"] = str(self.quantize_config.group_size)
+        meta["gptq_desc_act"] = str(self.quantize_config.desc_act)
+        meta["gptq_damp_percent"] = str(self.quantize_config.damp_percent)
+        meta["quantizer"] = "autogptq_tpu:0.1.0"
+        hf_io.save_safetensors(
+            tensors,
+            os.path.join(save_dir, "model.safetensors"),
+            metadata={k: str(v) for k, v in meta.items()},
+            max_shard_size=max_shard_size,
+        )
+        self.quantize_config.save_pretrained(save_dir)
+        # config.json so from_quantized can rebuild the architecture
+        if hf_config is None and self.quantize_config.model_name_or_path:
+            try:
+                hf_config = hf_io.load_hf_config(self.quantize_config.model_name_or_path)
+            except FileNotFoundError:
+                hf_config = None
+        if hf_config is not None:
+            hf_config = copy.deepcopy(hf_config)
+            hf_config["quantization_config"] = self.quantize_config.to_dict()
+            with open(os.path.join(save_dir, "config.json"), "w") as f:
+                json.dump(hf_config, f, indent=2)
+
+    # ------------------------------------------------------------------
+    # Inference
+    # ------------------------------------------------------------------
+
+    def __call__(self, tokens, attn_mask=None):
+        return self.forward(tokens, attn_mask)
+
+    def forward(self, tokens, attn_mask=None):
+        """Full-sequence forward -> logits [B, T, V] (fp32)."""
+        fn = self._jit_cache.get("fwd")
+        if fn is None:
+            fn = jax.jit(
+                lambda p, t, m: arch.forward(
+                    p, t, self.cfg, backend=self.backend, attn_mask=m, dtype=self.dtype
+                )[0]
+            )
+            self._jit_cache["fwd"] = fn
+        tokens = jnp.asarray(tokens)
+        if tokens.ndim == 1:
+            tokens = tokens[None]
+        mask = None if attn_mask is None else jnp.asarray(attn_mask)
+        if mask is None:
+            mask = jnp.ones_like(tokens)
+        return fn(self.params, tokens, mask)
+
+    def generate(
+        self,
+        input_ids,
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        num_beams: int = 1,
+        eos_token_id: Optional[int] = None,
+        min_new_tokens: int = 0,
+        seed: int = 0,
+    ):
+        """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
+        search. Returns np.ndarray [B, T_in + max_new_tokens]."""
+        from ..utils import generation
+
+        return generation.generate(
+            self,
+            input_ids,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            num_beams=num_beams,
+            eos_token_id=eos_token_id,
+            min_new_tokens=min_new_tokens,
+            seed=seed,
+        )
+
+
+def _convert_awq_tensors(
+    model_dir: str, spec: FamilySpec, cfg: ArchConfig, qc: BaseQuantizeConfig
+) -> dict[str, np.ndarray]:
+    """Load an AWQ-GEMM checkpoint and repack every quantized layer into GPTQ
+    layout on the fly (reference: modeling/_base.py:975-1062), caching the
+    converted tensors next to the checkpoint."""
+    from ..ops import packing
+
+    cache_path, exists = qc.get_cache_file_path(
+        quant_method="gptq", checkpoint_format="gptq"
+    )
+    if exists:
+        logger.info("loading cached AWQ->GPTQ conversion from %s", cache_path)
+        tensors = dict(hf_io.iter_tensors([cache_path]))
+        qc.quant_method = "gptq"
+        qc.checkpoint_format = "gptq"
+        return tensors
+
+    raw = hf_io.load_tensors(model_dir, qc.model_file_base_name)
+    out: dict[str, np.ndarray] = {}
+    for name, t in raw.items():
+        if name.endswith(".qweight"):
+            base = name[: -len(".qweight")]
+            conv = packing.awq_to_gptq(
+                t, raw[base + ".qzeros"], raw[base + ".scales"], bits=qc.bits
+            )
+            out[base + ".qweight"] = conv["qweight"]
+            out[base + ".qzeros"] = conv["qzeros"]
+            out[base + ".scales"] = conv["scales"]
+            out[base + ".g_idx"] = conv["g_idx"]
+        elif name.endswith((".qzeros", ".scales")) and any(
+            name.startswith(p) for p in (spec.layers_prefix,)
+        ):
+            continue  # handled with qweight
+        else:
+            out[name] = t
+    qc.quant_method = "gptq"
+    qc.checkpoint_format = "gptq"
+    try:
+        hf_io.save_safetensors(out, cache_path)
+    except OSError:
+        pass
+    return out
+
+
+__all__ = ["GPTQModel"]

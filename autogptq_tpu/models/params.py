@@ -1,0 +1,252 @@
+"""Build/flatten model parameter pytrees from/to HF tensor dicts.
+
+Covers three checkpoint flavours:
+  * fp (bf16/fp16/fp32) HF checkpoints -> dense params tree (from_pretrained)
+  * GPTQ checkpoints (qweight/qzeros/scales/g_idx under HF module names,
+    reference layout) -> quantized params tree (from_quantized)
+  * quantized params tree -> GPTQ tensor dict (save_quantized), readable by
+    the reference implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quantlinear as qlin
+from .arch import ArchConfig, DenseLinear
+from .registry import FamilySpec
+
+
+def _set_in(tree: dict, path: str, value: Any) -> None:
+    keys = path.split(".")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def get_in(tree: dict, path: str) -> Any:
+    node = tree
+    for k in path.split("."):
+        node = node[k] if isinstance(node, dict) else node[int(k)]
+    return node
+
+
+def set_in_block(block: dict, path: str, value: Any) -> None:
+    """Set a dotted path inside a block dict, creating intermediate dicts;
+    numeric components index lists (MoE experts)."""
+    keys = path.split(".")
+    node = block
+    for i, k in enumerate(keys[:-1]):
+        nxt = keys[i + 1]
+        if k.isdigit():
+            k = int(k)
+        if isinstance(node, list):
+            while len(node) <= k:
+                node.append({})
+            if nxt.isdigit() and not isinstance(node[k], list):
+                node[k] = node[k] or []
+            node = node[k]
+        else:
+            if k not in node:
+                node[k] = [] if nxt.isdigit() else {}
+            node = node[k]
+    last = keys[-1]
+    if isinstance(node, list):
+        while len(node) <= int(last):
+            node.append(None)
+        node[int(last)] = value
+    else:
+        node[last] = value
+
+
+def _to_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=dtype)
+
+
+def build_fp_params(
+    tensors: dict[str, np.ndarray],
+    spec: FamilySpec,
+    cfg: ArchConfig,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Dense (unquantized) params tree from an HF checkpoint tensor dict."""
+    params: dict = {"layers": []}
+
+    for our, hf in spec.top_tensors.items():
+        if hf in tensors:
+            _set_in(params, our, _to_jnp(tensors[hf], dtype))
+
+    if spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
+        w = tensors[f"{spec.lm_head}.weight"]
+        b = tensors.get(f"{spec.lm_head}.bias")
+        params["lm_head"] = DenseLinear(
+            kernel=_to_jnp(np.ascontiguousarray(w.T), dtype),
+            bias=None if b is None else _to_jnp(b, dtype),
+        )
+
+    for i in range(cfg.num_layers):
+        prefix = f"{spec.layers_prefix}.{i}"
+        block: dict = {}
+        for our, hf in spec.block_linears.items():
+            wname = f"{prefix}.{hf}.weight"
+            if wname not in tensors:
+                raise KeyError(f"missing tensor {wname}")
+            w = tensors[wname]
+            if not spec.conv1d_linears:
+                w = np.ascontiguousarray(w.T)  # HF Linear stores [N, K]
+            b = tensors.get(f"{prefix}.{hf}.bias")
+            set_in_block(
+                block,
+                our,
+                DenseLinear(
+                    kernel=_to_jnp(w, dtype),
+                    bias=None if b is None else _to_jnp(b, dtype),
+                ),
+            )
+        for our, hf in spec.block_norms.items():
+            nm = {"weight": _to_jnp(tensors[f"{prefix}.{hf}.weight"], dtype)}
+            bname = f"{prefix}.{hf}.bias"
+            if bname in tensors:
+                nm["bias"] = _to_jnp(tensors[bname], dtype)
+            set_in_block(block, our, nm)
+        params["layers"].append(block)
+
+    return params
+
+
+def build_quantized_params(
+    tensors: dict[str, np.ndarray],
+    spec: FamilySpec,
+    cfg: ArchConfig,
+    bits: int,
+    group_size: int,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Params tree from a GPTQ checkpoint: quantized linears become runtime
+    QuantLinear nodes; everything else dense."""
+    quant_paths = {p for sub in spec.quant_layers for p in sub}
+    params: dict = {"layers": []}
+
+    for our, hf in spec.top_tensors.items():
+        if hf in tensors:
+            _set_in(params, our, _to_jnp(tensors[hf], dtype))
+    if spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
+        w = tensors[f"{spec.lm_head}.weight"]
+        b = tensors.get(f"{spec.lm_head}.bias")
+        params["lm_head"] = DenseLinear(
+            kernel=_to_jnp(np.ascontiguousarray(w.T), dtype),
+            bias=None if b is None else _to_jnp(b, dtype),
+        )
+
+    for i in range(cfg.num_layers):
+        prefix = f"{spec.layers_prefix}.{i}"
+        block: dict = {}
+        for our, hf in spec.block_linears.items():
+            base = f"{prefix}.{hf}"
+            if our in quant_paths and f"{base}.qweight" in tensors:
+                qweight = tensors[f"{base}.qweight"]
+                k = qweight.shape[0] * 32 // bits
+                n = qweight.shape[1]
+                packed = qlin.PackedQuantLinear(
+                    qweight=qweight,
+                    qzeros=tensors[f"{base}.qzeros"],
+                    scales=tensors[f"{base}.scales"],
+                    g_idx=tensors.get(
+                        f"{base}.g_idx",
+                        (np.arange(k) // (group_size if group_size != -1 else k)).astype(np.int32),
+                    ),
+                    bias=tensors.get(f"{base}.bias"),
+                    bits=bits,
+                    group_size=group_size,
+                    in_features=k,
+                    out_features=n,
+                )
+                set_in_block(block, our, qlin.from_packed(packed))
+            else:
+                w = tensors[f"{base}.weight"]
+                if not spec.conv1d_linears:
+                    w = np.ascontiguousarray(w.T)
+                b = tensors.get(f"{base}.bias")
+                set_in_block(
+                    block,
+                    our,
+                    DenseLinear(
+                        kernel=_to_jnp(w, dtype),
+                        bias=None if b is None else _to_jnp(b, dtype),
+                    ),
+                )
+        for our, hf in spec.block_norms.items():
+            nm = {"weight": _to_jnp(tensors[f"{prefix}.{hf}.weight"], dtype)}
+            bname = f"{prefix}.{hf}.bias"
+            if bname in tensors:
+                nm["bias"] = _to_jnp(tensors[bname], dtype)
+            set_in_block(block, our, nm)
+        params["layers"].append(block)
+
+    return params
+
+
+def flatten_quantized_params(
+    params: dict,
+    packed_layers: dict[str, qlin.PackedQuantLinear],
+    spec: FamilySpec,
+    cfg: ArchConfig,
+    save_dtype=np.float16,
+) -> dict[str, np.ndarray]:
+    """Tensor dict for save_quantized. ``packed_layers`` maps
+    ``"{layer_idx}.{our_path}"`` -> PackedQuantLinear (disk layout)."""
+    out: dict[str, np.ndarray] = {}
+
+    def as_np(x, dt=save_dtype):
+        return np.asarray(x).astype(dt)
+
+    for our, hf in spec.top_tensors.items():
+        try:
+            val = get_in(params, our)
+        except (KeyError, TypeError):
+            continue
+        out[hf] = as_np(val)
+    if "lm_head" in params and spec.lm_head is not None:
+        lm = params["lm_head"]
+        out[f"{spec.lm_head}.weight"] = np.ascontiguousarray(as_np(lm.kernel).T)
+        if lm.bias is not None:
+            out[f"{spec.lm_head}.bias"] = as_np(lm.bias)
+
+    for i, block in enumerate(params["layers"]):
+        prefix = f"{spec.layers_prefix}.{i}"
+        for our, hf in spec.block_linears.items():
+            base = f"{prefix}.{hf}"
+            key = f"{i}.{our}"
+            if key in packed_layers:
+                p = packed_layers[key]
+                out[f"{base}.qweight"] = np.asarray(p.qweight).astype(np.int32)
+                out[f"{base}.qzeros"] = np.asarray(p.qzeros).astype(np.int32)
+                out[f"{base}.scales"] = np.asarray(p.scales).astype(np.float16)
+                out[f"{base}.g_idx"] = np.asarray(p.g_idx).astype(np.int32)
+                if p.bias is not None:
+                    out[f"{base}.bias"] = as_np(p.bias)
+            else:
+                node = get_in(block, our)
+                out[f"{base}.weight"] = np.ascontiguousarray(as_np(node.kernel).T)
+                if node.bias is not None:
+                    out[f"{base}.bias"] = as_np(node.bias)
+        for our, hf in spec.block_norms.items():
+            node = get_in(block, our)
+            out[f"{prefix}.{hf}.weight"] = as_np(node["weight"])
+            if "bias" in node:
+                out[f"{prefix}.{hf}.bias"] = as_np(node["bias"])
+
+    return out
+
+
+__all__ = [
+    "build_fp_params",
+    "build_quantized_params",
+    "flatten_quantized_params",
+    "get_in",
+    "set_in_block",
+]

@@ -1,0 +1,363 @@
+"""Model-family registry: declarative specs binding HF checkpoints to the
+generic decoder engine (arch.py).
+
+The reference's per-family modules (/root/reference/auto_gptq/modeling/*.py)
+declare four name-lists per family; here a :class:`FamilySpec` declares the
+HF-config translation, the HF<->tree tensor name maps, and the quantization
+ordering (``quant_layers`` == the reference's ``inside_layer_modules``,
+e.g. llama.py:21-26). One functional engine executes every family.
+
+Tensor-name conventions on disk follow HF exactly, so quantized checkpoints
+written by this framework are loadable by the reference and vice versa
+(qweight/qzeros/scales/g_idx live under the HF module prefix, e.g.
+``model.layers.0.self_attn.q_proj.qweight``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .arch import ArchConfig
+
+
+@dataclass(frozen=True)
+class FamilySpec:
+    model_type: str
+    arch_fn: Callable[[dict], ArchConfig]
+    layers_prefix: str                       # e.g. "model.layers"
+    # our block-relative path -> HF block-relative module name (linears) or
+    # tensor prefix (norms; ".weight"/".bias" appended automatically)
+    block_linears: dict[str, str]
+    block_norms: dict[str, str]
+    # our top-level key -> HF tensor name (embeddings/norms: full tensor name
+    # without ".weight"; lm_head treated as a linear module)
+    top_tensors: dict[str, str]
+    lm_head: str | None                      # HF module name or None if tied
+    quant_layers: list[list[str]] = field(default_factory=list)
+    # linears whose HF layout is [K, N] already (Conv1D-style, gpt2)
+    conv1d_linears: bool = False
+
+
+REGISTRY: dict[str, FamilySpec] = {}
+
+
+def register(spec: FamilySpec) -> FamilySpec:
+    REGISTRY[spec.model_type] = spec
+    return spec
+
+
+def get_family(model_type: str) -> FamilySpec:
+    if model_type not in REGISTRY:
+        raise ValueError(
+            f"model_type {model_type!r} isn't supported yet. "
+            f"Supported: {sorted(REGISTRY)}"
+        )
+    return REGISTRY[model_type]
+
+
+def _gqa_head_dim(c: dict) -> tuple[int, int, int]:
+    heads = c["num_attention_heads"]
+    kv = c.get("num_key_value_heads", heads) or heads
+    head_dim = c.get("head_dim") or c["hidden_size"] // heads
+    return heads, kv, head_dim
+
+
+# ---------------------------------------------------------------------------
+# Llama family (llama / llama2 / llama3 / yi / deci are config-compatible)
+# ---------------------------------------------------------------------------
+
+
+def _llama_arch(c: dict, **overrides) -> ArchConfig:
+    heads, kv, head_dim = _gqa_head_dim(c)
+    kw = dict(
+        model_type=c.get("model_type", "llama"),
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=head_dim,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="rmsnorm",
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+        pos_embedding="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        mlp_act="silu_glu",
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+        sliding_window=c.get("sliding_window"),
+    )
+    kw.update(overrides)
+    return ArchConfig(**kw)
+
+
+_LLAMA_BLOCK_LINEARS = {
+    "attn.q_proj": "self_attn.q_proj",
+    "attn.k_proj": "self_attn.k_proj",
+    "attn.v_proj": "self_attn.v_proj",
+    "attn.o_proj": "self_attn.o_proj",
+    "mlp.gate_proj": "mlp.gate_proj",
+    "mlp.up_proj": "mlp.up_proj",
+    "mlp.down_proj": "mlp.down_proj",
+}
+_LLAMA_BLOCK_NORMS = {
+    "input_norm": "input_layernorm",
+    "post_norm": "post_attention_layernorm",
+}
+_LLAMA_TOP = {
+    "embed_tokens": "model.embed_tokens.weight",
+    "final_norm.weight": "model.norm.weight",
+}
+# Quantization order mirrors reference llama.py:21-26.
+_LLAMA_QUANT = [
+    ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+    ["attn.o_proj"],
+    ["mlp.up_proj", "mlp.gate_proj"],
+    ["mlp.down_proj"],
+]
+
+register(
+    FamilySpec(
+        model_type="llama",
+        arch_fn=_llama_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+for _mt in ("mistral", "yi", "deci", "internlm", "xverse", "baichuan"):
+    register(
+        FamilySpec(
+            model_type=_mt,
+            arch_fn=lambda c, _mt=_mt: _llama_arch(c),
+            layers_prefix="model.layers",
+            block_linears=_LLAMA_BLOCK_LINEARS,
+            block_norms=_LLAMA_BLOCK_NORMS,
+            top_tensors=_LLAMA_TOP,
+            lm_head="lm_head",
+            quant_layers=_LLAMA_QUANT,
+        )
+    )
+
+
+def _qwen2_arch(c: dict) -> ArchConfig:
+    return _llama_arch(c, attn_qkv_bias=True)
+
+
+register(
+    FamilySpec(
+        model_type="qwen2",
+        arch_fn=_qwen2_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+def _gemma_arch(c: dict) -> ArchConfig:
+    return _llama_arch(
+        c,
+        mlp_act="gelu_glu",
+        scale_embedding=True,
+        tie_word_embeddings=True,
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gemma",
+        arch_fn=_gemma_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head=None,
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral (MoE)
+# ---------------------------------------------------------------------------
+
+
+def _mixtral_arch(c: dict) -> ArchConfig:
+    return _llama_arch(
+        c,
+        moe_num_experts=c.get("num_local_experts", 8),
+        moe_top_k=c.get("num_experts_per_tok", 2),
+    )
+
+
+def _mixtral_block_linears() -> dict[str, str]:
+    d = {
+        "attn.q_proj": "self_attn.q_proj",
+        "attn.k_proj": "self_attn.k_proj",
+        "attn.v_proj": "self_attn.v_proj",
+        "attn.o_proj": "self_attn.o_proj",
+        "mlp.router": "block_sparse_moe.gate",
+    }
+    for e in range(8):
+        d[f"mlp.experts.{e}.gate_proj"] = f"block_sparse_moe.experts.{e}.w1"
+        d[f"mlp.experts.{e}.down_proj"] = f"block_sparse_moe.experts.{e}.w2"
+        d[f"mlp.experts.{e}.up_proj"] = f"block_sparse_moe.experts.{e}.w3"
+    return d
+
+
+# Quantization order mirrors reference mixtral.py:8-40 (router not quantized).
+_MIXTRAL_QUANT = [
+    ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+    ["attn.o_proj"],
+    [f"mlp.experts.{e}.{p}" for e in range(8) for p in ("gate_proj", "up_proj")],
+    [f"mlp.experts.{e}.down_proj" for e in range(8)],
+]
+
+register(
+    FamilySpec(
+        model_type="mixtral",
+        arch_fn=_mixtral_arch,
+        layers_prefix="model.layers",
+        block_linears=_mixtral_block_linears(),
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=_MIXTRAL_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# OPT
+# ---------------------------------------------------------------------------
+
+
+def _opt_arch(c: dict) -> ArchConfig:
+    heads = c["num_attention_heads"]
+    return ArchConfig(
+        model_type="opt",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["hidden_size"] // heads,
+        intermediate_size=c["ffn_dim"],
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="layernorm",
+        norm_eps=1e-5,
+        pos_embedding="learned",
+        pos_offset=2,
+        mlp_act="relu",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=c.get("tie_word_embeddings", True),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="opt",
+        arch_fn=_opt_arch,
+        layers_prefix="model.decoder.layers",
+        block_linears={
+            "attn.q_proj": "self_attn.q_proj",
+            "attn.k_proj": "self_attn.k_proj",
+            "attn.v_proj": "self_attn.v_proj",
+            "attn.o_proj": "self_attn.out_proj",
+            "mlp.up_proj": "fc1",
+            "mlp.down_proj": "fc2",
+        },
+        block_norms={
+            "input_norm": "self_attn_layer_norm",
+            "post_norm": "final_layer_norm",
+        },
+        top_tensors={
+            "embed_tokens": "model.decoder.embed_tokens.weight",
+            "embed_positions": "model.decoder.embed_positions.weight",
+            "final_norm.weight": "model.decoder.final_layer_norm.weight",
+            "final_norm.bias": "model.decoder.final_layer_norm.bias",
+        },
+        lm_head=None,
+        # mirrors reference opt.py:5-22
+        quant_layers=[
+            ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# GPT-J
+# ---------------------------------------------------------------------------
+
+
+def _gptj_arch(c: dict) -> ArchConfig:
+    heads = c["n_head"]
+    return ArchConfig(
+        model_type="gptj",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["n_embd"],
+        num_layers=c["n_layer"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["n_embd"] // heads,
+        intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+        max_position_embeddings=c.get("n_positions", 2048),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="rope_gptj",
+        rotary_dim=c.get("rotary_dim", 64),
+        mlp_act="gelu_new",
+        mlp_bias=True,
+        parallel_block=True,
+        tie_word_embeddings=False,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gptj",
+        arch_fn=_gptj_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.q_proj": "attn.q_proj",
+            "attn.k_proj": "attn.k_proj",
+            "attn.v_proj": "attn.v_proj",
+            "attn.o_proj": "attn.out_proj",
+            "mlp.up_proj": "mlp.fc_in",
+            "mlp.down_proj": "mlp.fc_out",
+        },
+        block_norms={"input_norm": "ln_1"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head="lm_head",
+        # mirrors reference gptj.py
+        quant_layers=[
+            ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+    )
+)
+
+
+__all__ = ["FamilySpec", "REGISTRY", "register", "get_family"]

@@ -1,0 +1,212 @@
+"""Fused dequant-matmul Pallas TPU kernel family.
+
+One kernel replaces the reference's seven CUDA/Triton backends: it streams
+the planar-packed sub-byte weights (see ops/quantlinear.py) HBM -> VMEM,
+unpacks with shift/mask on the VPU, dequantizes with a fused
+multiply-subtract, and feeds bf16 tiles straight to the MXU with fp32
+accumulation. Weights cross HBM exactly once at their packed width (4 bits
+per weight for int4), which is the speed-of-light for the memory-bound
+decode regime — the same insight behind the reference's exllamav2/Marlin
+kernels (fused dequant GEMV; reconstruct+GEMM only for huge M), but here a
+single kernel covers both regimes via M-tiling.
+
+Layout recap: ``wp`` is ``uint8[K, C]`` where ``C = n_pad / planes`` and
+plane ``p`` (bit field ``p*sbits..``) holds logical output columns
+``[p*C, (p+1)*C)``. The kernel computes in the planar 3-D view
+``y3[M, planes, C]``; ``y3.reshape(M, n_pad)`` is exactly ``x @ W`` because
+plane concatenation along N *is* that reshape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quantlinear import QuantLinear, _planes, _storage_bits
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(x_ref, wp_ref, scales_ref, sz_ref, out_ref, *, planes, sbits, rows_per_blk, gs_blk, bk, dot_dtype):
+    """Grid: (mi, j, ki); ki innermost accumulates into the same out block.
+
+    x_ref:      [BM, BK]            activations
+    wp_ref:     [BK, BNH] uint8     packed weights
+    scales_ref: [R, planes, BNH]    per-group scales (R groups in this K blk)
+    sz_ref:     [R, planes, BNH]    per-group scale*zero
+    out_ref:    [BM, planes, BNH]   fp32 accumulator
+    """
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    x = x_ref[...]
+    # Mosaic has no direct uint8 -> float cast; widen to int32 for the
+    # shift/mask unpack (register pressure is fine: one [BK, BNH] tile).
+    wp = wp_ref[...].astype(jnp.int32)
+    mask = (1 << sbits) - 1
+
+    for p in range(planes):
+        w_int = ((wp >> (sbits * p)) & mask).astype(jnp.float32)  # [BK, BNH]
+        s = scales_ref[:, p, :]   # [R, BNH]
+        z = sz_ref[:, p, :]       # [R, BNH]
+        if rows_per_blk > 1:
+            w3 = w_int.reshape(rows_per_blk, gs_blk, -1)
+            w = (w3 * s[:, None, :] - z[:, None, :]).reshape(bk, -1)
+        else:
+            w = w_int * s - z
+        acc = jax.lax.dot_general(
+            x.astype(dot_dtype),
+            w.astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[:, p, :] += acc
+
+
+def _pick_bk(k: int, group_size: int) -> int | None:
+    """K-tile size: a multiple or divisor of the group size so each K block
+    maps to a whole number of (or a single) group row."""
+    gs = group_size if group_size != -1 else k
+    for bk in (512, 256, 128):
+        if k % bk:
+            continue
+        if bk % gs == 0 or gs % bk == 0:
+            return bk
+    # tiny-K fallback (tests): one block covering all of K
+    if k % 8 == 0 and (k % gs == 0 or gs % k == 0):
+        return k
+    return None
+
+
+def supported(ql: QuantLinear) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if _pick_bk(ql.in_features, ql.group_size) is None:
+        return False
+    c = ql.n_pad // ql.planes
+    return c % 128 == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "group_size", "n_pad", "out_features", "interpret", "bm", "bnh", "dot_dtype")
+)
+def _matmul_planar(
+    x2d,
+    wp,
+    scales3,
+    sz3,
+    *,
+    bits,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bm,
+    bnh,
+    dot_dtype,
+):
+    m, k = x2d.shape
+    planes = _planes(bits)
+    sbits = _storage_bits(bits)
+    c = n_pad // planes
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size)
+    assert bk is not None, "unsupported shape for pallas kernel"
+    bnh = min(bnh, c)
+
+    if bk % gs == 0:
+        rows_per_blk = bk // gs
+        scale_idx = lambda mi, j, ki: (ki, 0, j)
+    else:  # gs % bk == 0
+        rows_per_blk = 1
+        scale_idx = lambda mi, j, ki: ((ki * bk) // gs, 0, j)
+    gs_blk = min(gs, bk)
+
+    grid = (_cdiv(m, bm), _cdiv(c, bnh), k // bk)
+
+    kernel = functools.partial(
+        _kernel,
+        planes=planes,
+        sbits=sbits,
+        rows_per_blk=rows_per_blk,
+        gs_blk=gs_blk,
+        bk=bk,
+        dot_dtype=dot_dtype,
+    )
+
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y3 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bnh), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, planes, bnh), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, planes, bnh), scale_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, planes, bnh), lambda mi, j, ki: (mi, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, planes, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x2d, wp, scales3, sz3)
+
+    return y3.reshape(m, n_pad)[:, :out_features]
+
+
+def matmul_pallas(
+    x: jnp.ndarray,
+    ql: QuantLinear,
+    *,
+    interpret: bool = False,
+    bm: int = 256,
+    bnh: int = 512,
+    dot_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Fused quantized matmul. ``x``: [..., K] -> [..., N]."""
+    if ql.kperm is not None:
+        x = jnp.take(x, ql.kperm, axis=-1)
+    batch_shape = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    m = x2d.shape[0]
+    bm = min(bm, max(8, m))
+
+    y = _matmul_planar(
+        x2d,
+        ql.wp,
+        ql.scales,
+        ql.scale_zeros,
+        bits=ql.bits,
+        group_size=ql.group_size,
+        n_pad=ql.n_pad,
+        out_features=ql.out_features,
+        interpret=interpret,
+        bm=bm,
+        bnh=bnh,
+        dot_dtype=dot_dtype,
+    )
+    y = y.astype(x.dtype)
+    if ql.bias is not None:
+        y = y + ql.bias.astype(y.dtype)
+    return y.reshape(*batch_shape, ql.out_features)
+
+
+__all__ = ["matmul_pallas", "supported"]

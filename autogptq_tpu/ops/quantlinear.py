@@ -1,0 +1,314 @@
+"""Quantized linear layers as functional pytrees.
+
+This replaces the reference's per-backend ``QuantLinear`` nn.Module zoo
+(/root/reference/auto_gptq/nn_modules/qlinear/ — cuda_64/256, exllama,
+exllamav2, marlin, triton, qigen, hpu) with ONE functional representation and
+two execution paths:
+
+  * :class:`PackedQuantLinear` — the reference on-disk layout (qweight /
+    qzeros / scales / g_idx), used for checkpoint I/O.
+  * :class:`QuantLinear` — the TPU runtime layout, built once at load time
+    (the analog of exllamav2's load-time weight shuffle, q_matrix.cu:19-42):
+
+      - weights stored as **planar sub-byte planes in uint8**: for 4-bit,
+        byte ``[k, j]`` holds ``W[k, j]`` in the low nibble and
+        ``W[k, j + N/2]`` in the high nibble, so in-kernel unpack is two
+        shift/mask ops and a concat along lanes — no interleaving shuffles.
+        2-bit uses 4 planes; 8-bit is direct; 3-bit is stored padded to
+        nibbles (4 bits/weight in HBM) — the on-disk format stays true 3-bit.
+      - per-group ``scales`` and pre-multiplied ``scale*zero`` arrays so
+        dequant is a single fused multiply-subtract.
+      - ``desc_act`` (arbitrary ``g_idx``) is handled by sorting K rows into
+        group-sequential order at load and remapping activations with a
+        gather (the exllama ``make_sequential``/``x_map`` idea,
+        q4_matrix.cu:63-150, done once functionally).
+
+  * ``matmul(x, ql)`` dispatches to the Pallas fused dequant-matmul kernel on
+    TPU or to an XLA dequant+dot fallback (the analog of the reference's
+    pure-torch fallback, qlinear_cuda_old.py:291-350) everywhere else.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import packing
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+@struct.dataclass
+class PackedQuantLinear:
+    """Reference on-disk layout (checkpoint interop). All arrays np/jnp."""
+
+    qweight: jnp.ndarray          # int32 [K*bits/32, N]
+    qzeros: jnp.ndarray           # int32 [G, N*bits/32]
+    scales: jnp.ndarray           # f16   [G, N]
+    g_idx: jnp.ndarray            # int32 [K]
+    bias: Optional[jnp.ndarray]   # [N] or None
+    bits: int = struct.field(pytree_node=False, default=4)
+    group_size: int = struct.field(pytree_node=False, default=-1)
+    in_features: int = struct.field(pytree_node=False, default=0)
+    out_features: int = struct.field(pytree_node=False, default=0)
+
+
+# How many logical columns share one uint8 (plane count).
+def _planes(bits: int) -> int:
+    return {2: 4, 3: 2, 4: 2, 8: 1}[bits]
+
+
+# Effective bits of the runtime storage (3-bit is padded into nibbles).
+def _storage_bits(bits: int) -> int:
+    return {2: 2, 3: 4, 4: 4, 8: 8}[bits]
+
+
+@struct.dataclass
+class QuantLinear:
+    """TPU runtime layout. ``n_pad`` is the padded output width (lane-aligned);
+    ``matmul`` slices the result back to ``out_features``.
+
+    ``scales``/``scale_zeros`` are stored in the planar 3-D view
+    ``[G, planes, C]`` (C = n_pad / planes) so that sharding their last axis
+    and ``wp``'s last axis with the same mesh axis keeps plane columns and
+    their quantization params on the same device."""
+
+    wp: jnp.ndarray               # uint8 [K, C] planar packed
+    scales: jnp.ndarray           # f32 [G, planes, C]
+    scale_zeros: jnp.ndarray      # f32 [G, planes, C]  (= scales * zeros)
+    kperm: Optional[jnp.ndarray]  # int32 [K] activation gather for desc_act
+    bias: Optional[jnp.ndarray]   # [N] original width
+    bits: int = struct.field(pytree_node=False, default=4)
+    group_size: int = struct.field(pytree_node=False, default=-1)
+    in_features: int = struct.field(pytree_node=False, default=0)
+    out_features: int = struct.field(pytree_node=False, default=0)
+    n_pad: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def planes(self) -> int:
+        return _planes(self.bits)
+
+    @property
+    def groups(self) -> int:
+        return self.scales.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# Runtime layout construction (host side, NumPy).
+# ---------------------------------------------------------------------------
+
+
+def _plane_pack(values: np.ndarray, bits: int, n_pad: int) -> np.ndarray:
+    """Pack integer weights [K, n_pad] into planar uint8 [K, n_pad/planes]."""
+    planes = _planes(bits)
+    sbits = _storage_bits(bits)
+    k = values.shape[0]
+    cols = n_pad // planes
+    v = values.reshape(k, planes, cols).astype(np.uint8)
+    out = np.zeros((k, cols), dtype=np.uint8)
+    for p in range(planes):
+        out |= v[:, p, :] << (sbits * p)
+    return out
+
+
+def plane_unpack_np(wp: np.ndarray, bits: int) -> np.ndarray:
+    """Inverse of `_plane_pack` (NumPy, for tests)."""
+    planes = _planes(bits)
+    sbits = _storage_bits(bits)
+    mask = np.uint8((1 << sbits) - 1)
+    parts = [((wp >> np.uint8(sbits * p)) & mask) for p in range(planes)]
+    return np.concatenate(parts, axis=1)
+
+
+def from_packed(packed: PackedQuantLinear) -> QuantLinear:
+    """Build the TPU runtime layout from reference-format tensors (host-side,
+    one-time at load)."""
+    bits = packed.bits
+    k, n = packed.in_features, packed.out_features
+    qweight = np.asarray(packed.qweight)
+    qzeros = np.asarray(packed.qzeros)
+    scales = np.asarray(packed.scales).astype(np.float32)
+    g_idx = np.asarray(packed.g_idx)
+
+    w_int = packing.unpack_qweight(qweight, bits)[:k]          # [K, N] uint32
+    zeros = packing.unpack_qzeros(qzeros, bits)[:, :n]         # [G, N] uint32
+    g = scales.shape[0]
+
+    # desc_act: sort rows into group-sequential order; remap x at runtime.
+    trivial_gs = packed.group_size if packed.group_size != -1 else k
+    trivial = np.array_equal(g_idx, np.arange(k) // trivial_gs)
+    if trivial:
+        kperm = None
+    else:
+        counts = np.bincount(g_idx, minlength=g)
+        if not np.all(counts == counts[0]):
+            raise ValueError(
+                "non-uniform g_idx group sizes are not supported by the "
+                "runtime layout (GPTQ always produces uniform groups)"
+            )
+        kperm = np.argsort(g_idx, kind="stable").astype(np.int32)
+        w_int = w_int[kperm]
+
+    # Pad N to a lane-friendly multiple. Padded columns get scale=0 so they
+    # contribute nothing and dequantize to 0.
+    planes = _planes(bits)
+    n_pad = _round_up(n, 128 * planes)
+    if n_pad != n:
+        w_int = np.pad(w_int, ((0, 0), (0, n_pad - n)))
+        scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
+        zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
+
+    wp = _plane_pack(w_int, bits, n_pad)
+    scale_zeros = scales * zeros.astype(np.float32)
+    c = n_pad // planes
+    scales = scales.reshape(g, planes, c)
+    scale_zeros = scale_zeros.reshape(g, planes, c)
+
+    return QuantLinear(
+        wp=jnp.asarray(wp),
+        scales=jnp.asarray(scales),
+        scale_zeros=jnp.asarray(scale_zeros),
+        kperm=None if kperm is None else jnp.asarray(kperm),
+        bias=None if packed.bias is None else jnp.asarray(packed.bias),
+        bits=bits,
+        group_size=packed.group_size,
+        in_features=k,
+        out_features=n,
+        n_pad=n_pad,
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback execution path.
+# ---------------------------------------------------------------------------
+
+
+def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequantize the runtime layout to a dense ``[K, n_pad]`` matrix.
+
+    Note: rows are in kperm order when desc_act; pair with remapped x.
+    """
+    sbits = _storage_bits(ql.bits)
+    mask = np.uint8((1 << sbits) - 1)
+    parts = [
+        ((ql.wp >> np.uint8(sbits * p)) & mask) for p in range(ql.planes)
+    ]
+    w_int = jnp.concatenate(parts, axis=1).astype(jnp.float32)   # [K, n_pad]
+    k = ql.in_features
+    g = ql.groups
+    scales2 = ql.scales.reshape(g, ql.n_pad)
+    sz2 = ql.scale_zeros.reshape(g, ql.n_pad)
+    if k % g == 0:
+        gs = k // g
+        w3 = w_int.reshape(g, gs, ql.n_pad)
+        w3 = w3 * scales2[:, None, :] - sz2[:, None, :]
+        w = w3.reshape(k, ql.n_pad)
+    else:  # ragged last group: fall back to a row gather of params
+        g_of_k = jnp.minimum(
+            jnp.arange(k) // (ql.group_size if ql.group_size != -1 else k), g - 1
+        )
+        w = w_int * scales2[g_of_k] - sz2[g_of_k]
+    return w.astype(dtype)
+
+
+def matmul_xla(x: jnp.ndarray, ql: QuantLinear) -> jnp.ndarray:
+    """Dequant-then-dot fallback: correct everywhere, lets XLA fuse what it
+    can. ``x``: [..., K]. Returns [..., N]."""
+    if ql.kperm is not None:
+        x = jnp.take(x, ql.kperm, axis=-1)
+    w = dequantize_xla(ql, dtype=x.dtype)
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y[..., : ql.out_features].astype(x.dtype)
+    if ql.bias is not None:
+        y = y + ql.bias.astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Dispatch.
+# ---------------------------------------------------------------------------
+
+
+def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarray:
+    """Quantized matmul ``y = x @ dequant(W) + b``.
+
+    backend: "auto" | "pallas" | "xla". "auto" uses the fused Pallas kernel
+    on TPU when the shape constraints hold, else the XLA fallback.
+    """
+    if backend == "xla":
+        return matmul_xla(x, ql)
+    from .pallas import gemm as pallas_gemm  # lazy: keeps CPU-only paths light
+
+    if backend == "pallas":
+        return pallas_gemm.matmul_pallas(x, ql)
+    if pallas_gemm.supported(ql):
+        return pallas_gemm.matmul_pallas(x, ql)
+    return matmul_xla(x, ql)
+
+
+# ---------------------------------------------------------------------------
+# Construction from a solver result / dense weights, and back to disk format.
+# ---------------------------------------------------------------------------
+
+
+def pack_from_solver(
+    w: np.ndarray,                # [N, K] fake-quantized (or raw) weights
+    scale: np.ndarray,            # [G, N]
+    zero: np.ndarray,             # [G, N]
+    g_idx: np.ndarray,            # [K]
+    bits: int,
+    group_size: int,
+    bias: Optional[np.ndarray] = None,
+) -> PackedQuantLinear:
+    """Pack GPTQ solver outputs into the reference checkpoint layout.
+
+    Mirrors reference pack semantics (qlinear_cuda_old.py:110-200): scales are
+    stored fp16; intweight = round(w / scale + zero) clipped to [0, maxq].
+    """
+    n, k = w.shape
+    scales16 = scale.astype(np.float16)
+    tensors = packing.pack_layer(
+        np.ascontiguousarray(w.T),
+        scales16.astype(np.float32),
+        np.rint(zero).astype(np.float32),
+        np.asarray(g_idx, dtype=np.int64),
+        bits,
+        group_size,
+    )
+    return PackedQuantLinear(
+        qweight=jnp.asarray(tensors["qweight"]),
+        qzeros=jnp.asarray(tensors["qzeros"]),
+        scales=jnp.asarray(tensors["scales"]),
+        g_idx=jnp.asarray(tensors["g_idx"]),
+        bias=None if bias is None else jnp.asarray(bias),
+        bits=bits,
+        group_size=group_size,
+        in_features=k,
+        out_features=n,
+    )
+
+
+__all__ = [
+    "PackedQuantLinear",
+    "QuantLinear",
+    "from_packed",
+    "pack_from_solver",
+    "matmul",
+    "matmul_xla",
+    "dequantize_xla",
+    "plane_unpack_np",
+]

@@ -1,0 +1,175 @@
+"""HF checkpoint I/O: read/write safetensors (sharded or single-file).
+
+Reference counterparts: `get_checkpoints` sharded-index resolution
+(modeling/_utils.py:704-770), the vendored accelerate loader
+(utils/accelerate_utils.py:28), and `save_quantized`'s safetensors-with-
+metadata writer (modeling/_base.py:502-577). Here everything is NumPy-based
+(no torch dependency on the load path; torch .bin checkpoints are supported
+if torch is importable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterator
+
+import numpy as np
+
+SAFE_INDEX = "model.safetensors.index.json"
+WEIGHT_INDEX = "pytorch_model.bin.index.json"
+
+
+def _bf16_to_f32(raw: np.ndarray) -> np.ndarray:
+    """View a uint16 bfloat16 buffer as float32."""
+    u32 = raw.astype(np.uint32) << 16
+    return u32.view(np.float32)
+
+
+def find_checkpoint_files(model_dir: str, basename: str | None = None) -> list[str]:
+    """Resolve checkpoint file(s) in a local dir: single safetensors, sharded
+    safetensors via index.json, or torch .bin (single/sharded)."""
+    candidates = []
+    if basename:
+        for ext in (".safetensors", ".bin", ".pt"):
+            p = os.path.join(model_dir, basename + ext)
+            if os.path.isfile(p):
+                return [p]
+    idx = os.path.join(model_dir, SAFE_INDEX)
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        return [os.path.join(model_dir, f) for f in files]
+    for name in ("model.safetensors",):
+        p = os.path.join(model_dir, name)
+        if os.path.isfile(p):
+            return [p]
+    # any *.safetensors
+    st = sorted(
+        os.path.join(model_dir, f)
+        for f in os.listdir(model_dir)
+        if f.endswith(".safetensors")
+    )
+    if st:
+        return st
+    idx = os.path.join(model_dir, WEIGHT_INDEX)
+    if os.path.isfile(idx):
+        with open(idx) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        return [os.path.join(model_dir, f) for f in files]
+    for name in ("pytorch_model.bin",):
+        p = os.path.join(model_dir, name)
+        if os.path.isfile(p):
+            return [p]
+    candidates = sorted(
+        os.path.join(model_dir, f)
+        for f in os.listdir(model_dir)
+        if f.endswith(".bin")
+    )
+    if candidates:
+        return candidates
+    raise FileNotFoundError(f"no model checkpoint found in {model_dir}")
+
+
+def iter_tensors(files: list[str]) -> Iterator[tuple[str, np.ndarray]]:
+    """Stream (name, np array) pairs from checkpoint files. bfloat16 tensors
+    are upcast to float32 (NumPy has no native bf16)."""
+    for path in files:
+        if path.endswith(".safetensors"):
+            yield from _iter_safetensors(path)
+        else:
+            yield from _iter_torch_bin(path)
+
+
+def _iter_safetensors(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    from safetensors import safe_open
+
+    with safe_open(path, framework="np") as f:
+        for name in f.keys():
+            sl = f.get_slice(name)
+            dtype = sl.get_dtype()
+            if str(dtype).lower() in ("bf16", "bfloat16"):
+                # numpy framework can't produce bf16: read raw via torch if
+                # available, else reinterpret bytes.
+                try:
+                    import torch
+                    from safetensors import safe_open as so_t
+
+                    with so_t(path, framework="pt") as ft:
+                        t = ft.get_tensor(name)
+                    yield name, t.float().numpy()
+                    continue
+                except ImportError:
+                    raise NotImplementedError(
+                        "bf16 safetensors require torch for reading"
+                    )
+            yield name, f.get_tensor(name)
+
+
+def _iter_torch_bin(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    for name, t in sd.items():
+        if t.dtype == torch.bfloat16:
+            t = t.float()
+        yield name, t.numpy()
+
+
+def load_tensors(model_dir: str, basename: str | None = None) -> dict[str, np.ndarray]:
+    return dict(iter_tensors(find_checkpoint_files(model_dir, basename)))
+
+
+def save_safetensors(
+    tensors: dict[str, np.ndarray],
+    path: str,
+    metadata: dict[str, str] | None = None,
+    max_shard_size: int | None = None,
+) -> None:
+    """Write tensors to safetensors; shard with an index.json when
+    ``max_shard_size`` (bytes) is given and exceeded."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if max_shard_size is None or sum(t.nbytes for t in tensors.values()) <= max_shard_size:
+        save_file(tensors, path, metadata=metadata)
+        return
+
+    # Shard
+    shards: list[dict[str, np.ndarray]] = [{}]
+    sizes = [0]
+    for name, t in tensors.items():
+        if sizes[-1] + t.nbytes > max_shard_size and shards[-1]:
+            shards.append({})
+            sizes.append(0)
+        shards[-1][name] = t
+        sizes[-1] += t.nbytes
+    base = os.path.basename(path).replace(".safetensors", "")
+    dirname = os.path.dirname(path) or "."
+    weight_map = {}
+    n = len(shards)
+    for i, shard in enumerate(shards):
+        fname = f"{base}-{i + 1:05d}-of-{n:05d}.safetensors"
+        save_file(shard, os.path.join(dirname, fname), metadata=metadata)
+        for name in shard:
+            weight_map[name] = fname
+    index = {
+        "metadata": {"total_size": sum(t.nbytes for t in tensors.values())},
+        "weight_map": weight_map,
+    }
+    with open(os.path.join(dirname, SAFE_INDEX), "w") as f:
+        json.dump(index, f, indent=2)
+
+
+def load_hf_config(model_dir: str) -> dict:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        return json.load(f)
+
+
+__all__ = [
+    "find_checkpoint_files",
+    "iter_tensors",
+    "load_tensors",
+    "save_safetensors",
+    "load_hf_config",
+]
