@@ -1,0 +1,168 @@
+"""GSPMD sharding rules for (quantized) model parameter trees.
+
+Net-new relative to the reference (which has no TP/DP — see SURVEY.md §2.3).
+Strategy: megatron-style tensor parallelism declared as PartitionSpecs and
+compiled by GSPMD —
+
+  * column-parallel (shard N / output dim): q/k/v, gate/up, lm_head
+  * row-parallel (shard K / input dim): o_proj, down_proj — XLA inserts the
+    psum/reduce-scatter for the contracted dim automatically
+  * packed tensors: ``wp [K, C]`` shards its plane-column axis together with
+    ``scales/scale_zeros [G, planes, C]`` (same "tp" axis on the last dim);
+    row-parallel shards wp's K axis and the group axis G, which stays
+    group-aligned as long as (K / tp_size) % group_size == 0.
+  * desc_act ``kperm`` stays replicated — the activation gather then
+    resolves locally for column-parallel layers and via GSPMD-inserted
+    collectives for row-parallel ones.
+  * KV cache: batch on "dp", kv-heads on "tp".
+  * MoE experts: column/row rules per expert; with an "ep" axis each
+    expert's weights live on an expert-parallel submesh slice (round-1:
+    experts TP-sharded like dense; EP stacking is a later optimization).
+
+Weight-sharding happens once at load with jax.device_put; the forward is a
+plain jit with matching in_shardings — XLA overlaps collectives with the
+quantized GEMMs via the latency-hiding scheduler.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.arch import ArchConfig, DenseLinear
+from ..ops.quantlinear import QuantLinear
+
+
+def _dense_specs(node: DenseLinear, col: bool, tp: str) -> DenseLinear:
+    if col:
+        return DenseLinear(
+            kernel=P(None, tp),
+            bias=None if node.bias is None else P(tp),
+        )
+    return DenseLinear(
+        kernel=P(tp, None),
+        bias=None if node.bias is None else P(None),
+    )
+
+
+def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLinear:
+    k = node.in_features
+    gs = node.group_size if node.group_size != -1 else k
+    if col:
+        return QuantLinear(
+            wp=P(None, tp),
+            scales=P(None, None, tp),
+            scale_zeros=P(None, None, tp),
+            kperm=None if node.kperm is None else P(None),
+            bias=None if node.bias is None else P(tp),
+            bits=node.bits, group_size=node.group_size,
+            in_features=k, out_features=node.out_features, n_pad=node.n_pad,
+        )
+    # row-parallel: K and the group axis shard together only when every
+    # shard boundary lands on a group boundary.
+    shard_k = (k % tp_size == 0) and ((k // tp_size) % gs == 0) and node.kperm is None
+    if not shard_k:
+        # replicate (correct but unsharded) — desc_act row-parallel layers
+        # keep weights replicated in round 1.
+        kspec, gspec = P(None, None), P(None, None, None)
+    else:
+        kspec, gspec = P(tp, None), P(tp, None, None)
+    return QuantLinear(
+        wp=kspec,
+        scales=gspec,
+        scale_zeros=gspec,
+        kperm=None if node.kperm is None else P(None),
+        bias=None if node.bias is None else P(None),
+        bits=node.bits, group_size=node.group_size,
+        in_features=k, out_features=node.out_features, n_pad=node.n_pad,
+    )
+
+
+def _linear_specs(node: Any, col: bool, tp: str, tp_size: int):
+    if isinstance(node, QuantLinear):
+        return _quant_specs(node, col, tp, tp_size)
+    return _dense_specs(node, col, tp)
+
+
+# Which block paths are column-parallel (True) vs row-parallel (False).
+_COLUMN = {
+    "q_proj": True,
+    "k_proj": True,
+    "v_proj": True,
+    "o_proj": False,
+    "gate_proj": True,
+    "up_proj": True,
+    "down_proj": False,
+    "router": True,
+}
+
+
+def param_pspecs(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp") -> dict:
+    """PartitionSpec tree matching ``params``."""
+    tp_size = mesh.shape[tp_axis]
+
+    def norm_spec(node):
+        return {k: P(None) for k in node}
+
+    specs: dict = {}
+    if "embed_tokens" in params:
+        specs["embed_tokens"] = P(tp_axis, None)
+    if "embed_positions" in params:
+        specs["embed_positions"] = P(None, None)
+    if "final_norm" in params:
+        specs["final_norm"] = norm_spec(params["final_norm"])
+    if "lm_head" in params:
+        specs["lm_head"] = _linear_specs(params["lm_head"], True, tp_axis, tp_size)
+
+    layer_specs = []
+    for block in params["layers"]:
+        bs: dict = {}
+        for section in ("attn", "mlp"):
+            if section not in block:
+                continue
+            sec: dict = {}
+            for name, node in block[section].items():
+                if name == "experts":
+                    sec["experts"] = [
+                        {
+                            en: _linear_specs(e[en], _COLUMN[en], tp_axis, tp_size)
+                            for en in e
+                        }
+                        for e in node
+                    ]
+                else:
+                    sec[name] = _linear_specs(node, _COLUMN[name], tp_axis, tp_size)
+            bs[section] = sec
+        for nname in ("input_norm", "post_norm"):
+            if nname in block:
+                bs[nname] = norm_spec(block[nname])
+        layer_specs.append(bs)
+    specs["layers"] = layer_specs
+    return specs
+
+
+def cache_pspecs(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
+    """KVCache PartitionSpecs: [L, B, S, Hkv, D] — batch on dp, heads on tp."""
+    from ..models.arch import KVCache
+
+    return KVCache(
+        k=P(None, dp_axis, None, tp_axis, None),
+        v=P(None, dp_axis, None, tp_axis, None),
+        length=P(),
+    )
+
+
+def shard_params(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp") -> dict:
+    """Place params on the mesh according to param_pspecs (one-time at load)."""
+    specs = param_pspecs(params, cfg, mesh, tp_axis)
+
+    def place(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, params, specs)
+
+
+__all__ = ["param_pspecs", "cache_pspecs", "shard_params"]
