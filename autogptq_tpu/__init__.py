@@ -11,5 +11,13 @@ __version__ = "0.1.0"
 from .models.auto import AutoGPTQForCausalLM
 from .models.base import GPTQModel
 from .quantization import BaseQuantizeConfig
+from .utils.peft import GPTQLoraConfig, get_gptq_peft_model
 
-__all__ = ["AutoGPTQForCausalLM", "GPTQModel", "BaseQuantizeConfig", "__version__"]
+__all__ = [
+    "AutoGPTQForCausalLM",
+    "GPTQModel",
+    "BaseQuantizeConfig",
+    "GPTQLoraConfig",
+    "get_gptq_peft_model",
+    "__version__",
+]

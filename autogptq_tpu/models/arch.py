@@ -82,6 +82,11 @@ class DenseLinear:
 
 
 def apply_linear(p: Any, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+    # LoraLinear is detected by duck-typing to avoid a circular import.
+    if hasattr(p, "lora_a"):
+        from ..utils.peft import apply_lora
+
+        return apply_lora(p, x, backend)
     if isinstance(p, qlin.QuantLinear):
         return qlin.matmul(x, p, backend=backend)
     y = jax.lax.dot_general(

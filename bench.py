@@ -1,0 +1,144 @@
+"""Headline benchmark: Llama-7B int4 tokens/s, batch 1, 512 generated tokens.
+
+Mirrors the reference benchmark protocol (examples/benchmark/
+generation_speed.py:189-226 — tokens/s = generated tokens / generate() wall
+time, 512 forced tokens, batch 1). Baseline: 25.53 tok/s = AutoGPTQ int4
+Llama-7B on 1xA100-40G (README.md:32).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Weights are random but real-sized and built ON DEVICE (the TPU here is
+behind a slow tunnel; host->device transfer of 3.5GB would dominate).
+Speed is layout+shape dependent only, so random weights measure exactly
+what a real checkpoint would.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from autogptq_tpu.models.arch import ArchConfig, DenseLinear
+from autogptq_tpu.ops.quantlinear import QuantLinear, _planes
+
+BASELINE_TOK_S = 25.53
+
+
+def device_quant_linear(key, k, n, bits=4, group_size=128):
+    """Build a runtime-layout QuantLinear directly on device."""
+    planes = _planes(bits)
+    n_pad = -(-n // (128 * planes)) * (128 * planes)
+    c = n_pad // planes
+    g = k // group_size
+    k1, k2, k3 = jax.random.split(key, 3)
+    wp = jax.random.randint(k1, (k, c), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(k2, (g, planes, c), jnp.float32, 0.005, 0.02)
+    zeros = jax.random.randint(k3, (g, planes, c), 1, 2**bits, dtype=jnp.int32)
+    return QuantLinear(
+        wp=wp,
+        scales=scales,
+        scale_zeros=scales * zeros.astype(jnp.float32),
+        kperm=None,
+        bias=None,
+        bits=bits,
+        group_size=group_size,
+        in_features=k,
+        out_features=n,
+        n_pad=n_pad,
+    )
+
+
+def build_model(bits=4, group_size=128, layers=32, hidden=4096, inter=11008,
+                heads=32, kv_heads=32, vocab=32000, seed=0, dtype=jnp.bfloat16):
+    cfg = ArchConfig(
+        model_type="llama", vocab_size=vocab, hidden_size=hidden,
+        num_layers=layers, num_heads=heads, num_kv_heads=kv_heads,
+        head_dim=hidden // heads, intermediate_size=inter,
+        max_position_embeddings=4096,
+    )
+    key = jax.random.PRNGKey(seed)
+    kk = jax.random.split(key, layers * 8 + 2)
+
+    @jax.jit
+    def make_embed(k):
+        return (jax.random.normal(k, (vocab, hidden), jnp.float32) * 0.02).astype(dtype)
+
+    d = hidden // heads
+    params = {
+        "embed_tokens": make_embed(kk[0]),
+        "final_norm": {"weight": jnp.ones((hidden,), dtype)},
+        "lm_head": DenseLinear(kernel=make_embed(kk[1]).T.astype(dtype), bias=None),
+        "layers": [],
+    }
+    for i in range(layers):
+        b = kk[2 + i * 8 :]
+        params["layers"].append(
+            {
+                "input_norm": {"weight": jnp.ones((hidden,), dtype)},
+                "post_norm": {"weight": jnp.ones((hidden,), dtype)},
+                "attn": {
+                    "q_proj": device_quant_linear(b[0], hidden, heads * d, bits, group_size),
+                    "k_proj": device_quant_linear(b[1], hidden, kv_heads * d, bits, group_size),
+                    "v_proj": device_quant_linear(b[2], hidden, kv_heads * d, bits, group_size),
+                    "o_proj": device_quant_linear(b[3], heads * d, hidden, bits, group_size),
+                },
+                "mlp": {
+                    "gate_proj": device_quant_linear(b[4], hidden, inter, bits, group_size),
+                    "up_proj": device_quant_linear(b[5], hidden, inter, bits, group_size),
+                    "down_proj": device_quant_linear(b[6], inter, hidden, bits, group_size),
+                },
+            }
+        )
+    return params, cfg
+
+
+class _Shim:
+    """Minimal model facade for utils.generation.generate."""
+
+    def __init__(self, params, cfg, backend="auto", dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.backend = backend
+        self.dtype = dtype
+
+
+def main():
+    new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    prompt_len = 16
+    params, cfg = build_model()
+    from autogptq_tpu.utils import generation
+
+    model = _Shim(params, cfg)
+    prompt = np.arange(prompt_len, dtype=np.int32)[None, :] % 1000
+
+    # warmup / compile
+    out = generation.generate(model, prompt, max_new_tokens=new_tokens)
+    assert out.shape[1] == prompt_len + new_tokens
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = generation.generate(model, prompt, max_new_tokens=new_tokens)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    tok_s = new_tokens / dt
+    print(
+        json.dumps(
+            {
+                "metric": "llama7b_int4_tokens_per_sec_per_chip",
+                "value": round(tok_s, 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""LoRA-on-quantized tests: adapter training reduces loss (the reference's
+test_peft_conversion.py criterion: 30 optimizer steps, loss decreases and
+stays finite)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from autogptq_tpu.models import arch  # noqa: E402
+from autogptq_tpu.utils import peft  # noqa: E402
+
+
+def _quantized_model():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry2", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod._tiny_quantized_llama(hidden=128, inter=256, layers=2, group_size=32)
+
+
+def test_find_all_linear_names():
+    params, cfg = _quantized_model()
+    names = peft.find_all_linear_names(params)
+    assert "attn.q_proj" in names and "mlp.down_proj" in names
+
+
+def test_inject_and_forward_identity():
+    """Fresh adapters (B=0) must not change the forward."""
+    params, cfg = _quantized_model()
+    tokens = jnp.asarray(np.arange(8)[None], jnp.int32)
+    base_logits, _ = arch.forward(params, tokens, cfg, backend="xla", dtype=jnp.float32)
+
+    pcfg = peft.GPTQLoraConfig(r=4, target_modules=("attn.q_proj", "attn.v_proj"))
+    lparams = peft.inject_lora(params, pcfg)
+    lora_logits, _ = arch.forward(lparams, tokens, cfg, backend="xla", dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(lora_logits), np.asarray(base_logits), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_lora_training_reduces_loss(rng):
+    params, cfg = _quantized_model()
+    pcfg = peft.GPTQLoraConfig(r=8, lora_alpha=16, target_modules=("attn.q_proj", "attn.v_proj"))
+    lparams = peft.inject_lora(params, pcfg)
+    trainable, _ = peft.split_lora_params(lparams)
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+
+    def loss_fn(trainable, tokens):
+        p = peft.merge_lora_params(lparams, trainable)
+        logits, _ = arch.forward(p, tokens, cfg, backend="xla", dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, tokens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        trainable, opt_state, loss = step(trainable, opt_state, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+
+
+def test_adapter_save(tmp_path):
+    from autogptq_tpu.models.registry import get_family
+
+    params, cfg = _quantized_model()
+    pcfg = peft.GPTQLoraConfig(r=4, target_modules=("attn.q_proj",))
+    lparams = peft.inject_lora(params, pcfg)
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.params = lparams
+    m.spec = get_family("llama")
+    peft.save_adapter(m, str(tmp_path))
+    from safetensors import safe_open
+
+    with safe_open(tmp_path / "adapter_model.safetensors", framework="np") as f:
+        names = list(f.keys())
+    assert any("lora_A" in n for n in names)
+    assert any(n.startswith("base_model.model.model.layers.0.self_attn.q_proj") for n in names)
