@@ -48,6 +48,11 @@ class ArchConfig:
     # "silu_glu" (gate/up), "gelu_glu", "gelu", "gelu_new", "relu"
     mlp_act: str = "silu_glu"
     parallel_block: bool = False              # GPT-J/NeoX-style attn+mlp in parallel
+    # NeoX-style parallel residual: the MLP reads post_norm(x) rather than
+    # the attention's input_norm(x) (GPT-J shares one norm).
+    parallel_norms: bool = False
+    # Bloom: LayerNorm right after the embedding lookup.
+    embed_norm: bool = False
     attn_qkv_bias: bool = False
     attn_out_bias: bool = False
     mlp_bias: bool = False
@@ -403,7 +408,8 @@ def block_forward(
         bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask, attn_cap
     )
     if cfg.parallel_block:
-        mlp_out = mlp(bp["mlp"], h, cfg, backend, mlp_cap)
+        h_mlp = apply_norm(bp["post_norm"], x, cfg) if cfg.parallel_norms else h
+        mlp_out = mlp(bp["mlp"], h_mlp, cfg, backend, mlp_cap)
         x = x + attn_out + mlp_out
     else:
         x = x + attn_out
@@ -424,6 +430,8 @@ def embed(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cfg: ArchCo
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
     if cfg.pos_embedding == "learned":
         x = x + params["embed_positions"][positions + cfg.pos_offset].astype(dtype)
+    if cfg.embed_norm:
+        x = apply_norm(params["embed_norm"], x, cfg)
     return x
 
 

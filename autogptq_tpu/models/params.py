@@ -67,6 +67,11 @@ def _to_jnp(x: np.ndarray, dtype) -> jnp.ndarray:
     return jnp.asarray(x, dtype=dtype)
 
 
+def _fused_cols(spec: FamilySpec, cfg: ArchConfig):
+    q, k, v = spec.fused_qkv.column_split(cfg.num_heads, cfg.num_kv_heads, cfg.head_dim)
+    return {"attn.q_proj": q, "attn.k_proj": k, "attn.v_proj": v}
+
+
 def build_fp_params(
     tensors: dict[str, np.ndarray],
     spec: FamilySpec,
@@ -88,9 +93,26 @@ def build_fp_params(
             bias=None if b is None else _to_jnp(b, dtype),
         )
 
+    fused_cols = _fused_cols(spec, cfg) if spec.fused_qkv else None
+
     for i in range(cfg.num_layers):
         prefix = f"{spec.layers_prefix}.{i}"
         block: dict = {}
+        if fused_cols is not None:
+            wname = f"{prefix}.{spec.fused_qkv.hf_name}.weight"
+            w = tensors[wname]
+            if not spec.conv1d_linears:
+                w = np.ascontiguousarray(w.T)          # -> [K, N_fused]
+            b = tensors.get(f"{prefix}.{spec.fused_qkv.hf_name}.bias")
+            for our, cols in fused_cols.items():
+                set_in_block(
+                    block,
+                    our,
+                    DenseLinear(
+                        kernel=_to_jnp(np.ascontiguousarray(w[:, cols]), dtype),
+                        bias=None if b is None else _to_jnp(b[cols], dtype),
+                    ),
+                )
         for our, hf in spec.block_linears.items():
             wname = f"{prefix}.{hf}.weight"
             if wname not in tensors:
@@ -142,9 +164,64 @@ def build_quantized_params(
             bias=None if b is None else _to_jnp(b, dtype),
         )
 
+    fused_cols = _fused_cols(spec, cfg) if spec.fused_qkv else None
+
+    def make_ql(t: dict, bias) -> qlin.QuantLinear:
+        qweight = np.asarray(t["qweight"])
+        k = qweight.shape[0] * 32 // bits
+        packed = qlin.PackedQuantLinear(
+            qweight=qweight,
+            qzeros=np.asarray(t["qzeros"]),
+            scales=np.asarray(t["scales"]),
+            g_idx=np.asarray(
+                t.get(
+                    "g_idx",
+                    (np.arange(k) // (group_size if group_size != -1 else k)).astype(np.int32),
+                )
+            ),
+            bias=bias,
+            bits=bits,
+            group_size=group_size,
+            in_features=k,
+            out_features=qweight.shape[1],
+        )
+        return qlin.from_packed(packed)
+
     for i in range(cfg.num_layers):
         prefix = f"{spec.layers_prefix}.{i}"
         block: dict = {}
+        if fused_cols is not None:
+            base = f"{prefix}.{spec.fused_qkv.hf_name}"
+            if f"{base}.qweight" in tensors:
+                from ..ops import packing
+
+                fused = {
+                    key: tensors[f"{base}.{key}"]
+                    for key in ("qweight", "qzeros", "scales")
+                }
+                if f"{base}.g_idx" in tensors:
+                    fused["g_idx"] = tensors[f"{base}.g_idx"]
+                if f"{base}.bias" in tensors:
+                    fused["bias"] = tensors[f"{base}.bias"]
+                for our, cols in fused_cols.items():
+                    part = packing.select_packed_columns(fused, cols, bits)
+                    set_in_block(
+                        block, our,
+                        make_ql(part, part.get("bias")),
+                    )
+            else:  # fused fp tensor inside an otherwise-quantized checkpoint
+                w = tensors[f"{base}.weight"]
+                if not spec.conv1d_linears:
+                    w = np.ascontiguousarray(w.T)
+                b = tensors.get(f"{base}.bias")
+                for our, cols in fused_cols.items():
+                    set_in_block(
+                        block, our,
+                        DenseLinear(
+                            kernel=_to_jnp(np.ascontiguousarray(w[:, cols]), dtype),
+                            bias=None if b is None else _to_jnp(b[cols], dtype),
+                        ),
+                    )
         for our, hf in spec.block_linears.items():
             base = f"{prefix}.{hf}"
             if our in quant_paths and f"{base}.qweight" in tensors:
@@ -216,8 +293,47 @@ def flatten_quantized_params(
         if lm.bias is not None:
             out[f"{spec.lm_head}.bias"] = as_np(lm.bias)
 
+    fused_cols = _fused_cols(spec, cfg) if spec.fused_qkv else None
+
     for i, block in enumerate(params["layers"]):
         prefix = f"{spec.layers_prefix}.{i}"
+        if fused_cols is not None:
+            from ..ops import packing
+
+            base = f"{prefix}.{spec.fused_qkv.hf_name}"
+            order = ("attn.q_proj", "attn.k_proj", "attn.v_proj")
+            col_dest = np.concatenate([fused_cols[p] for p in order])
+            if all(f"{i}.{p}" in packed_layers for p in order):
+                parts = []
+                bits = None
+                for p in order:
+                    pk = packed_layers[f"{i}.{p}"]
+                    bits = pk.bits
+                    d = {
+                        "qweight": pk.qweight, "qzeros": pk.qzeros,
+                        "scales": pk.scales, "g_idx": pk.g_idx,
+                    }
+                    if pk.bias is not None:
+                        d["bias"] = pk.bias
+                    parts.append(d)
+                merged = packing.merge_packed_columns(parts, col_dest, bits)
+                out[f"{base}.qweight"] = merged["qweight"].astype(np.int32)
+                out[f"{base}.qzeros"] = merged["qzeros"].astype(np.int32)
+                out[f"{base}.scales"] = merged["scales"].astype(np.float16)
+                out[f"{base}.g_idx"] = merged["g_idx"].astype(np.int32)
+                if "bias" in merged:
+                    out[f"{base}.bias"] = as_np(merged["bias"])
+            else:  # dense fused re-merge
+                inv = np.argsort(col_dest)
+                kernels = np.concatenate(
+                    [as_np(get_in(block, p).kernel) for p in order], axis=1
+                )[:, inv]
+                if not spec.conv1d_linears:
+                    kernels = np.ascontiguousarray(kernels.T)
+                out[f"{base}.weight"] = kernels
+                biases = [get_in(block, p).bias for p in order]
+                if all(b is not None for b in biases):
+                    out[f"{base}.bias"] = np.concatenate([as_np(b) for b in biases])[inv]
         for our, hf in spec.block_linears.items():
             base = f"{prefix}.{hf}"
             key = f"{i}.{our}"

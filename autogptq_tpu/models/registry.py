@@ -22,6 +22,48 @@ from .arch import ArchConfig
 
 
 @dataclass(frozen=True)
+class FusedQKV:
+    """HF checkpoints that store q/k/v as ONE fused tensor. ``layout``:
+
+    * "concat":      [q (H) | k (Hkv*d) | v (Hkv*d)] along the output dim
+                     (gpt2, gpt_bigcode/falcon MQA, mpt)
+    * "per_head":    [(q d | k d | v d) x heads] (gpt_neox, bloom)
+    * "codegen_qvk": mp_num chunks, each [q | v | k] (codegen)
+    """
+
+    hf_name: str
+    layout: str = "concat"
+    mp_num: int = 4  # codegen only
+
+    def column_split(self, heads: int, kv_heads: int, d: int):
+        """Return (q_cols, k_cols, v_cols) index arrays into the fused N."""
+        import numpy as np
+
+        hq, hkv = heads * d, kv_heads * d
+        n = hq + 2 * hkv
+        if self.layout == "concat":
+            return (
+                np.arange(0, hq),
+                np.arange(hq, hq + hkv),
+                np.arange(hq + hkv, n),
+            )
+        if self.layout == "per_head":
+            assert heads == kv_heads
+            idx = np.arange(n).reshape(heads, 3, d)
+            return idx[:, 0].reshape(-1), idx[:, 1].reshape(-1), idx[:, 2].reshape(-1)
+        if self.layout == "codegen_qvk":
+            assert heads == kv_heads
+            mp = self.mp_num
+            idx = np.arange(n).reshape(mp, 3, hq // mp)  # chunk = [q | v | k]
+            return (
+                idx[:, 0].reshape(-1),
+                idx[:, 2].reshape(-1),
+                idx[:, 1].reshape(-1),
+            )
+        raise ValueError(f"unknown fused layout {self.layout}")
+
+
+@dataclass(frozen=True)
 class FamilySpec:
     model_type: str
     arch_fn: Callable[[dict], ArchConfig]
@@ -37,6 +79,8 @@ class FamilySpec:
     quant_layers: list[list[str]] = field(default_factory=list)
     # linears whose HF layout is [K, N] already (Conv1D-style, gpt2)
     conv1d_linears: bool = False
+    # q/k/v stored fused in the HF checkpoint (block_linears then omits them)
+    fused_qkv: FusedQKV | None = None
 
 
 REGISTRY: dict[str, FamilySpec] = {}
@@ -360,4 +404,601 @@ register(
 )
 
 
-__all__ = ["FamilySpec", "REGISTRY", "register", "get_family"]
+# ---------------------------------------------------------------------------
+# GPT-2 (Conv1D weights, fused c_attn, learned positions, tied head)
+# ---------------------------------------------------------------------------
+
+
+def _gpt2_arch(c: dict) -> ArchConfig:
+    heads = c["n_head"]
+    return ArchConfig(
+        model_type="gpt2",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["n_embd"],
+        num_layers=c["n_layer"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["n_embd"] // heads,
+        intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+        max_position_embeddings=c.get("n_positions", 1024),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="learned",
+        mlp_act="gelu_new",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gpt2",
+        arch_fn=_gpt2_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "attn.c_proj",
+            "mlp.up_proj": "mlp.c_fc",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+        block_norms={"input_norm": "ln_1", "post_norm": "ln_2"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "embed_positions": "transformer.wpe.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head=None,
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],  # fused c_attn
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        conv1d_linears=True,
+        fused_qkv=FusedQKV("attn.c_attn", "concat"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# GPT-NeoX / Pythia (fused per-head QKV, parallel residual w/ separate norms)
+# ---------------------------------------------------------------------------
+
+
+def _gpt_neox_arch(c: dict) -> ArchConfig:
+    heads = c["num_attention_heads"]
+    d = c["hidden_size"] // heads
+    return ArchConfig(
+        model_type="gpt_neox",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=d,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        pos_embedding="rope",
+        rope_theta=c.get("rotary_emb_base", 10000.0),
+        rotary_dim=int(d * c.get("rotary_pct", 0.25)),
+        mlp_act="gelu",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        parallel_block=c.get("use_parallel_residual", True),
+        parallel_norms=True,
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gpt_neox",
+        arch_fn=_gpt_neox_arch,
+        layers_prefix="gpt_neox.layers",
+        block_linears={
+            "attn.o_proj": "attention.dense",
+            "mlp.up_proj": "mlp.dense_h_to_4h",
+            "mlp.down_proj": "mlp.dense_4h_to_h",
+        },
+        block_norms={
+            "input_norm": "input_layernorm",
+            "post_norm": "post_attention_layernorm",
+        },
+        top_tensors={
+            "embed_tokens": "gpt_neox.embed_in.weight",
+            "final_norm.weight": "gpt_neox.final_layer_norm.weight",
+            "final_norm.bias": "gpt_neox.final_layer_norm.bias",
+        },
+        lm_head="embed_out",
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attention.query_key_value", "per_head"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# BLOOM (alibi, embedding layernorm, fused per-head QKV)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_arch(c: dict) -> ArchConfig:
+    heads = c["n_head"]
+    return ArchConfig(
+        model_type="bloom",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["n_layer"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["hidden_size"] // heads,
+        intermediate_size=4 * c["hidden_size"],
+        max_position_embeddings=4096,
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="alibi",
+        embed_norm=True,
+        mlp_act="gelu_new",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="bloom",
+        arch_fn=_bloom_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "self_attention.dense",
+            "mlp.up_proj": "mlp.dense_h_to_4h",
+            "mlp.down_proj": "mlp.dense_4h_to_h",
+        },
+        block_norms={
+            "input_norm": "input_layernorm",
+            "post_norm": "post_attention_layernorm",
+        },
+        top_tensors={
+            "embed_tokens": "transformer.word_embeddings.weight",
+            "embed_norm.weight": "transformer.word_embeddings_layernorm.weight",
+            "embed_norm.bias": "transformer.word_embeddings_layernorm.bias",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head=None,
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("self_attention.query_key_value", "per_head"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# GPT-BigCode / santacoder / starcoder (MQA fused c_attn)
+# ---------------------------------------------------------------------------
+
+
+def _gpt_bigcode_arch(c: dict) -> ArchConfig:
+    heads = c["n_head"]
+    return ArchConfig(
+        model_type="gpt_bigcode",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["n_embd"],
+        num_layers=c["n_layer"],
+        num_heads=heads,
+        num_kv_heads=1 if c.get("multi_query", True) else heads,
+        head_dim=c["n_embd"] // heads,
+        intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+        max_position_embeddings=c.get("n_positions", 2048),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="learned",
+        mlp_act="gelu_new",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        tie_word_embeddings=True,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gpt_bigcode",
+        arch_fn=_gpt_bigcode_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "attn.c_proj",
+            "mlp.up_proj": "mlp.c_fc",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+        block_norms={"input_norm": "ln_1", "post_norm": "ln_2"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "embed_positions": "transformer.wpe.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head=None,
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attn.c_attn", "concat"),
+    )
+)
+
+# starcoder2: separate q/k/v, LayerNorm, gelu MLP (c_fc/c_proj), rope
+def _starcoder2_arch(c: dict) -> ArchConfig:
+    heads, kv, head_dim = _gqa_head_dim(c)
+    return ArchConfig(
+        model_type="starcoder2",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=head_dim,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 4096),
+        norm_type="layernorm",
+        norm_eps=c.get("norm_epsilon", 1e-5),
+        pos_embedding="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        mlp_act="gelu_new",
+        attn_qkv_bias=c.get("use_bias", True),
+        attn_out_bias=c.get("use_bias", True),
+        mlp_bias=c.get("use_bias", True),
+        sliding_window=c.get("sliding_window"),
+        tie_word_embeddings=c.get("tie_word_embeddings", True),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="starcoder2",
+        arch_fn=_starcoder2_arch,
+        layers_prefix="model.layers",
+        block_linears={
+            "attn.q_proj": "self_attn.q_proj",
+            "attn.k_proj": "self_attn.k_proj",
+            "attn.v_proj": "self_attn.v_proj",
+            "attn.o_proj": "self_attn.o_proj",
+            "mlp.up_proj": "mlp.c_fc",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+        block_norms={
+            "input_norm": "input_layernorm",
+            "post_norm": "post_attention_layernorm",
+        },
+        top_tensors={
+            "embed_tokens": "model.embed_tokens.weight",
+            "final_norm.weight": "model.norm.weight",
+            "final_norm.bias": "model.norm.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Phi (parallel block sharing one norm, partial rotary, dense/fc names)
+# ---------------------------------------------------------------------------
+
+
+def _phi_arch(c: dict) -> ArchConfig:
+    heads, kv, head_dim = _gqa_head_dim(c)
+    return ArchConfig(
+        model_type="phi",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=head_dim,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        pos_embedding="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        rotary_dim=int(head_dim * c.get("partial_rotary_factor", 0.5)),
+        mlp_act="gelu_new",
+        attn_qkv_bias=True,
+        attn_out_bias=True,
+        mlp_bias=True,
+        parallel_block=True,
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="phi",
+        arch_fn=_phi_arch,
+        layers_prefix="model.layers",
+        block_linears={
+            "attn.q_proj": "self_attn.q_proj",
+            "attn.k_proj": "self_attn.k_proj",
+            "attn.v_proj": "self_attn.v_proj",
+            "attn.o_proj": "self_attn.dense",
+            "mlp.up_proj": "mlp.fc1",
+            "mlp.down_proj": "mlp.fc2",
+        },
+        block_norms={"input_norm": "input_layernorm"},
+        top_tensors={
+            "embed_tokens": "model.embed_tokens.weight",
+            "final_norm.weight": "model.final_layernorm.weight",
+            "final_norm.bias": "model.final_layernorm.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# StableLM (llama topology with LayerNorm + partial rotary)
+# ---------------------------------------------------------------------------
+
+
+def _stablelm_arch(c: dict) -> ArchConfig:
+    heads, kv, head_dim = _gqa_head_dim(c)
+    return ArchConfig(
+        model_type="stablelm",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=head_dim,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 4096),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        pos_embedding="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        rotary_dim=int(head_dim * c.get("partial_rotary_factor", 0.25)),
+        mlp_act="silu_glu",
+        attn_qkv_bias=c.get("use_qkv_bias", False),
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="stablelm",
+        arch_fn=_stablelm_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors={
+            "embed_tokens": "model.embed_tokens.weight",
+            "final_norm.weight": "model.norm.weight",
+            "final_norm.bias": "model.norm.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+# reference name for the same family (stablelm_epoch remote code)
+register(
+    FamilySpec(
+        model_type="stablelm_epoch",
+        arch_fn=_stablelm_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors={
+            "embed_tokens": "model.embed_tokens.weight",
+            "final_norm.weight": "model.norm.weight",
+            "final_norm.bias": "model.norm.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# CodeGen (GPT-J-like with mp_num-interleaved fused QKV)
+# ---------------------------------------------------------------------------
+
+
+def _codegen_arch(c: dict) -> ArchConfig:
+    heads = c["n_head"]
+    return ArchConfig(
+        model_type="codegen",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["n_embd"],
+        num_layers=c["n_layer"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["n_embd"] // heads,
+        intermediate_size=c.get("n_inner") or 4 * c["n_embd"],
+        max_position_embeddings=c.get("n_positions", 2048),
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="rope_gptj",
+        rotary_dim=c.get("rotary_dim") or c["n_embd"] // heads,
+        mlp_act="gelu_new",
+        mlp_bias=True,
+        parallel_block=True,
+        tie_word_embeddings=False,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="codegen",
+        arch_fn=_codegen_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "attn.out_proj",
+            "mlp.up_proj": "mlp.fc_in",
+            "mlp.down_proj": "mlp.fc_out",
+        },
+        block_norms={"input_norm": "ln_1"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attn.qkv_proj", "codegen_qvk"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MPT (alibi, fused concat Wqkv, bias-free)
+# ---------------------------------------------------------------------------
+
+
+def _mpt_arch(c: dict) -> ArchConfig:
+    heads = c["n_heads"]
+    return ArchConfig(
+        model_type="mpt",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["d_model"],
+        num_layers=c["n_layers"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["d_model"] // heads,
+        intermediate_size=c.get("expansion_ratio", 4) * c["d_model"],
+        max_position_embeddings=c.get("max_seq_len", 2048),
+        norm_type="layernorm",
+        norm_eps=1e-5,
+        pos_embedding="alibi",
+        mlp_act="gelu_new",
+        tie_word_embeddings=True,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="mpt",
+        arch_fn=_mpt_arch,
+        layers_prefix="transformer.blocks",
+        block_linears={
+            "attn.o_proj": "attn.out_proj",
+            "mlp.up_proj": "ffn.up_proj",
+            "mlp.down_proj": "ffn.down_proj",
+        },
+        block_norms={"input_norm": "norm_1", "post_norm": "norm_2"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm.weight": "transformer.norm_f.weight",
+        },
+        lm_head=None,
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attn.Wqkv", "concat"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Falcon (refinedweb "rw" in the reference): MQA fused, parallel single norm
+# ---------------------------------------------------------------------------
+
+
+def _falcon_arch(c: dict) -> ArchConfig:
+    heads = c["num_attention_heads"]
+    d = c["hidden_size"] // heads
+    # HF FalconAttention: num_kv_heads only applies to the new decoder
+    # architecture; otherwise multi_query wins (modeling_falcon semantics).
+    if c.get("new_decoder_architecture"):
+        kv = c.get("num_kv_heads") or heads
+    else:
+        kv = 1 if c.get("multi_query", True) else heads
+    return ArchConfig(
+        model_type="falcon",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=kv,
+        head_dim=d,
+        intermediate_size=4 * c["hidden_size"],
+        max_position_embeddings=2048,
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-5),
+        pos_embedding="alibi" if c.get("alibi") else "rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        mlp_act="gelu",
+        attn_qkv_bias=c.get("bias", False),
+        attn_out_bias=c.get("bias", False),
+        mlp_bias=c.get("bias", False),
+        parallel_block=c.get("parallel_attn", True),
+        tie_word_embeddings=True,
+    )
+
+
+for _ft in ("falcon", "RefinedWeb", "RefinedWebModel"):
+    register(
+        FamilySpec(
+            model_type=_ft,
+            arch_fn=_falcon_arch,
+            layers_prefix="transformer.h",
+            block_linears={
+                "attn.o_proj": "self_attention.dense",
+                "mlp.up_proj": "mlp.dense_h_to_4h",
+                "mlp.down_proj": "mlp.dense_4h_to_h",
+            },
+            block_norms={"input_norm": "input_layernorm"},
+            top_tensors={
+                "embed_tokens": "transformer.word_embeddings.weight",
+                "final_norm.weight": "transformer.ln_f.weight",
+                "final_norm.bias": "transformer.ln_f.bias",
+            },
+            lm_head=None,
+            quant_layers=[
+                ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+                ["attn.o_proj"],
+                ["mlp.up_proj"],
+                ["mlp.down_proj"],
+            ],
+            fused_qkv=FusedQKV("self_attention.query_key_value", "concat"),
+        )
+    )
+
+
+__all__ = ["FamilySpec", "FusedQKV", "REGISTRY", "register", "get_family"]

@@ -297,8 +297,77 @@ def awq_to_gptq(
     }
 
 
+# ---------------------------------------------------------------------------
+# Packed-tensor column surgery (fused-QKV split/merge for gpt2/neox/bloom...).
+# ---------------------------------------------------------------------------
+
+
+def _unpack_qzeros_stored(qzeros: np.ndarray, bits: int) -> np.ndarray:
+    """Raw stored zero codes (the ``zero - 1`` values), uint32[G, N]."""
+    return unpack_along_axis0(qzeros.view(np.uint32).T, bits).T
+
+
+def _pack_qzeros_stored(stored: np.ndarray, bits: int) -> np.ndarray:
+    packed = pack_along_axis0(stored.astype(np.uint32).T, bits).T
+    return np.ascontiguousarray(packed).view(np.int32)
+
+
+def select_packed_columns(tensors: dict, cols: np.ndarray, bits: int) -> dict:
+    """Select output columns (the N axis) of a packed GPTQ layer, bit-exactly.
+
+    ``tensors``: qweight/qzeros/scales[/g_idx/bias]. qweight and scales index
+    directly; qzeros round-trips through the raw stored codes. Used to split
+    fused QKV checkpoints (gpt2 c_attn, neox/bloom query_key_value) into
+    separate logical linears and to merge them back for saving.
+    """
+    cols = np.asarray(cols)
+    out = {
+        "qweight": np.ascontiguousarray(np.asarray(tensors["qweight"])[:, cols]),
+        "scales": np.ascontiguousarray(np.asarray(tensors["scales"])[:, cols]),
+    }
+    stored = _unpack_qzeros_stored(np.asarray(tensors["qzeros"]), bits)
+    out["qzeros"] = _pack_qzeros_stored(np.ascontiguousarray(stored[:, cols]), bits)
+    if tensors.get("g_idx") is not None:
+        out["g_idx"] = np.asarray(tensors["g_idx"])
+    if tensors.get("bias") is not None:
+        out["bias"] = np.ascontiguousarray(np.asarray(tensors["bias"])[cols])
+    return out
+
+
+def merge_packed_columns(parts: list[dict], col_dest: np.ndarray, bits: int) -> dict:
+    """Inverse of column selection: concatenate parts along N and place the
+    concatenated columns at positions ``col_dest`` (len == total N)."""
+    col_dest = np.asarray(col_dest)
+    inv = np.argsort(col_dest)
+
+    def cat(key):
+        return np.concatenate([np.asarray(p[key]) for p in parts], axis=1)
+
+    qweight = cat("qweight")[:, inv]
+    scales = cat("scales")[:, inv]
+    stored = np.concatenate(
+        [_unpack_qzeros_stored(np.asarray(p["qzeros"]), bits) for p in parts], axis=1
+    )[:, inv]
+    out = {
+        "qweight": np.ascontiguousarray(qweight),
+        "qzeros": _pack_qzeros_stored(np.ascontiguousarray(stored), bits),
+        "scales": np.ascontiguousarray(scales),
+    }
+    g_idx = parts[0].get("g_idx")
+    if g_idx is not None:
+        for p in parts[1:]:
+            if not np.array_equal(np.asarray(p["g_idx"]), np.asarray(g_idx)):
+                raise ValueError("fused merge requires identical g_idx across parts")
+        out["g_idx"] = np.asarray(g_idx)
+    if all(p.get("bias") is not None for p in parts):
+        out["bias"] = np.concatenate([np.asarray(p["bias"]) for p in parts])[inv]
+    return out
+
+
 __all__ = [
     "SUPPORTED_BITS",
+    "select_packed_columns",
+    "merge_packed_columns",
     "pack_qweight",
     "unpack_qweight",
     "pack_qzeros",
