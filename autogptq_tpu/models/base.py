@@ -127,6 +127,12 @@ class GPTQModel:
         qc.model_name_or_path = model_dir
         if qc.checkpoint_format == "gemm":
             tensors = _convert_awq_tensors(model_dir, spec, cfg, qc)
+        elif qc.checkpoint_format == "marlin":
+            from ..ops import marlin_compat
+
+            raw = hf_io.load_tensors(model_dir, qc.model_file_base_name)
+            tensors = marlin_compat.convert_checkpoint_marlin_to_gptq(raw, qc.group_size)
+            qc.checkpoint_format = "gptq"
         else:
             tensors = hf_io.load_tensors(model_dir, qc.model_file_base_name)
         params = params_lib.build_quantized_params(
