@@ -231,13 +231,26 @@ def attention(
     # works with left padding); logical positions feed only RoPE/learned-pos.
     if cache is not None:
         start = cache.length
-        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+        if start.ndim == 1:
+            # Continuous batching: per-slot write cursors (T must be 1).
+            ck = cache.k[layer_idx].at[jnp.arange(b), start].set(
+                k[:, 0].astype(cache.k.dtype)
+            )
+            cv = cache.v[layer_idx].at[jnp.arange(b), start].set(
+                v[:, 0].astype(cache.v.dtype)
+            )
+            s = ck.shape[1]
+            kv_slot = jnp.arange(s)
+            q_slot = start[:, None, None]                  # [B, 1, 1]
+            mask = kv_slot[None, None, :] <= q_slot        # [B, 1, S]
+        else:
+            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+            s = ck.shape[1]
+            kv_slot = jnp.arange(s)[None, :]               # [1, S]
+            q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
+            mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
         keys, values = ck, cv
-        s = ck.shape[1]
-        kv_slot = jnp.arange(s)[None, :]                   # [1, S]
-        q_slot = (start + jnp.arange(t))[None, :, None]    # [1, T, 1]
-        mask = kv_slot[:, None, :] <= q_slot               # [1, T, S]
         mask = jnp.broadcast_to(mask, (b, t, s))
     else:
         keys, values = k, v
