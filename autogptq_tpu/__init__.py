@@ -11,6 +11,7 @@ __version__ = "0.1.0"
 from .models.auto import AutoGPTQForCausalLM
 from .models.base import GPTQModel
 from .quantization import BaseQuantizeConfig
+from .utils.exllama_compat import exllama_set_max_input_length
 from .utils.peft import GPTQLoraConfig, get_gptq_peft_model
 
 __all__ = [
@@ -19,5 +20,6 @@ __all__ = [
     "BaseQuantizeConfig",
     "GPTQLoraConfig",
     "get_gptq_peft_model",
+    "exllama_set_max_input_length",
     "__version__",
 ]

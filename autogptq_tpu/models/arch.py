@@ -68,8 +68,17 @@ class ArchConfig:
     moe_top_k: int = 2
     # attention softmax scale override (None => 1/sqrt(head_dim))
     attn_scale: Optional[float] = None
-    # clip QKV (mpt)
     sliding_window: Optional[int] = None      # mistral
+    # gemma2: sliding window only on even layers
+    sliding_window_every_other: bool = False
+    # gemma-style RMSNorm multiplies by (1 + weight)
+    norm_plus_one: bool = False
+    # gemma2 "sandwich" norms: extra norms on attn/mlp OUTPUTS
+    post_sublayer_norms: bool = False
+    # gemma2 logit softcaps; cohere logit scale
+    attn_softcap: Optional[float] = None
+    final_softcap: Optional[float] = None
+    logit_scale: Optional[float] = None
 
     @property
     def kv_repeat(self) -> int:
@@ -109,11 +118,15 @@ def apply_linear(p: Any, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float, plus_one: bool = False) -> jnp.ndarray:
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(dtype) * weight.astype(dtype)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if plus_one:  # gemma-style
+        w = 1.0 + w
+    return (normed * w).astype(dtype)
 
 
 def layer_norm(x, weight, bias, eps):
@@ -130,7 +143,7 @@ def layer_norm(x, weight, bias, eps):
 
 def apply_norm(norm_params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
     if cfg.norm_type == "rmsnorm":
-        return rms_norm(x, norm_params["weight"], cfg.norm_eps)
+        return rms_norm(x, norm_params["weight"], cfg.norm_eps, cfg.norm_plus_one)
     return layer_norm(x, norm_params["weight"], norm_params.get("bias"), cfg.norm_eps)
 
 
@@ -262,9 +275,12 @@ def attention(
         # attn_mask: [B, S] key-side validity (pads = 0)
         mask = mask & attn_mask[:, None, :].astype(bool)
 
-    if cfg.sliding_window is not None:
+    window = cfg.sliding_window
+    if window is not None and cfg.sliding_window_every_other and layer_idx % 2 == 1:
+        window = None  # gemma2: odd layers attend globally
+    if window is not None:
         kv_slot = jnp.arange(s)[None, None, :]
-        mask = mask & (kv_slot > q_slot - cfg.sliding_window)
+        mask = mask & (kv_slot > q_slot - window)
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
 
@@ -274,6 +290,8 @@ def attention(
     logits = jnp.einsum(
         "bthrd,bshd->bhrts", qh.astype(jnp.float32), keys.astype(jnp.float32)
     ) * scale                                               # [B, Hkv, rep, T, S]
+    if cfg.attn_softcap is not None:
+        logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
 
     if cfg.pos_embedding == "alibi":
@@ -425,9 +443,14 @@ def block_forward(
         mlp_out = mlp(bp["mlp"], h_mlp, cfg, backend, mlp_cap)
         x = x + attn_out + mlp_out
     else:
+        if cfg.post_sublayer_norms:  # gemma2 sandwich norms
+            attn_out = apply_norm(bp["post_attn_norm"], attn_out, cfg)
         x = x + attn_out
         h2 = apply_norm(bp["post_norm"], x, cfg)
-        x = x + mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
+        mlp_out = mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
+        if cfg.post_sublayer_norms:
+            mlp_out = apply_norm(bp["post_ffn_norm"], mlp_out, cfg)
+        x = x + mlp_out
 
     if capture is not None:
         for k, v in attn_cap.items():
@@ -455,6 +478,10 @@ def unembed(params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
         logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32), params["embed_tokens"].astype(jnp.float32))
     else:
         logits = apply_linear(params["lm_head"], x, backend="auto").astype(jnp.float32)
+    if cfg.logit_scale is not None:
+        logits = logits * cfg.logit_scale
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits
 
 

@@ -210,6 +210,9 @@ class GPTQModel:
             y, _ = arch.block_forward(bp, x, 0, None, pos, cfg, "xla", mask)
             return y
 
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
         avg_losses = []
         t_start = time.time()
         for li, block in enumerate(self.params["layers"]):
@@ -221,41 +224,46 @@ class GPTQModel:
                 # Hessian accumulation over all batches for every linear in
                 # the sublist, from ONE capture pass per batch.
                 hs = {}
-                for bi in range(len(batches)):
-                    caps = block_capture(block, hidden[bi], positions[bi], masks[bi])
-                    for p in present:
-                        x_in = caps[p]
-                        if p not in hs:
-                            hs[p] = hessian_init(x_in.shape[-1])
-                        hs[p] = hessian_update(hs[p][0], hs[p][1], x_in)
+                with timer.phase("hessian"):
+                    for bi in range(len(batches)):
+                        caps = block_capture(block, hidden[bi], positions[bi], masks[bi])
+                        for p in present:
+                            x_in = caps[p]
+                            if p not in hs:
+                                hs[p] = hessian_init(x_in.shape[-1])
+                            hs[p] = hessian_update(hs[p][0], hs[p][1], x_in)
 
                 for p in present:
                     node = params_lib.get_in(block, p)
                     w = np.asarray(node.kernel, dtype=np.float32).T  # [N, K]
                     h, _ = hs[p]
-                    res = gptq_quantize(jnp.asarray(w), h, gcfg)
-                    avg_losses.append(float(res.total_loss))
-                    packed = qlin.pack_from_solver(
-                        np.asarray(res.qweight),
-                        np.asarray(res.scale),
-                        np.asarray(res.zero),
-                        np.asarray(res.g_idx),
-                        bits=qc.bits,
-                        group_size=qc.group_size,
-                        bias=None if node.bias is None else np.asarray(node.bias),
-                    )
-                    self.packed_layers[f"{li}.{p}"] = packed
-                    params_lib.set_in_block(block, p, qlin.from_packed(packed))
+                    with timer.phase("solver"):
+                        res = gptq_quantize(jnp.asarray(w), h, gcfg)
+                        avg_losses.append(float(res.total_loss))
+                    with timer.phase("pack"):
+                        packed = qlin.pack_from_solver(
+                            np.asarray(res.qweight),
+                            np.asarray(res.scale),
+                            np.asarray(res.zero),
+                            np.asarray(res.g_idx),
+                            bits=qc.bits,
+                            group_size=qc.group_size,
+                            bias=None if node.bias is None else np.asarray(node.bias),
+                        )
+                        self.packed_layers[f"{li}.{p}"] = packed
+                        params_lib.set_in_block(block, p, qlin.from_packed(packed))
                     del hs[p]
                 logger.info(
                     "layer %d/%d sublist %s quantized", li + 1, cfg.num_layers, sublist
                 )
 
             # Re-forward with quantized weights for the next layer's inputs.
-            for bi in range(len(batches)):
-                hidden[bi] = block_apply(block, hidden[bi], positions[bi], masks[bi])
+            with timer.phase("reforward"):
+                for bi in range(len(batches)):
+                    hidden[bi] = block_apply(block, hidden[bi], positions[bi], masks[bi])
             self.params["layers"][li] = block
 
+        timer.log("quantize")
         logger.info(
             "quantized %d layers in %.1fs (mean solver loss %.4f)",
             cfg.num_layers,
@@ -321,6 +329,32 @@ class GPTQModel:
             hf_config["quantization_config"] = self.quantize_config.to_dict()
             with open(os.path.join(save_dir, "config.json"), "w") as f:
                 json.dump(hf_config, f, indent=2)
+
+    def push_to_hub(
+        self,
+        repo_id: str,
+        save_dir: Optional[str] = None,
+        commit_message: str = "Upload of autogptq_tpu quantized model",
+        private: bool = True,
+        token: Optional[str] = None,
+    ) -> None:
+        """Upload a quantized checkpoint to the HF Hub (reference:
+        _base.py:424-500). Requires network access + huggingface_hub."""
+        import tempfile
+
+        try:
+            from huggingface_hub import HfApi
+        except ImportError as e:  # pragma: no cover - hub optional
+            raise RuntimeError("push_to_hub requires huggingface_hub") from e
+
+        if save_dir is None:
+            save_dir = tempfile.mkdtemp(prefix="autogptq_tpu_push_")
+            self.save_quantized(save_dir)
+        api = HfApi(token=token)
+        api.create_repo(repo_id, private=private, exist_ok=True)
+        api.upload_folder(
+            repo_id=repo_id, folder_path=save_dir, commit_message=commit_message
+        )
 
     # ------------------------------------------------------------------
     # Inference

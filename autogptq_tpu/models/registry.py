@@ -214,6 +214,7 @@ def _gemma_arch(c: dict) -> ArchConfig:
         scale_embedding=True,
         tie_word_embeddings=True,
         norm_eps=c.get("rms_norm_eps", 1e-6),
+        norm_plus_one=True,  # gemma RMSNorm multiplies by (1 + w)
     )
 
 
@@ -999,6 +1000,181 @@ for _ft in ("falcon", "RefinedWeb", "RefinedWebModel"):
             fused_qkv=FusedQKV("self_attention.query_key_value", "concat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gemma2 (sandwich norms, softcaps, alternating sliding window)
+# ---------------------------------------------------------------------------
+
+
+def _gemma2_arch(c: dict) -> ArchConfig:
+    return _llama_arch(
+        c,
+        mlp_act="gelu_glu",
+        scale_embedding=True,
+        tie_word_embeddings=True,
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+        norm_plus_one=True,
+        post_sublayer_norms=True,
+        attn_scale=c.get("query_pre_attn_scalar", 256) ** -0.5,
+        attn_softcap=c.get("attn_logit_softcapping"),
+        final_softcap=c.get("final_logit_softcapping"),
+        sliding_window=c.get("sliding_window"),
+        sliding_window_every_other=True,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="gemma2",
+        arch_fn=_gemma2_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms={
+            "input_norm": "input_layernorm",
+            "post_attn_norm": "post_attention_layernorm",
+            "post_norm": "pre_feedforward_layernorm",
+            "post_ffn_norm": "post_feedforward_layernorm",
+        },
+        top_tensors=_LLAMA_TOP,
+        lm_head=None,
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Cohere / Command-R (parallel block, scaled tied logits)
+# ---------------------------------------------------------------------------
+
+
+def _cohere_arch(c: dict) -> ArchConfig:
+    return _llama_arch(
+        c,
+        norm_type="layernorm",
+        norm_eps=c.get("layer_norm_eps", 1e-5),
+        parallel_block=True,
+        tie_word_embeddings=True,
+        logit_scale=c.get("logit_scale", 0.0625),
+        pos_embedding="rope_gptj",  # cohere rotates even/odd pairs
+    )
+
+
+register(
+    FamilySpec(
+        model_type="cohere",
+        arch_fn=_cohere_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms={"input_norm": "input_layernorm"},
+        top_tensors=_LLAMA_TOP,
+        lm_head=None,
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Qwen v1 (fused c_attn with bias, RMSNorm, gated w1/w2 MLP; remote-code HF)
+# ---------------------------------------------------------------------------
+
+
+def _qwen_arch(c: dict) -> ArchConfig:
+    heads = c["num_attention_heads"]
+    return ArchConfig(
+        model_type="qwen",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=c["hidden_size"] // heads,
+        # qwen's ffn_hidden is stored doubled (intermediate covers w1+w2)
+        intermediate_size=c["intermediate_size"] // 2,
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="rmsnorm",
+        norm_eps=c.get("layer_norm_epsilon", 1e-6),
+        pos_embedding="rope",
+        rope_theta=c.get("rotary_emb_base", 10000.0),
+        mlp_act="silu_glu",
+        attn_qkv_bias=True,
+        tie_word_embeddings=False,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="qwen",
+        arch_fn=_qwen_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "attn.c_proj",
+            # qwen mlp: out = c_proj(silu(w2(x)) * w1(x)) -> w2 is the gate
+            "mlp.gate_proj": "mlp.w2",
+            "mlp.up_proj": "mlp.w1",
+            "mlp.down_proj": "mlp.c_proj",
+        },
+        block_norms={"input_norm": "ln_1", "post_norm": "ln_2"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+        },
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj", "mlp.gate_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attn.c_attn", "concat"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MOSS (codegen architecture, remote-code HF)
+# ---------------------------------------------------------------------------
+
+register(
+    FamilySpec(
+        model_type="moss",
+        arch_fn=_codegen_arch,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "attn.out_proj",
+            "mlp.up_proj": "mlp.fc_in",
+            "mlp.down_proj": "mlp.fc_out",
+        },
+        block_norms={"input_norm": "ln_1"},
+        top_tensors={
+            "embed_tokens": "transformer.wte.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("attn.qkv_proj", "codegen_qvk"),
+    )
+)
+
+# longllama checkpoints are llama-compatible for the decoder stack
+register(
+    FamilySpec(
+        model_type="longllama",
+        arch_fn=lambda c: _llama_arch(c),
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
 
 
 __all__ = ["FamilySpec", "FusedQKV", "REGISTRY", "register", "get_family"]

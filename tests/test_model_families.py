@@ -83,6 +83,29 @@ MAKERS = {
         num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
         num_local_experts=8, num_experts_per_tok=2,
     ),
+    "gemma": lambda p: _mk(
+        transformers.GemmaConfig, transformers.GemmaForCausalLM, p,
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, intermediate_size=64,
+        head_dim=16,
+    ),
+    "gemma2": lambda p: _mk(
+        transformers.Gemma2Config, transformers.Gemma2ForCausalLM, p,
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, intermediate_size=64,
+        head_dim=16, attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=8, query_pre_attn_scalar=16,
+    ),
+    "cohere": lambda p: _mk(
+        transformers.CohereConfig, transformers.CohereForCausalLM, p,
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
+    ),
+    "qwen2": lambda p: _mk(
+        transformers.Qwen2Config, transformers.Qwen2ForCausalLM, p,
+        vocab_size=128, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
+    ),
 }
 
 
