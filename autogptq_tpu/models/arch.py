@@ -96,7 +96,11 @@ class DenseLinear:
 
 
 def apply_linear(p: Any, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
-    # LoraLinear is detected by duck-typing to avoid a circular import.
+    # Adapter nodes are detected by duck-typing to avoid a circular import.
+    if hasattr(p, "lora_e"):
+        from ..utils.peft import apply_adalora
+
+        return apply_adalora(p, x, backend)
     if hasattr(p, "lora_a"):
         from ..utils.peft import apply_lora
 
@@ -392,6 +396,33 @@ def moe_mlp(
         lambda c, s, w: c.at[s].add(w), in_axes=(0, 0, 0)
     )(combine.reshape(-1, e), sel.reshape(-1, cfg.moe_top_k), weights.reshape(-1, cfg.moe_top_k))
     combine = combine.reshape(b, t, e)
+
+    if "experts_stacked" in bp:
+        # Expert-parallel execution: batched matmuls over the expert axis
+        # (shardable on "ep"); dense routing combine.
+        from ..ops.quantlinear import matmul_stacked
+
+        st = bp["experts_stacked"]
+        gate = matmul_stacked(x, st["gate_proj"], backend)            # [E, B, T, I]
+        up = matmul_stacked(x, st["up_proj"], backend)
+        h = jax.nn.silu(gate) * up
+        from ..ops import quantlinear as _q
+
+        y = jax.vmap(lambda he, wp, s, z: _q.matmul(
+            he,
+            _q.QuantLinear(
+                wp=wp, scales=s, scale_zeros=z, kperm=None, bias=None,
+                bits=st["down_proj"].bits, group_size=st["down_proj"].group_size,
+                in_features=st["down_proj"].in_features,
+                out_features=st["down_proj"].out_features,
+                n_pad=st["down_proj"].n_pad,
+            ),
+            backend=backend,
+        ))(h, st["down_proj"].wp, st["down_proj"].scales, st["down_proj"].scale_zeros)
+        out = jnp.einsum(
+            "ebth,bte->bth", y.astype(jnp.float32), combine
+        )
+        return out.astype(x.dtype)
 
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for i in range(e):

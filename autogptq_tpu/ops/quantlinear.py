@@ -261,6 +261,75 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
 
 
 # ---------------------------------------------------------------------------
+# Stacked experts (MoE): one pytree holding E runtime layouts with a leading
+# expert axis. Enables expert-parallel sharding (P("ep", ...)) and batched
+# execution instead of the reference's 24-separate-Linears enumeration
+# (modeling/mixtral.py:8-40).
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class StackedQuantLinear:
+    wp: jnp.ndarray               # uint8 [E, K, C]
+    scales: jnp.ndarray           # f32 [E, G, planes, C]
+    scale_zeros: jnp.ndarray      # f32 [E, G, planes, C]
+    bias: Optional[jnp.ndarray]   # [E, N] or None
+    bits: int = struct.field(pytree_node=False, default=4)
+    group_size: int = struct.field(pytree_node=False, default=-1)
+    in_features: int = struct.field(pytree_node=False, default=0)
+    out_features: int = struct.field(pytree_node=False, default=0)
+    n_pad: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_experts(self) -> int:
+        return self.wp.shape[0]
+
+    def expert(self, e: int) -> QuantLinear:
+        return QuantLinear(
+            wp=self.wp[e], scales=self.scales[e], scale_zeros=self.scale_zeros[e],
+            kperm=None, bias=None if self.bias is None else self.bias[e],
+            bits=self.bits, group_size=self.group_size,
+            in_features=self.in_features, out_features=self.out_features,
+            n_pad=self.n_pad,
+        )
+
+
+def stack_experts(qls: list[QuantLinear]) -> StackedQuantLinear:
+    """Stack per-expert QuantLinears (identical shapes, trivial kperm)."""
+    first = qls[0]
+    if any(q.kperm is not None for q in qls):
+        raise ValueError("stacked experts require trivial g_idx (no desc_act)")
+    return StackedQuantLinear(
+        wp=jnp.stack([q.wp for q in qls]),
+        scales=jnp.stack([q.scales for q in qls]),
+        scale_zeros=jnp.stack([q.scale_zeros for q in qls]),
+        bias=None if first.bias is None else jnp.stack([q.bias for q in qls]),
+        bits=first.bits, group_size=first.group_size,
+        in_features=first.in_features, out_features=first.out_features,
+        n_pad=first.n_pad,
+    )
+
+
+def matmul_stacked(x: jnp.ndarray, sql: StackedQuantLinear, backend: str = "auto") -> jnp.ndarray:
+    """Dense-MoE execution: every expert applied to the same x.
+    Returns [E, ..., N]."""
+    def one(wp, scales, sz, bias):
+        ql = QuantLinear(
+            wp=wp, scales=scales, scale_zeros=sz, kperm=None, bias=bias,
+            bits=sql.bits, group_size=sql.group_size,
+            in_features=sql.in_features, out_features=sql.out_features,
+            n_pad=sql.n_pad,
+        )
+        return matmul(x, ql, backend=backend)
+
+    if sql.bias is None:
+        return jax.vmap(lambda w, s, z: one(w, s, z, None))(
+            sql.wp, sql.scales, sql.scale_zeros
+        )
+    return jax.vmap(one)(sql.wp, sql.scales, sql.scale_zeros, sql.bias)
+
+
+# ---------------------------------------------------------------------------
 # Construction from a solver result / dense weights, and back to disk format.
 # ---------------------------------------------------------------------------
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.arch import ArchConfig, DenseLinear
-from ..ops.quantlinear import QuantLinear
+from ..ops.quantlinear import QuantLinear, StackedQuantLinear
 
 
 def _dense_specs(node: DenseLinear, col: bool, tp: str) -> DenseLinear:
@@ -87,6 +87,21 @@ def _linear_specs(node: Any, col: bool, tp: str, tp_size: int):
     return _dense_specs(node, col, tp)
 
 
+def _stacked_specs(node: StackedQuantLinear, col: bool, tp: str, ep: str | None):
+    """Expert-parallel sharding: expert axis on "ep"; the within-expert
+    column axis additionally on "tp" for column-parallel projections."""
+    lane = tp if col else None
+    return StackedQuantLinear(
+        wp=P(ep, None, lane),
+        scales=P(ep, None, None, lane),
+        scale_zeros=P(ep, None, None, lane),
+        bias=None if node.bias is None else P(ep, lane),
+        bits=node.bits, group_size=node.group_size,
+        in_features=node.in_features, out_features=node.out_features,
+        n_pad=node.n_pad,
+    )
+
+
 # Which block paths are column-parallel (True) vs row-parallel (False).
 _COLUMN = {
     "q_proj": True,
@@ -133,6 +148,11 @@ def param_pspecs(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp")
                         }
                         for e in node
                     ]
+                elif name == "experts_stacked":
+                    sec["experts_stacked"] = {
+                        en: _stacked_specs(sn, _COLUMN[en], tp_axis, "ep" if "ep" in mesh.shape else None)
+                        for en, sn in node.items()
+                    }
                 else:
                     sec[name] = _linear_specs(node, _COLUMN[name], tp_axis, tp_size)
             bs[section] = sec

@@ -128,6 +128,8 @@ def split_lora_params(params: dict) -> tuple[dict, dict]:
     the same topology with only lora_a/lora_b leaves (others None)."""
 
     def extract(node):
+        if isinstance(node, AdaLoraLinear):
+            return {"lora_a": node.lora_a, "lora_e": node.lora_e, "lora_b": node.lora_b}
         if isinstance(node, LoraLinear):
             return {"lora_a": node.lora_a, "lora_b": node.lora_b}
         if isinstance(node, dict):
@@ -145,6 +147,15 @@ def merge_lora_params(params: dict, trainable: dict) -> dict:
     """Write adapter leaves back into the full tree."""
 
     def merge(node, tnode):
+        if isinstance(node, AdaLoraLinear):
+            return AdaLoraLinear(
+                base=node.base,
+                lora_a=tnode["lora_a"],
+                lora_e=tnode["lora_e"],
+                lora_b=tnode["lora_b"],
+                rank_mask=node.rank_mask,
+                scaling=node.scaling,
+            )
         if isinstance(node, LoraLinear):
             return LoraLinear(
                 base=node.base,
@@ -171,12 +182,87 @@ def merge_lora_params(params: dict, trainable: dict) -> dict:
     return out
 
 
+@struct.dataclass
+class AdaLoraLinear:
+    """SVD-parameterized adapter (AdaLoRA): delta = B diag(E) A, with a
+    non-trainable rank mask for importance-based rank pruning (the reference
+    wraps peft's GPTQSVDLinear + RankAllocator; here pruning is explicit via
+    :func:`adalora_prune`)."""
+
+    base: Any
+    lora_a: jnp.ndarray                      # [K, r]
+    lora_e: jnp.ndarray                      # [r]   singular values
+    lora_b: jnp.ndarray                      # [r, N]
+    rank_mask: jnp.ndarray                   # [r]   0/1 gate
+    scaling: float = struct.field(pytree_node=False, default=1.0)
+
+
+def apply_adalora(p: AdaLoraLinear, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+    from ..models.arch import apply_linear
+
+    y = apply_linear(p.base, x, backend)
+    e = (p.lora_e * p.rank_mask).astype(jnp.float32)
+    delta = ((x.astype(jnp.float32) @ p.lora_a.astype(jnp.float32)) * e) @ p.lora_b.astype(jnp.float32)
+    return y + (delta * p.scaling).astype(y.dtype)
+
+
+def adalora_importance(p: AdaLoraLinear) -> jnp.ndarray:
+    """Per-rank importance |E| * ||A_col|| * ||B_row|| (magnitude proxy)."""
+    a_n = jnp.linalg.norm(p.lora_a, axis=0)
+    b_n = jnp.linalg.norm(p.lora_b, axis=1)
+    return jnp.abs(p.lora_e) * a_n * b_n
+
+
+def adalora_prune(p: AdaLoraLinear, target_rank: int) -> AdaLoraLinear:
+    """Keep the target_rank most important ranks (mask the rest)."""
+    imp = adalora_importance(p)
+    thresh = jnp.sort(imp)[-target_rank] if target_rank > 0 else jnp.inf
+    mask = (imp >= thresh).astype(p.rank_mask.dtype)
+    return AdaLoraLinear(
+        base=p.base, lora_a=p.lora_a, lora_e=p.lora_e, lora_b=p.lora_b,
+        rank_mask=mask, scaling=p.scaling,
+    )
+
+
+def inject_adalora(params: dict, peft_cfg: GPTQLoraConfig, seed: int = 0) -> dict:
+    """Wrap target modules with AdaLoRA adapters (E init 0 -> identity)."""
+    key = jax.random.PRNGKey(seed)
+    new_layers = []
+    r = peft_cfg.init_r or peft_cfg.r
+    for block in params["layers"]:
+        block = dict(block)
+        for path in peft_cfg.target_modules:
+            try:
+                node = params_lib.get_in(block, path)
+            except (KeyError, TypeError, IndexError):
+                continue
+            k = node.in_features if isinstance(node, QuantLinear) else node.kernel.shape[0]
+            n = node.out_features if isinstance(node, QuantLinear) else node.kernel.shape[1]
+            key, s1, s2 = jax.random.split(key, 3)
+            params_lib.set_in_block(
+                block, path,
+                AdaLoraLinear(
+                    base=node,
+                    lora_a=jax.random.normal(s1, (k, r), jnp.float32) * 0.02,
+                    lora_e=jnp.zeros((r,), jnp.float32),
+                    lora_b=jax.random.normal(s2, (r, n), jnp.float32) * 0.02,
+                    rank_mask=jnp.ones((r,), jnp.float32),
+                    scaling=peft_cfg.scaling,
+                ),
+            )
+        new_layers.append(block)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def get_gptq_peft_model(model, peft_cfg: GPTQLoraConfig | None = None, seed: int = 0):
     """Public entry (reference: get_gptq_peft_model, peft_utils.py:354-422):
-    wraps target modules of a (quantized) GPTQModel with LoRA adapters,
-    in place. Returns the model."""
+    wraps target modules of a (quantized) GPTQModel with LoRA (or AdaLoRA)
+    adapters, in place. Returns the model."""
     peft_cfg = peft_cfg or GPTQLoraConfig()
-    model.params = inject_lora(model.params, peft_cfg, seed)
+    inject = inject_adalora if peft_cfg.adalora else inject_lora
+    model.params = inject(model.params, peft_cfg, seed)
     model.peft_config = peft_cfg
     model._jit_cache.clear()
     return model

@@ -194,3 +194,25 @@ def test_quantize_desc_act(tmp_path, rng):
         for p in model.packed_layers.values()
     )
     assert anyperm
+
+
+def test_sharded_checkpoint_save_load(tmp_path, rng):
+    """max_shard_size forces multi-file safetensors + index.json; loads back."""
+    save_tiny_llama(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    model.quantize([{"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)])
+    model.save_quantized(str(tmp_path / "q"), max_shard_size=64 * 1024)
+
+    import os
+    files = os.listdir(tmp_path / "q")
+    assert "model.safetensors.index.json" in files
+    shards = [f for f in files if f.endswith(".safetensors")]
+    assert len(shards) >= 2
+
+    ids = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
+        rtol=2e-3, atol=2e-3,
+    )

@@ -94,3 +94,48 @@ def test_adapter_save(tmp_path):
         names = list(f.keys())
     assert any("lora_A" in n for n in names)
     assert any(n.startswith("base_model.model.model.layers.0.self_attn.q_proj") for n in names)
+
+
+def test_adalora_training_and_prune(rng):
+    params, cfg = _quantized_model()
+    pcfg = peft.GPTQLoraConfig(
+        r=8, lora_alpha=16, target_modules=("attn.q_proj",), adalora=True
+    )
+    lparams = peft.inject_adalora(params, pcfg)
+
+    # identity at init (E = 0)
+    tokens = jnp.asarray(np.arange(8)[None], jnp.int32)
+    base_logits, _ = arch.forward(params, tokens, cfg, backend="xla", dtype=jnp.float32)
+    ada_logits, _ = arch.forward(lparams, tokens, cfg, backend="xla", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ada_logits), np.asarray(base_logits), rtol=1e-5, atol=1e-5)
+
+    trainable, _ = peft.split_lora_params(lparams)
+    assert "lora_e" in trainable["layers"][0]["attn"]["q_proj"]
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+
+    def loss_fn(trainable):
+        p = peft.merge_lora_params(lparams, trainable)
+        logits, _ = arch.forward(p, tokens, cfg, backend="xla", dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        return -jnp.mean(jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1))
+
+    import optax
+    opt = optax.adam(1e-2)
+    state = opt.init(trainable)
+    @jax.jit
+    def step(tr, st):
+        loss, g = jax.value_and_grad(loss_fn)(tr)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(tr, up), st, loss
+    losses = []
+    for _ in range(20):
+        trainable, state, loss = step(trainable, state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+    # prune to rank 4: mask keeps exactly 4 ranks
+    merged = peft.merge_lora_params(lparams, trainable)
+    node = merged["layers"][0]["attn"]["q_proj"]
+    pruned = peft.adalora_prune(node, 4)
+    assert int(np.asarray(pruned.rank_mask).sum()) == 4
