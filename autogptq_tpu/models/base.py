@@ -104,7 +104,7 @@ class GPTQModel:
         **kwargs,
     ) -> "GPTQModel":
         hf_cfg = hf_io.load_hf_config(model_dir)
-        spec = get_family(hf_cfg["model_type"])
+        spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
         tensors = hf_io.load_tensors(model_dir)
         params = params_lib.build_fp_params(tensors, spec, cfg, dtype)
@@ -121,7 +121,7 @@ class GPTQModel:
         **kwargs,
     ) -> "GPTQModel":
         hf_cfg = hf_io.load_hf_config(model_dir)
-        spec = get_family(hf_cfg["model_type"])
+        spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
         qc = BaseQuantizeConfig.from_pretrained(model_dir, **kwargs)
         qc.model_name_or_path = model_dir

@@ -15,6 +15,7 @@ written by this framework are loadable by the reference and vice versa
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -29,6 +30,7 @@ class FusedQKV:
                      (gpt2, gpt_bigcode/falcon MQA, mpt)
     * "per_head":    [(q d | k d | v d) x heads] (gpt_neox, bloom)
     * "codegen_qvk": mp_num chunks, each [q | v | k] (codegen)
+    * "grouped":     [(q d*hpg | k d | v d) x kv_groups] (falcon new arch)
     """
 
     hf_name: str
@@ -59,6 +61,14 @@ class FusedQKV:
                 idx[:, 0].reshape(-1),
                 idx[:, 2].reshape(-1),
                 idx[:, 1].reshape(-1),
+            )
+        if self.layout == "grouped":
+            hpg = heads // kv_heads
+            idx = np.arange(n).reshape(kv_heads, hpg + 2, d)
+            return (
+                idx[:, :hpg].reshape(-1),
+                idx[:, hpg].reshape(-1),
+                idx[:, hpg + 1].reshape(-1),
             )
         raise ValueError(f"unknown fused layout {self.layout}")
 
@@ -91,13 +101,16 @@ def register(spec: FamilySpec) -> FamilySpec:
     return spec
 
 
-def get_family(model_type: str) -> FamilySpec:
+def get_family(model_type: str, hf_config: dict | None = None) -> FamilySpec:
     if model_type not in REGISTRY:
         raise ValueError(
             f"model_type {model_type!r} isn't supported yet. "
             f"Supported: {sorted(REGISTRY)}"
         )
-    return REGISTRY[model_type]
+    entry = REGISTRY[model_type]
+    if callable(entry) and not isinstance(entry, FamilySpec):
+        return entry(hf_config or {})
+    return entry
 
 
 def _gqa_head_dim(c: dict) -> tuple[int, int, int]:
@@ -973,33 +986,48 @@ def _falcon_arch(c: dict) -> ArchConfig:
     )
 
 
-for _ft in ("falcon", "RefinedWeb", "RefinedWebModel"):
-    register(
-        FamilySpec(
-            model_type=_ft,
-            arch_fn=_falcon_arch,
-            layers_prefix="transformer.h",
-            block_linears={
-                "attn.o_proj": "self_attention.dense",
-                "mlp.up_proj": "mlp.dense_h_to_4h",
-                "mlp.down_proj": "mlp.dense_4h_to_h",
-            },
-            block_norms={"input_norm": "input_layernorm"},
-            top_tensors={
-                "embed_tokens": "transformer.word_embeddings.weight",
-                "final_norm.weight": "transformer.ln_f.weight",
-                "final_norm.bias": "transformer.ln_f.bias",
-            },
-            lm_head=None,
-            quant_layers=[
-                ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
-                ["attn.o_proj"],
-                ["mlp.up_proj"],
-                ["mlp.down_proj"],
-            ],
-            fused_qkv=FusedQKV("self_attention.query_key_value", "concat"),
-        )
+def _falcon_spec(c: dict) -> FamilySpec:
+    """Falcon's checkpoint layout depends on the config: the new decoder
+    architecture (falcon-40b/180b) uses grouped-GQA fused QKV and TWO
+    parallel norms (ln_attn / ln_mlp); the old one (falcon-7b / RefinedWeb)
+    uses MQA-concat and a single input_layernorm."""
+    new_arch = bool(c.get("new_decoder_architecture"))
+    if new_arch:
+        norms = {"input_norm": "ln_attn", "post_norm": "ln_mlp"}
+        fused = FusedQKV("self_attention.query_key_value", "grouped")
+        arch_fn = lambda cc: dataclasses.replace(_falcon_arch(cc), parallel_norms=True)
+    else:
+        norms = {"input_norm": "input_layernorm"}
+        fused = FusedQKV("self_attention.query_key_value", "concat")
+        arch_fn = _falcon_arch
+    return FamilySpec(
+        model_type=c.get("model_type", "falcon"),
+        arch_fn=arch_fn,
+        layers_prefix="transformer.h",
+        block_linears={
+            "attn.o_proj": "self_attention.dense",
+            "mlp.up_proj": "mlp.dense_h_to_4h",
+            "mlp.down_proj": "mlp.dense_4h_to_h",
+        },
+        block_norms=norms,
+        top_tensors={
+            "embed_tokens": "transformer.word_embeddings.weight",
+            "final_norm.weight": "transformer.ln_f.weight",
+            "final_norm.bias": "transformer.ln_f.bias",
+        },
+        lm_head=None,
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=fused,
     )
+
+
+for _ft in ("falcon", "RefinedWeb", "RefinedWebModel"):
+    REGISTRY[_ft] = _falcon_spec
 
 
 # ---------------------------------------------------------------------------

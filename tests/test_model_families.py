@@ -77,6 +77,12 @@ MAKERS = {
         num_attention_heads=2, new_decoder_architecture=False,
         multi_query=True, alibi=False, parallel_attn=True, bias=False,
     ),
+    "falcon_new": lambda p: _mk(
+        transformers.FalconConfig, transformers.FalconForCausalLM, p,
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2, new_decoder_architecture=True,
+        alibi=False, bias=False,
+    ),
     "mixtral": lambda p: _mk(
         transformers.MixtralConfig, transformers.MixtralForCausalLM, p,
         vocab_size=128, hidden_size=32, num_hidden_layers=2,
