@@ -1,0 +1,17 @@
+.PHONY: test lint native bench clean
+
+test:
+	python -m pytest tests/ -q
+
+lint:
+	ruff check autogptq_tpu/ tests/ || true
+
+native:
+	$(MAKE) -C csrc
+
+bench:
+	python bench.py
+
+clean:
+	$(MAKE) -C csrc clean
+	find . -name __pycache__ -type d -exec rm -rf {} +
