@@ -416,6 +416,7 @@ def moe_mlp(
                 in_features=st["down_proj"].in_features,
                 out_features=st["down_proj"].out_features,
                 n_pad=st["down_proj"].n_pad,
+                layout=st["down_proj"].layout,
             ),
             backend=backend,
         ))(h, st["down_proj"].wp, st["down_proj"].scales, st["down_proj"].scale_zeros)

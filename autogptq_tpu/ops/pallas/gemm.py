@@ -73,17 +73,20 @@ def _kernel(x_ref, wp_ref, scales_ref, sz_ref, out_ref, *, planes, sbits, rows_p
         out_ref[:, p, :] += acc
 
 
-def _pick_bk(k: int, group_size: int) -> int | None:
+def _pick_bk(k: int, group_size: int, kpair: bool = False) -> int | None:
     """K-tile size: a multiple or divisor of the group size so each K block
-    maps to a whole number of (or a single) group row."""
+    maps to a whole number of (or a single) group row. kpair additionally
+    needs the packed row count bk/2 sublane-aligned (%8)."""
     gs = group_size if group_size != -1 else k
-    for bk in (512, 256, 128):
+    sizes = (1024, 512, 256, 128) if kpair else (512, 256, 128)
+    for bk in sizes:
         if k % bk:
             continue
         if bk % gs == 0 or gs % bk == 0:
             return bk
     # tiny-K fallback (tests): one block covering all of K
-    if k % 8 == 0 and (k % gs == 0 or gs % k == 0):
+    kmod = 16 if kpair else 8
+    if k % kmod == 0 and (k % gs == 0 or gs % k == 0):
         return k
     return None
 
@@ -91,10 +94,126 @@ def _pick_bk(k: int, group_size: int) -> int | None:
 def supported(ql: QuantLinear) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    if _pick_bk(ql.in_features, ql.group_size) is None:
+    kpair = ql.layout == "kpair"
+    k_eff = ql.wp.shape[0] * 2 if kpair else ql.in_features
+    if _pick_bk(k_eff, ql.group_size, kpair=kpair) is None:
         return False
     c = ql.n_pad // ql.planes
     return c % 128 == 0
+
+
+def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype):
+    """K-pair bitcast kernel — HBM speed-of-light decode path (~810 GB/s
+    effective on v5e vs ~450 for the planar shift/mask kernel).
+
+    Grid: (mi, j, ki); ki innermost accumulates into the same out block.
+    x_ref:  [BM, BK]             activations
+    wp_ref: [BK/2, BN] uint8     K-pair packed nibbles
+    s_ref:  [R, 1, BN] f32       per-group scales
+    z_ref:  [R, 1, BN] f32       per-group scale*zero
+    out_ref:[BM, BN] f32         accumulator
+
+    Unpack: one i32 word per byte holds BOTH bf16 bit patterns
+    0x3F80|(v<<3) = 1 + v/16; a single i32->bf16 bitcast row-interleaves
+    them back into K order (Mosaic: row 2i = low half). Dequant is exact via
+    the factored per-group correction
+        x @ (1 + v/16) = xs_g + (x @ v)/16
+        out += (16*s) * B_g - (16*s + s*z) * xs_g
+    so the per-element work is ~3.5 integer VPU ops per weight with zero
+    int->float conversions (the planar kernel's bottleneck)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # The dot and the group-sum correction must see the SAME (rounded) x or
+    # the zero-point term amplifies the rounding mismatch.
+    xv = x_ref[...].astype(dot_dtype)
+    t = wp_ref[...].astype(jnp.int32)
+    word = jnp.int32(0x3F803F80) | ((t & 15) << 3) | ((t & 0xF0) << 15)
+    wb = pltpu.bitcast(word, jnp.bfloat16)  # [BK, BN] = 1 + v/16, K order
+    wv = wb.astype(dot_dtype)
+    for r in range(rows_per_blk):
+        xr = xv[:, r * gs_blk:(r + 1) * gs_blk]
+        acc = jax.lax.dot_general(
+            xr,
+            wv[r * gs_blk:(r + 1) * gs_blk, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # per-group activation sums [BM, 1] (2-D slice reduction — Mosaic
+        # rejects lane-splitting reshapes like (BM, R, GS) for BM > 1)
+        xs = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        s16 = s_ref[r, 0, :] * 16.0
+        zadj = s16 + z_ref[r, 0, :]
+        out_ref[...] += acc * s16[None, :] - xs * zadj[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+)
+def _matmul_kpair(
+    x2d,
+    wp,
+    scales3,
+    sz3,
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bm,
+    bn,
+    dot_dtype,
+):
+    m, k = x2d.shape
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, kpair=True)
+    assert bk is not None, "unsupported shape for kpair pallas kernel"
+    bn = min(bn, n_pad)
+
+    if bk % gs == 0:
+        rows_per_blk = bk // gs
+        scale_idx = lambda mi, j, ki: (ki, 0, j)
+    else:  # gs % bk == 0
+        rows_per_blk = 1
+        scale_idx = lambda mi, j, ki: ((ki * bk) // gs, 0, j)
+    gs_blk = min(gs, bk)
+
+    grid = (_cdiv(m, bm), _cdiv(n_pad, bn), k // bk)
+
+    kernel = functools.partial(
+        _kernel_kpair, rows_per_blk=rows_per_blk, gs_blk=gs_blk,
+        dot_dtype=dot_dtype,
+    )
+
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x2d, wp, scales3, sz3)
+
+    return y[:, :out_features]
 
 
 @functools.partial(
@@ -191,6 +310,28 @@ def matmul_pallas(
     x2d = x.reshape(-1, x.shape[-1])
     m = x2d.shape[0]
     bm = min(bm, max(8, m))
+
+    if ql.layout == "kpair":
+        k_pad = ql.wp.shape[0] * 2
+        if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        y = _matmul_kpair(
+            x2d,
+            ql.wp,
+            ql.scales,
+            ql.scale_zeros,
+            group_size=ql.group_size,
+            n_pad=ql.n_pad,
+            out_features=ql.out_features,
+            interpret=interpret,
+            bm=bm,
+            bn=bnh,
+            dot_dtype=dot_dtype,
+        )
+        y = y.astype(x.dtype)
+        if ql.bias is not None:
+            y = y + ql.bias.astype(y.dtype)
+        return y.reshape(*batch_shape, ql.out_features)
 
     y = _matmul_planar(
         x2d,

@@ -8,16 +8,30 @@ two execution paths:
   * :class:`PackedQuantLinear` — the reference on-disk layout (qweight /
     qzeros / scales / g_idx), used for checkpoint I/O.
   * :class:`QuantLinear` — the TPU runtime layout, built once at load time
-    (the analog of exllamav2's load-time weight shuffle, q_matrix.cu:19-42):
+    (the analog of exllamav2's load-time weight shuffle, q_matrix.cu:19-42).
+    Two storage layouts exist, selected by bit width:
 
-      - weights stored as **planar sub-byte planes in uint8**: for 4-bit,
-        byte ``[k, j]`` holds ``W[k, j]`` in the low nibble and
-        ``W[k, j + N/2]`` in the high nibble, so in-kernel unpack is two
-        shift/mask ops and a concat along lanes — no interleaving shuffles.
-        2-bit uses 4 planes; 8-bit is direct; 3-bit is stored padded to
+      - ``layout="kpair"`` (3/4-bit, the hot path): byte ``[k', n]`` holds
+        ``W[2k', n]`` in the low nibble and ``W[2k'+1, n]`` in the high
+        nibble — i.e. two ADJACENT K rows of the same output column. The
+        Pallas kernel widens the byte to i32, builds the bf16 bit pattern
+        ``0x3F80 | (v<<3)`` (= ``1 + v/16``) for both nibbles in one i32
+        word and does a single i32->bf16 bitcast, which Mosaic defines as
+        row-interleaving — so the nibble order above lands the weights in
+        exactly K order with ~3.5 integer VPU ops per weight and ZERO
+        int->float conversions. Dequant is exact via a per-group factored
+        correction (see ops/pallas/gemm.py). 3-bit is stored padded to
         nibbles (4 bits/weight in HBM) — the on-disk format stays true 3-bit.
+      - ``layout="planar"`` (2/8-bit): byte ``[k, j]`` holds plane ``p`` of
+        logical column ``j + p*C`` in bit field ``p*sbits..``; in-kernel
+        unpack is shift/mask per plane. 2-bit uses 4 planes (true 2 bits of
+        HBM traffic per weight); 8-bit is direct.
       - per-group ``scales`` and pre-multiplied ``scale*zero`` arrays so
-        dequant is a single fused multiply-subtract.
+        dequant is a single fused multiply-subtract (planar) or a factored
+        post-dot correction (kpair). Both are stored ``[G, planes, C]``
+        (kpair: planes dim == 1, C == n_pad) — keeping the group axis first
+        and the lane axis last for Mosaic-friendly tiling and so the same
+        PartitionSpecs shard either layout.
       - ``desc_act`` (arbitrary ``g_idx``) is handled by sorting K rows into
         group-sequential order at load and remapping activations with a
         gather (the exllama ``make_sequential``/``x_map`` idea,
@@ -37,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from . import packing
+from . import native, packing
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -78,12 +92,12 @@ class QuantLinear:
     """TPU runtime layout. ``n_pad`` is the padded output width (lane-aligned);
     ``matmul`` slices the result back to ``out_features``.
 
-    ``scales``/``scale_zeros`` are stored in the planar 3-D view
-    ``[G, planes, C]`` (C = n_pad / planes) so that sharding their last axis
-    and ``wp``'s last axis with the same mesh axis keeps plane columns and
-    their quantization params on the same device."""
+    ``scales``/``scale_zeros`` are stored in the 3-D view ``[G, planes, C]``
+    (planar: C = n_pad / planes; kpair: planes = 1, C = n_pad) so that
+    sharding their last axis and ``wp``'s last axis with the same mesh axis
+    keeps columns and their quantization params on the same device."""
 
-    wp: jnp.ndarray               # uint8 [K, C] planar packed
+    wp: jnp.ndarray               # uint8; planar: [K, C]; kpair: [K/2, n_pad]
     scales: jnp.ndarray           # f32 [G, planes, C]
     scale_zeros: jnp.ndarray      # f32 [G, planes, C]  (= scales * zeros)
     kperm: Optional[jnp.ndarray]  # int32 [K] activation gather for desc_act
@@ -93,10 +107,11 @@ class QuantLinear:
     in_features: int = struct.field(pytree_node=False, default=0)
     out_features: int = struct.field(pytree_node=False, default=0)
     n_pad: int = struct.field(pytree_node=False, default=0)
+    layout: str = struct.field(pytree_node=False, default="planar")
 
     @property
     def planes(self) -> int:
-        return _planes(self.bits)
+        return 1 if self.layout == "kpair" else _planes(self.bits)
 
     @property
     def groups(self) -> int:
@@ -130,6 +145,21 @@ def plane_unpack_np(wp: np.ndarray, bits: int) -> np.ndarray:
     return np.concatenate(parts, axis=1)
 
 
+def _kpair_pack(values: np.ndarray) -> np.ndarray:
+    """Pack integer weights [K, n_pad] (values < 16) into K-pair nibbles:
+    byte[k', n] = v[2k', n] | v[2k'+1, n] << 4."""
+    return (values[0::2, :] | (values[1::2, :] << 4)).astype(np.uint8)
+
+
+def kpair_unpack_np(wp: np.ndarray) -> np.ndarray:
+    """Inverse of `_kpair_pack` (NumPy, for tests)."""
+    k2, n = wp.shape
+    out = np.empty((k2 * 2, n), dtype=np.uint8)
+    out[0::2] = wp & np.uint8(0xF)
+    out[1::2] = wp >> np.uint8(4)
+    return out
+
+
 def from_packed(packed: PackedQuantLinear) -> QuantLinear:
     """Build the TPU runtime layout from reference-format tensors (host-side,
     one-time at load)."""
@@ -161,14 +191,41 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
 
     # Pad N to a lane-friendly multiple. Padded columns get scale=0 so they
     # contribute nothing and dequantize to 0.
-    planes = _planes(bits)
+    layout = "kpair" if (_storage_bits(bits) == 4 and k % 2 == 0) else "planar"
+    planes = 1 if layout == "kpair" else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
     if n_pad != n:
         w_int = np.pad(w_int, ((0, 0), (0, n_pad - n)))
         scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
-    wp = _plane_pack(w_int, bits, n_pad)
+    if layout == "kpair":
+        # Pad K so the Pallas kernel can use a large K tile (bk>=512):
+        # measured ~490 GB/s at bk>=512 vs ~374 at bk=256 for the
+        # down_proj shape (K=11008). Runtime pads x with ZEROS, which makes
+        # any padded wp/scales values contribute exactly 0 (dot term and
+        # group-sum term both vanish), so padding is unconditionally safe.
+        from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
+
+        bk = _pick_bk(k, packed.group_size, kpair=True)
+        if k >= 2048 and (bk is None or bk < 512):
+            k_pad = _round_up(k, 1024)
+            if (_pick_bk(k_pad, packed.group_size, kpair=True) or 0) >= 512:
+                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
+                if packed.group_size != -1:
+                    # whole new groups; padded scale rows are zero (gs == -1
+                    # keeps its single group — zero-padded x already makes
+                    # the padded rows contribute nothing)
+                    g_pad = _cdiv(k_pad, packed.group_size)
+                    if g_pad > g:
+                        scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
+                        zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
+                        g = g_pad
+        wp = native.repack_kint4(w_int.astype(np.uint32), None)
+        if wp is None:
+            wp = _kpair_pack(w_int.astype(np.uint8))
+    else:
+        wp = _plane_pack(w_int, bits, n_pad)
     scale_zeros = scales * zeros.astype(np.float32)
     c = n_pad // planes
     scales = scales.reshape(g, planes, c)
@@ -185,6 +242,7 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
         in_features=k,
         out_features=n,
         n_pad=n_pad,
+        layout=layout,
     )
 
 
@@ -198,13 +256,18 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
 
     Note: rows are in kperm order when desc_act; pair with remapped x.
     """
-    sbits = _storage_bits(ql.bits)
-    mask = np.uint8((1 << sbits) - 1)
-    parts = [
-        ((ql.wp >> np.uint8(sbits * p)) & mask) for p in range(ql.planes)
-    ]
-    w_int = jnp.concatenate(parts, axis=1).astype(jnp.float32)   # [K, n_pad]
-    k = ql.in_features
+    if ql.layout == "kpair":
+        lo = ql.wp & np.uint8(0xF)
+        hi = ql.wp >> np.uint8(4)
+        w_int = jnp.stack([lo, hi], axis=1).reshape(-1, ql.n_pad).astype(jnp.float32)
+    else:
+        sbits = _storage_bits(ql.bits)
+        mask = np.uint8((1 << sbits) - 1)
+        parts = [
+            ((ql.wp >> np.uint8(sbits * p)) & mask) for p in range(ql.planes)
+        ]
+        w_int = jnp.concatenate(parts, axis=1).astype(jnp.float32)   # [K, n_pad]
+    k = w_int.shape[0]            # may exceed in_features (kpair K padding)
     g = ql.groups
     scales2 = ql.scales.reshape(g, ql.n_pad)
     sz2 = ql.scale_zeros.reshape(g, ql.n_pad)
@@ -227,6 +290,9 @@ def matmul_xla(x: jnp.ndarray, ql: QuantLinear) -> jnp.ndarray:
     if ql.kperm is not None:
         x = jnp.take(x, ql.kperm, axis=-1)
     w = dequantize_xla(ql, dtype=x.dtype)
+    if w.shape[0] != x.shape[-1]:  # kpair K padding: zero-pad x to match
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, w.shape[0] - x.shape[-1])]
+        x = jnp.pad(x, pad)
     y = jax.lax.dot_general(
         x, w,
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
@@ -270,7 +336,7 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
 
 @struct.dataclass
 class StackedQuantLinear:
-    wp: jnp.ndarray               # uint8 [E, K, C]
+    wp: jnp.ndarray               # uint8 [E, K(/2), C]
     scales: jnp.ndarray           # f32 [E, G, planes, C]
     scale_zeros: jnp.ndarray      # f32 [E, G, planes, C]
     bias: Optional[jnp.ndarray]   # [E, N] or None
@@ -279,6 +345,7 @@ class StackedQuantLinear:
     in_features: int = struct.field(pytree_node=False, default=0)
     out_features: int = struct.field(pytree_node=False, default=0)
     n_pad: int = struct.field(pytree_node=False, default=0)
+    layout: str = struct.field(pytree_node=False, default="planar")
 
     @property
     def num_experts(self) -> int:
@@ -290,7 +357,7 @@ class StackedQuantLinear:
             kperm=None, bias=None if self.bias is None else self.bias[e],
             bits=self.bits, group_size=self.group_size,
             in_features=self.in_features, out_features=self.out_features,
-            n_pad=self.n_pad,
+            n_pad=self.n_pad, layout=self.layout,
         )
 
 
@@ -306,7 +373,7 @@ def stack_experts(qls: list[QuantLinear]) -> StackedQuantLinear:
         bias=None if first.bias is None else jnp.stack([q.bias for q in qls]),
         bits=first.bits, group_size=first.group_size,
         in_features=first.in_features, out_features=first.out_features,
-        n_pad=first.n_pad,
+        n_pad=first.n_pad, layout=first.layout,
     )
 
 
@@ -318,7 +385,7 @@ def matmul_stacked(x: jnp.ndarray, sql: StackedQuantLinear, backend: str = "auto
             wp=wp, scales=scales, scale_zeros=sz, kperm=None, bias=bias,
             bits=sql.bits, group_size=sql.group_size,
             in_features=sql.in_features, out_features=sql.out_features,
-            n_pad=sql.n_pad,
+            n_pad=sql.n_pad, layout=sql.layout,
         )
         return matmul(x, ql, backend=backend)
 

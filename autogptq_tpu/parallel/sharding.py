@@ -60,6 +60,7 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
             bias=None if node.bias is None else P(tp),
             bits=node.bits, group_size=node.group_size,
             in_features=k, out_features=node.out_features, n_pad=node.n_pad,
+            layout=node.layout,
         )
     # row-parallel: K and the group axis shard together only when every
     # shard boundary lands on a group boundary.
@@ -78,6 +79,7 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
         bias=None if node.bias is None else P(None),
         bits=node.bits, group_size=node.group_size,
         in_features=k, out_features=node.out_features, n_pad=node.n_pad,
+        layout=node.layout,
     )
 
 
@@ -98,7 +100,7 @@ def _stacked_specs(node: StackedQuantLinear, col: bool, tp: str, ep: str | None)
         bias=None if node.bias is None else P(ep, lane),
         bits=node.bits, group_size=node.group_size,
         in_features=node.in_features, out_features=node.out_features,
-        n_pad=node.n_pad,
+        n_pad=node.n_pad, layout=node.layout,
     )
 
 

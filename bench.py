@@ -31,15 +31,15 @@ BASELINE_TOK_S = 25.53
 
 
 def device_quant_linear(key, k, n, bits=4, group_size=128):
-    """Build a runtime-layout QuantLinear directly on device."""
-    planes = _planes(bits)
-    n_pad = -(-n // (128 * planes)) * (128 * planes)
-    c = n_pad // planes
-    g = k // group_size
+    """Build a runtime-layout QuantLinear directly on device (kpair for
+    4-bit, matching ops/quantlinear.from_packed)."""
+    n_pad = -(-n // 128) * 128
+    k_pad = k if k % 1024 == 0 else -(-k // 1024) * 1024
+    g = k_pad // group_size
     k1, k2, k3 = jax.random.split(key, 3)
-    wp = jax.random.randint(k1, (k, c), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
-    scales = jax.random.uniform(k2, (g, planes, c), jnp.float32, 0.005, 0.02)
-    zeros = jax.random.randint(k3, (g, planes, c), 1, 2**bits, dtype=jnp.int32)
+    wp = jax.random.randint(k1, (k_pad // 2, n_pad), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    scales = jax.random.uniform(k2, (g, 1, n_pad), jnp.float32, 0.005, 0.02)
+    zeros = jax.random.randint(k3, (g, 1, n_pad), 1, 2**bits, dtype=jnp.int32)
     return QuantLinear(
         wp=wp,
         scales=scales,
@@ -51,6 +51,7 @@ def device_quant_linear(key, k, n, bits=4, group_size=128):
         in_features=k,
         out_features=n,
         n_pad=n_pad,
+        layout="kpair",
     )
 
 
