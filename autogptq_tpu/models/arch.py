@@ -411,7 +411,7 @@ def moe_mlp(
         y = jax.vmap(lambda he, wp, s, z: _q.matmul(
             he,
             _q.QuantLinear(
-                wp=wp, scales=s, scale_zeros=z, kperm=None, bias=None,
+                wp=wp, scales=s, zeros=z, kperm=None, bias=None,
                 bits=st["down_proj"].bits, group_size=st["down_proj"].group_size,
                 in_features=st["down_proj"].in_features,
                 out_features=st["down_proj"].out_features,
@@ -419,7 +419,7 @@ def moe_mlp(
                 layout=st["down_proj"].layout,
             ),
             backend=backend,
-        ))(h, st["down_proj"].wp, st["down_proj"].scales, st["down_proj"].scale_zeros)
+        ))(h, st["down_proj"].wp, st["down_proj"].scales, st["down_proj"].zeros)
         out = jnp.einsum(
             "ebth,bte->bth", y.astype(jnp.float32), combine
         )

@@ -34,13 +34,13 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _kernel(x_ref, wp_ref, scales_ref, sz_ref, out_ref, *, planes, sbits, rows_per_blk, gs_blk, bk, dot_dtype):
+def _kernel(x_ref, wp_ref, scales_ref, z_ref, out_ref, *, planes, sbits, rows_per_blk, gs_blk, bk, dot_dtype):
     """Grid: (mi, j, ki); ki innermost accumulates into the same out block.
 
     x_ref:      [BM, BK]            activations
     wp_ref:     [BK, BNH] uint8     packed weights
     scales_ref: [R, planes, BNH]    per-group scales (R groups in this K blk)
-    sz_ref:     [R, planes, BNH]    per-group scale*zero
+    z_ref:      [R, planes, BNH] u8 per-group integer zero-points
     out_ref:    [BM, planes, BNH]   fp32 accumulator
     """
     ki = pl.program_id(2)
@@ -57,8 +57,9 @@ def _kernel(x_ref, wp_ref, scales_ref, sz_ref, out_ref, *, planes, sbits, rows_p
 
     for p in range(planes):
         w_int = ((wp >> (sbits * p)) & mask).astype(jnp.float32)  # [BK, BNH]
-        s = scales_ref[:, p, :]   # [R, BNH]
-        z = sz_ref[:, p, :]       # [R, BNH]
+        s = scales_ref[:, p, :]                              # [R, BNH]
+        # u8 -> i32 -> f32 (Mosaic has no direct u8 -> float cast)
+        z = s * z_ref[:, p, :].astype(jnp.int32).astype(jnp.float32)
         if rows_per_blk > 1:
             w3 = w_int.reshape(rows_per_blk, gs_blk, -1)
             w = (w3 * s[:, None, :] - z[:, None, :]).reshape(bk, -1)
@@ -110,16 +111,17 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
     x_ref:  [BM, BK]             activations
     wp_ref: [BK/2, BN] uint8     K-pair packed nibbles
     s_ref:  [R, 1, BN] f32       per-group scales
-    z_ref:  [R, 1, BN] f32       per-group scale*zero
+    z_ref:  [R, 1, BN] u8        per-group integer zero-points
     out_ref:[BM, BN] f32         accumulator
 
     Unpack: one i32 word per byte holds BOTH bf16 bit patterns
-    0x3F80|(v<<3) = 1 + v/16; a single i32->bf16 bitcast row-interleaves
-    them back into K order (Mosaic: row 2i = low half). Dequant is exact via
-    the factored per-group correction
-        x @ (1 + v/16) = xs_g + (x @ v)/16
-        out += (16*s) * B_g - (16*s + s*z) * xs_g
-    so the per-element work is ~3.5 integer VPU ops per weight with zero
+    0x3F80|v = 1 + v/128 (v in the LOW mantissa bits: the lo nibble needs no
+    shift at all, the hi nibble one shift — 5 integer ops per byte); a single
+    i32->bf16 bitcast row-interleaves them back into K order (Mosaic: row 2i
+    = low half). Dequant is exact via the factored per-group correction
+        x @ (1 + v/128) = xs_g + (x @ v)/128
+        out += (128*s) * B_g - (128*s + s*z) * xs_g
+    so the per-element work is ~2.5 integer VPU ops per weight with zero
     int->float conversions (the planar kernel's bottleneck)."""
     ki = pl.program_id(2)
 
@@ -131,8 +133,11 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
     # the zero-point term amplifies the rounding mismatch.
     xv = x_ref[...].astype(dot_dtype)
     t = wp_ref[...].astype(jnp.int32)
-    word = jnp.int32(0x3F803F80) | ((t & 15) << 3) | ((t & 0xF0) << 15)
-    wb = pltpu.bitcast(word, jnp.bfloat16)  # [BK, BN] = 1 + v/16, K order
+    # (t >> 4) << 16 == t << 12 except it would smear the lo nibble into
+    # bits 12-15 (the low bf16's exponent), hence the explicit mask-free
+    # shift pair on the hi side and a single mask on the lo side.
+    word = jnp.int32(0x3F803F80) | (t & 15) | ((t >> 4) << 16)
+    wb = pltpu.bitcast(word, jnp.bfloat16)  # [BK, BN] = 1 + v/128, K order
     wv = wb.astype(dot_dtype)
     for r in range(rows_per_blk):
         xr = xv[:, r * gs_blk:(r + 1) * gs_blk]
@@ -145,9 +150,11 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
         # per-group activation sums [BM, 1] (2-D slice reduction — Mosaic
         # rejects lane-splitting reshapes like (BM, R, GS) for BM > 1)
         xs = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
-        s16 = s_ref[r, 0, :] * 16.0
-        zadj = s16 + z_ref[r, 0, :]
-        out_ref[...] += acc * s16[None, :] - xs * zadj[None, :]
+        s = s_ref[r, 0, :]
+        s128 = s * 128.0
+        # u8 -> i32 -> f32 (Mosaic has no direct u8 -> float cast)
+        zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        out_ref[...] += acc * s128[None, :] - xs * zadj[None, :]
 
 
 @functools.partial(
@@ -319,7 +326,7 @@ def matmul_pallas(
             x2d,
             ql.wp,
             ql.scales,
-            ql.scale_zeros,
+            ql.zeros,
             group_size=ql.group_size,
             n_pad=ql.n_pad,
             out_features=ql.out_features,
@@ -337,7 +344,7 @@ def matmul_pallas(
         x2d,
         ql.wp,
         ql.scales,
-        ql.scale_zeros,
+        ql.zeros,
         bits=ql.bits,
         group_size=ql.group_size,
         n_pad=ql.n_pad,

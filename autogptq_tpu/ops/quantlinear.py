@@ -15,10 +15,10 @@ two execution paths:
         ``W[2k', n]`` in the low nibble and ``W[2k'+1, n]`` in the high
         nibble — i.e. two ADJACENT K rows of the same output column. The
         Pallas kernel widens the byte to i32, builds the bf16 bit pattern
-        ``0x3F80 | (v<<3)`` (= ``1 + v/16``) for both nibbles in one i32
+        ``0x3F80 | v`` (= ``1 + v/128``) for both nibbles in one i32
         word and does a single i32->bf16 bitcast, which Mosaic defines as
         row-interleaving — so the nibble order above lands the weights in
-        exactly K order with ~3.5 integer VPU ops per weight and ZERO
+        exactly K order with ~2.5 integer VPU ops per weight and ZERO
         int->float conversions. Dequant is exact via a per-group factored
         correction (see ops/pallas/gemm.py). 3-bit is stored padded to
         nibbles (4 bits/weight in HBM) — the on-disk format stays true 3-bit.
@@ -26,8 +26,10 @@ two execution paths:
         logical column ``j + p*C`` in bit field ``p*sbits..``; in-kernel
         unpack is shift/mask per plane. 2-bit uses 4 planes (true 2 bits of
         HBM traffic per weight); 8-bit is direct.
-      - per-group ``scales`` and pre-multiplied ``scale*zero`` arrays so
-        dequant is a single fused multiply-subtract (planar) or a factored
+      - per-group f32 ``scales`` and u8 integer ``zeros`` (s*z is computed
+        in f32 in-kernel on tiny per-group slices — exact, and 3 bytes per
+        group-column less HBM traffic than a premultiplied f32 scale*zero
+        array); dequant is a fused multiply-subtract (planar) or a factored
         post-dot correction (kpair). Both are stored ``[G, planes, C]``
         (kpair: planes dim == 1, C == n_pad) — keeping the group axis first
         and the lane axis last for Mosaic-friendly tiling and so the same
@@ -92,14 +94,14 @@ class QuantLinear:
     """TPU runtime layout. ``n_pad`` is the padded output width (lane-aligned);
     ``matmul`` slices the result back to ``out_features``.
 
-    ``scales``/``scale_zeros`` are stored in the 3-D view ``[G, planes, C]``
+    ``scales``/``zeros`` are stored in the 3-D view ``[G, planes, C]``
     (planar: C = n_pad / planes; kpair: planes = 1, C = n_pad) so that
     sharding their last axis and ``wp``'s last axis with the same mesh axis
     keeps columns and their quantization params on the same device."""
 
     wp: jnp.ndarray               # uint8; planar: [K, C]; kpair: [K/2, n_pad]
     scales: jnp.ndarray           # f32 [G, planes, C]
-    scale_zeros: jnp.ndarray      # f32 [G, planes, C]  (= scales * zeros)
+    zeros: jnp.ndarray            # u8  [G, planes, C] integer zero-points
     kperm: Optional[jnp.ndarray]  # int32 [K] activation gather for desc_act
     bias: Optional[jnp.ndarray]   # [N] original width
     bits: int = struct.field(pytree_node=False, default=4)
@@ -226,15 +228,14 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
             wp = _kpair_pack(w_int.astype(np.uint8))
     else:
         wp = _plane_pack(w_int, bits, n_pad)
-    scale_zeros = scales * zeros.astype(np.float32)
     c = n_pad // planes
     scales = scales.reshape(g, planes, c)
-    scale_zeros = scale_zeros.reshape(g, planes, c)
+    zeros = zeros.astype(np.uint8).reshape(g, planes, c)
 
     return QuantLinear(
         wp=jnp.asarray(wp),
         scales=jnp.asarray(scales),
-        scale_zeros=jnp.asarray(scale_zeros),
+        zeros=jnp.asarray(zeros),
         kperm=None if kperm is None else jnp.asarray(kperm),
         bias=None if packed.bias is None else jnp.asarray(packed.bias),
         bits=bits,
@@ -270,7 +271,7 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     k = w_int.shape[0]            # may exceed in_features (kpair K padding)
     g = ql.groups
     scales2 = ql.scales.reshape(g, ql.n_pad)
-    sz2 = ql.scale_zeros.reshape(g, ql.n_pad)
+    sz2 = ql.scales.reshape(g, ql.n_pad) * ql.zeros.reshape(g, ql.n_pad).astype(jnp.float32)
     if k % g == 0:
         gs = k // g
         w3 = w_int.reshape(g, gs, ql.n_pad)
@@ -338,7 +339,7 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
 class StackedQuantLinear:
     wp: jnp.ndarray               # uint8 [E, K(/2), C]
     scales: jnp.ndarray           # f32 [E, G, planes, C]
-    scale_zeros: jnp.ndarray      # f32 [E, G, planes, C]
+    zeros: jnp.ndarray            # u8  [E, G, planes, C]
     bias: Optional[jnp.ndarray]   # [E, N] or None
     bits: int = struct.field(pytree_node=False, default=4)
     group_size: int = struct.field(pytree_node=False, default=-1)
@@ -353,7 +354,7 @@ class StackedQuantLinear:
 
     def expert(self, e: int) -> QuantLinear:
         return QuantLinear(
-            wp=self.wp[e], scales=self.scales[e], scale_zeros=self.scale_zeros[e],
+            wp=self.wp[e], scales=self.scales[e], zeros=self.zeros[e],
             kperm=None, bias=None if self.bias is None else self.bias[e],
             bits=self.bits, group_size=self.group_size,
             in_features=self.in_features, out_features=self.out_features,
@@ -369,7 +370,7 @@ def stack_experts(qls: list[QuantLinear]) -> StackedQuantLinear:
     return StackedQuantLinear(
         wp=jnp.stack([q.wp for q in qls]),
         scales=jnp.stack([q.scales for q in qls]),
-        scale_zeros=jnp.stack([q.scale_zeros for q in qls]),
+        zeros=jnp.stack([q.zeros for q in qls]),
         bias=None if first.bias is None else jnp.stack([q.bias for q in qls]),
         bits=first.bits, group_size=first.group_size,
         in_features=first.in_features, out_features=first.out_features,
@@ -382,7 +383,7 @@ def matmul_stacked(x: jnp.ndarray, sql: StackedQuantLinear, backend: str = "auto
     Returns [E, ..., N]."""
     def one(wp, scales, sz, bias):
         ql = QuantLinear(
-            wp=wp, scales=scales, scale_zeros=sz, kperm=None, bias=bias,
+            wp=wp, scales=scales, zeros=sz, kperm=None, bias=bias,
             bits=sql.bits, group_size=sql.group_size,
             in_features=sql.in_features, out_features=sql.out_features,
             n_pad=sql.n_pad, layout=sql.layout,
@@ -391,9 +392,9 @@ def matmul_stacked(x: jnp.ndarray, sql: StackedQuantLinear, backend: str = "auto
 
     if sql.bias is None:
         return jax.vmap(lambda w, s, z: one(w, s, z, None))(
-            sql.wp, sql.scales, sql.scale_zeros
+            sql.wp, sql.scales, sql.zeros
         )
-    return jax.vmap(one)(sql.wp, sql.scales, sql.scale_zeros, sql.bias)
+    return jax.vmap(one)(sql.wp, sql.scales, sql.zeros, sql.bias)
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,7 @@ compiled by GSPMD —
   * row-parallel (shard K / input dim): o_proj, down_proj — XLA inserts the
     psum/reduce-scatter for the contracted dim automatically
   * packed tensors: ``wp [K, C]`` shards its plane-column axis together with
-    ``scales/scale_zeros [G, planes, C]`` (same "tp" axis on the last dim);
+    ``scales/zeros [G, planes, C]`` (same "tp" axis on the last dim);
     row-parallel shards wp's K axis and the group axis G, which stays
     group-aligned as long as (K / tp_size) % group_size == 0.
   * desc_act ``kperm`` stays replicated — the activation gather then
@@ -55,7 +55,7 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
         return QuantLinear(
             wp=P(None, tp),
             scales=P(None, None, tp),
-            scale_zeros=P(None, None, tp),
+            zeros=P(None, None, tp),
             kperm=None if node.kperm is None else P(None),
             bias=None if node.bias is None else P(tp),
             bits=node.bits, group_size=node.group_size,
@@ -74,7 +74,7 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
     return QuantLinear(
         wp=kspec,
         scales=gspec,
-        scale_zeros=gspec,
+        zeros=gspec,
         kperm=None if node.kperm is None else P(None),
         bias=None if node.bias is None else P(None),
         bits=node.bits, group_size=node.group_size,
@@ -96,7 +96,7 @@ def _stacked_specs(node: StackedQuantLinear, col: bool, tp: str, ep: str | None)
     return StackedQuantLinear(
         wp=P(ep, None, lane),
         scales=P(ep, None, None, lane),
-        scale_zeros=P(ep, None, None, lane),
+        zeros=P(ep, None, None, lane),
         bias=None if node.bias is None else P(ep, lane),
         bits=node.bits, group_size=node.group_size,
         in_features=node.in_features, out_features=node.out_features,

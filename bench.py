@@ -43,7 +43,7 @@ def device_quant_linear(key, k, n, bits=4, group_size=128):
     return QuantLinear(
         wp=wp,
         scales=scales,
-        scale_zeros=scales * zeros.astype(jnp.float32),
+        zeros=zeros.astype(jnp.uint8),
         kperm=None,
         bias=None,
         bits=bits,
