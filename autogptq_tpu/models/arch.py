@@ -79,6 +79,21 @@ class ArchConfig:
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
     logit_scale: Optional[float] = None
+    # --- MLA (multi-head latent attention, minicpm3/deepseek-v2 style) ---
+    # head_dim must be qk_nope_head_dim + qk_rope_head_dim; the KV cache
+    # stores per-head K at that width and V zero-padded to it.
+    attn_variant: str = "mha"                  # "mha" | "mla"
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: Optional[int] = None
+    qk_rope_head_dim: Optional[int] = None
+    v_head_dim: Optional[int] = None
+    # minicpm: scale_emb on embeddings, scale_depth/sqrt(L) on residual adds
+    embed_scale: Optional[float] = None
+    residual_scale: Optional[float] = None
+    # longrope-style per-dim inverse-frequency divisors + attention factor
+    rope_factors: Optional[tuple] = None
+    rope_attn_factor: Optional[float] = None
 
     @property
     def kv_repeat(self) -> int:
@@ -160,8 +175,14 @@ def _rope_freqs(cfg: ArchConfig, positions: jnp.ndarray, rotary_dim: int):
     inv_freq = 1.0 / (
         cfg.rope_theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
     )
+    if cfg.rope_factors is not None:  # longrope per-dim divisors
+        inv_freq = inv_freq / jnp.asarray(cfg.rope_factors, jnp.float32)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, rd/2]
-    return jnp.cos(angles), jnp.sin(angles)
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    if cfg.rope_attn_factor is not None:
+        cos = cos * cfg.rope_attn_factor
+        sin = sin * cfg.rope_attn_factor
+    return cos, sin
 
 
 def apply_rope(q, k, positions, cfg: ArchConfig):
@@ -220,6 +241,64 @@ class KVCache:
 # ---------------------------------------------------------------------------
 
 
+def _mla_interleave_to_halves(x: jnp.ndarray) -> jnp.ndarray:
+    """DeepSeek/MiniCPM3 MLA rope pre-permutation: the checkpoint stores the
+    rope dims interleaved; the official code does
+    ``view(..., d/2, 2).transpose(-1, -2).reshape(..., d)`` (even indices
+    first) before the neox-style rotate-half."""
+    *lead, dr = x.shape
+    return x.reshape(*lead, dr // 2, 2).swapaxes(-1, -2).reshape(*lead, dr)
+
+
+def _mla_qkv(bp, x, positions, cfg: ArchConfig, backend, capture):
+    """Multi-head latent attention q/k/v (minicpm3, reference
+    modeling/minicpm3.py:8-15; module structure follows the official
+    MiniCPM3Attention): low-rank q (q_a -> norm -> q_b) and kv
+    (kv_a_proj_with_mqa -> [latent | shared k_pe], norm -> kv_b), rope only
+    on the qk_rope_head_dim tail, per-head K = [k_nope | k_pe]. Returns
+    (q [B,T,H,d], k [B,T,H,d], v [B,T,H,d] zero-padded from v_head_dim),
+    d = qk_nope_head_dim + qk_rope_head_dim = cfg.head_dim."""
+    b, t, _ = x.shape
+    h = cfg.num_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d = dn + dr
+    rkv = cfg.kv_lora_rank
+
+    if capture is not None:
+        capture["q_a_proj"] = capture["kv_a_proj"] = x
+    qa = apply_linear(bp["q_a_proj"], x, backend)
+    qa = rms_norm(qa, bp["q_a_norm"]["weight"], cfg.norm_eps)
+    if capture is not None:
+        capture["q_b_proj"] = qa
+    q = apply_linear(bp["q_b_proj"], qa, backend).reshape(b, t, h, d)
+
+    kva = apply_linear(bp["kv_a_proj"], x, backend)          # [B,T,rkv+dr]
+    kv_lat, k_pe = kva[..., :rkv], kva[..., rkv:]
+    kv_lat = rms_norm(kv_lat, bp["kv_a_norm"]["weight"], cfg.norm_eps)
+    if capture is not None:
+        capture["kv_b_proj"] = kv_lat
+    kv = apply_linear(bp["kv_b_proj"], kv_lat, backend).reshape(b, t, h, dn + dv)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+
+    # rope on the pe tails (checkpoint stores them interleaved)
+    q_pe = _mla_interleave_to_halves(q[..., dn:])            # [B,T,H,dr]
+    k_pe = _mla_interleave_to_halves(k_pe)[:, :, None, :]    # [B,T,1,dr]
+    cos, sin = _rope_freqs(cfg, positions, dr)               # [B,T,dr/2]
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+
+    def rot(xr):
+        x1, x2 = xr[..., : dr // 2], xr[..., dr // 2:]
+        return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    q_pe = rot(q_pe.astype(jnp.float32)).astype(x.dtype)
+    k_pe = rot(k_pe.astype(jnp.float32)).astype(x.dtype)
+
+    q = jnp.concatenate([q[..., :dn], q_pe], axis=-1)
+    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (b, t, h, dr))], -1)
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d - dv)))
+    return q, k, v
+
+
 def attention(
     bp: dict,
     x: jnp.ndarray,                     # [B, T, H*D?] hidden
@@ -234,15 +313,19 @@ def attention(
     b, t, _ = x.shape
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    if capture is not None:
-        capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
+    if cfg.attn_variant == "mla":
+        q, k, v = _mla_qkv(bp, x, positions, cfg, backend, capture)
+        hkv = h  # MLA materializes per-head K/V (latent-cache is future work)
+    else:
+        if capture is not None:
+            capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
 
-    q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
-    k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
-    v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
+        q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
+        k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
+        v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
 
-    if cfg.pos_embedding in ("rope", "rope_gptj"):
-        q, k = apply_rope(q, k, positions, cfg)
+        if cfg.pos_embedding in ("rope", "rope_gptj"):
+            q, k = apply_rope(q, k, positions, cfg)
 
     # Causality is computed in cache-SLOT space (uniform across the batch,
     # works with left padding); logical positions feed only RoPE/learned-pos.
@@ -308,7 +391,12 @@ def attention(
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhrts,bshd->bthrd", probs, values.astype(jnp.float32))
-    out = out.reshape(b, t, h * d).astype(x.dtype)
+    if cfg.attn_variant == "mla":
+        # V was zero-padded to head_dim for the uniform cache; slice back.
+        out = out[..., : cfg.v_head_dim]
+        out = out.reshape(b, t, h * cfg.v_head_dim).astype(x.dtype)
+    else:
+        out = out.reshape(b, t, h * d).astype(x.dtype)
     if capture is not None:
         capture["o_proj"] = out
     out = apply_linear(bp["o_proj"], out, backend)
@@ -470,19 +558,22 @@ def block_forward(
     attn_out, kv = attention(
         bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask, attn_cap
     )
+    rs = cfg.residual_scale  # minicpm: scale_depth / sqrt(num_layers)
     if cfg.parallel_block:
         h_mlp = apply_norm(bp["post_norm"], x, cfg) if cfg.parallel_norms else h
         mlp_out = mlp(bp["mlp"], h_mlp, cfg, backend, mlp_cap)
+        if rs is not None:
+            attn_out, mlp_out = attn_out * rs, mlp_out * rs
         x = x + attn_out + mlp_out
     else:
         if cfg.post_sublayer_norms:  # gemma2 sandwich norms
             attn_out = apply_norm(bp["post_attn_norm"], attn_out, cfg)
-        x = x + attn_out
+        x = x + (attn_out if rs is None else attn_out * rs)
         h2 = apply_norm(bp["post_norm"], x, cfg)
         mlp_out = mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
         if cfg.post_sublayer_norms:
             mlp_out = apply_norm(bp["post_ffn_norm"], mlp_out, cfg)
-        x = x + mlp_out
+        x = x + (mlp_out if rs is None else mlp_out * rs)
 
     if capture is not None:
         for k, v in attn_cap.items():
@@ -496,6 +587,8 @@ def embed(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cfg: ArchCo
     x = params["embed_tokens"][tokens].astype(dtype)
     if cfg.scale_embedding:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
+    if cfg.embed_scale is not None:  # minicpm scale_emb
+        x = x * jnp.asarray(cfg.embed_scale, dtype)
     if cfg.pos_embedding == "learned":
         x = x + params["embed_positions"][positions + cfg.pos_offset].astype(dtype)
     if cfg.embed_norm:

@@ -187,7 +187,7 @@ register(
     )
 )
 
-for _mt in ("mistral", "yi", "deci", "internlm", "xverse", "baichuan"):
+for _mt in ("mistral", "yi", "deci", "internlm", "xverse"):
     register(
         FamilySpec(
             model_type=_mt,
@@ -200,6 +200,54 @@ for _mt in ("mistral", "yi", "deci", "internlm", "xverse", "baichuan"):
             quant_layers=_LLAMA_QUANT,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Baichuan (reference modeling/baichuan.py): llama-style decoder with a FUSED
+# W_pack qkv ([q|k|v] concat). Baichuan-7B (hidden 4096) uses RoPE;
+# Baichuan-13B (hidden 5120) uses alibi and no rotary — the HF config carries
+# no explicit flag, so we follow the official modeling code's size split.
+# The reference quantizes W_pack as one module (baichuan.py:8-13); we
+# quantize the split columns (identical math: all three share the same
+# input, hence the same Hessian) and re-merge on save for checkpoint parity.
+# ---------------------------------------------------------------------------
+
+
+def _baichuan_arch(c: dict) -> ArchConfig:
+    alibi = c["hidden_size"] >= 5120
+    return _llama_arch(
+        c,
+        model_type="baichuan",
+        pos_embedding="alibi" if alibi else "rope",
+        max_position_embeddings=c.get(
+            "model_max_length", c.get("max_position_embeddings", 4096)
+        ),
+    )
+
+
+register(
+    FamilySpec(
+        model_type="baichuan",
+        arch_fn=_baichuan_arch,
+        layers_prefix="model.layers",
+        block_linears={
+            "attn.o_proj": "self_attn.o_proj",
+            "mlp.gate_proj": "mlp.gate_proj",
+            "mlp.up_proj": "mlp.up_proj",
+            "mlp.down_proj": "mlp.down_proj",
+        },
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.q_proj", "attn.k_proj", "attn.v_proj"],
+            ["attn.o_proj"],
+            ["mlp.up_proj", "mlp.gate_proj"],
+            ["mlp.down_proj"],
+        ],
+        fused_qkv=FusedQKV("self_attn.W_pack", "concat"),
+    )
+)
 
 
 def _qwen2_arch(c: dict) -> ArchConfig:
@@ -1201,6 +1249,99 @@ register(
         top_tensors=_LLAMA_TOP,
         lm_head="lm_head",
         quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# MiniCPM3 (reference modeling/minicpm3.py): MLA attention (low-rank q and
+# kv with a shared rope tail), minicpm residual/embedding/logit scalings,
+# longrope factors. Five quantization sublists mirror minicpm3.py:8-15.
+# ---------------------------------------------------------------------------
+
+
+def _minicpm3_arch(c: dict) -> ArchConfig:
+    import math
+
+    heads = c["num_attention_heads"]
+    dn, dr = c["qk_nope_head_dim"], c["qk_rope_head_dim"]
+    rope_factors = None
+    attn_factor = None
+    rs = c.get("rope_scaling") or {}
+    if rs.get("type") == "longrope" or "long_factor" in rs:
+        # static choice: short_factor covers contexts up to the original
+        # pretraining length (the common case for PPL/benchmarks)
+        rope_factors = tuple(rs.get("short_factor") or rs.get("long_factor"))
+        orig = rs.get("original_max_position_embeddings", c.get("max_position_embeddings", 2048))
+        scale = c.get("max_position_embeddings", orig) / orig
+        if scale > 1:
+            attn_factor = math.sqrt(1 + math.log(scale) / math.log(orig))
+    return ArchConfig(
+        model_type="minicpm3",
+        vocab_size=c["vocab_size"],
+        hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=heads,
+        head_dim=dn + dr,
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c.get("max_position_embeddings", 2048),
+        norm_type="rmsnorm",
+        norm_eps=c.get("rms_norm_eps", 1e-6),
+        pos_embedding="rope",
+        rope_theta=c.get("rope_theta", 10000.0),
+        mlp_act="silu_glu",
+        tie_word_embeddings=c.get("tie_word_embeddings", False),
+        attn_variant="mla",
+        q_lora_rank=c["q_lora_rank"],
+        kv_lora_rank=c["kv_lora_rank"],
+        qk_nope_head_dim=dn,
+        qk_rope_head_dim=dr,
+        v_head_dim=c.get("v_head_dim", dn),
+        embed_scale=c.get("scale_emb"),
+        residual_scale=(
+            c["scale_depth"] / math.sqrt(c["num_hidden_layers"])
+            if c.get("scale_depth") is not None else None
+        ),
+        logit_scale=(
+            c["dim_model_base"] / c["hidden_size"]
+            if c.get("dim_model_base") else None
+        ),
+        rope_factors=rope_factors,
+        rope_attn_factor=attn_factor,
+    )
+
+
+register(
+    FamilySpec(
+        model_type="minicpm3",
+        arch_fn=_minicpm3_arch,
+        layers_prefix="model.layers",
+        block_linears={
+            "attn.q_a_proj": "self_attn.q_a_proj",
+            "attn.q_b_proj": "self_attn.q_b_proj",
+            "attn.kv_a_proj": "self_attn.kv_a_proj_with_mqa",
+            "attn.kv_b_proj": "self_attn.kv_b_proj",
+            "attn.o_proj": "self_attn.o_proj",
+            "mlp.gate_proj": "mlp.gate_proj",
+            "mlp.up_proj": "mlp.up_proj",
+            "mlp.down_proj": "mlp.down_proj",
+        },
+        block_norms={
+            "input_norm": "input_layernorm",
+            "post_norm": "post_attention_layernorm",
+            "attn.q_a_norm": "self_attn.q_a_layernorm",
+            "attn.kv_a_norm": "self_attn.kv_a_layernorm",
+        },
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=[
+            ["attn.q_a_proj", "attn.kv_a_proj"],
+            ["attn.q_b_proj", "attn.kv_b_proj"],
+            ["attn.o_proj"],
+            ["mlp.gate_proj", "mlp.up_proj"],
+            ["mlp.down_proj"],
+        ],
     )
 )
 

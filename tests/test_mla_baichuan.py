@@ -1,0 +1,278 @@
+"""MiniCPM3 (MLA attention) and Baichuan (fused W_pack) family tests.
+
+Neither family has a native `transformers` class (both are remote-code on
+the Hub and this box is air-gapped), so parity is checked against
+independent NumPy oracles written from the official modeling semantics
+(MiniCPM3Attention / BaichuanAttention), plus quantize->save->reload
+roundtrips through the full pipeline (which exercises the MLA calibration
+captures and the W_pack packed-column merge)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+from safetensors.numpy import save_file  # noqa: E402
+
+from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# tiny configs
+# ---------------------------------------------------------------------------
+
+MCPM = dict(
+    model_type="minicpm3", vocab_size=128, hidden_size=32,
+    num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    rms_norm_eps=1e-6, rope_theta=10000.0, max_position_embeddings=64,
+    q_lora_rank=16, kv_lora_rank=16, qk_nope_head_dim=8,
+    qk_rope_head_dim=8, v_head_dim=8, scale_emb=12.0, scale_depth=1.4,
+    dim_model_base=16,
+)
+
+BCH = dict(
+    model_type="baichuan", vocab_size=128, hidden_size=32,
+    num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+    rms_norm_eps=1e-6, max_position_embeddings=64,
+)
+
+
+def _w(rng, *shape):
+    return (rng.standard_normal(shape) * 0.1).astype(np.float32)
+
+
+def _save_ckpt(path, cfg, tensors):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(cfg, f)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+
+
+def make_minicpm3(rng, path):
+    c = MCPM
+    h, nh = c["hidden_size"], c["num_attention_heads"]
+    dn, dr, dv = c["qk_nope_head_dim"], c["qk_rope_head_dim"], c["v_head_dim"]
+    rq, rkv = c["q_lora_rank"], c["kv_lora_rank"]
+    t = {
+        "model.embed_tokens.weight": _w(rng, c["vocab_size"], h),
+        "model.norm.weight": 1 + 0.1 * _w(rng, h),
+        "lm_head.weight": _w(rng, c["vocab_size"], h),
+    }
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        t[f"{p}.self_attn.q_a_proj.weight"] = _w(rng, rq, h)
+        t[f"{p}.self_attn.q_a_layernorm.weight"] = 1 + 0.1 * _w(rng, rq)
+        t[f"{p}.self_attn.q_b_proj.weight"] = _w(rng, nh * (dn + dr), rq)
+        t[f"{p}.self_attn.kv_a_proj_with_mqa.weight"] = _w(rng, rkv + dr, h)
+        t[f"{p}.self_attn.kv_a_layernorm.weight"] = 1 + 0.1 * _w(rng, rkv)
+        t[f"{p}.self_attn.kv_b_proj.weight"] = _w(rng, nh * (dn + dv), rkv)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(rng, h, nh * dv)
+        t[f"{p}.input_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.post_attention_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.up_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.down_proj.weight"] = _w(rng, h, c["intermediate_size"])
+    _save_ckpt(path, c, t)
+    return t
+
+
+def make_baichuan(rng, path):
+    c = BCH
+    h = c["hidden_size"]
+    t = {
+        "model.embed_tokens.weight": _w(rng, c["vocab_size"], h),
+        "model.norm.weight": 1 + 0.1 * _w(rng, h),
+        "lm_head.weight": _w(rng, c["vocab_size"], h),
+    }
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        t[f"{p}.self_attn.W_pack.weight"] = _w(rng, 3 * h, h)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(rng, h, h)
+        t[f"{p}.input_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.post_attention_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.up_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.down_proj.weight"] = _w(rng, h, c["intermediate_size"])
+    _save_ckpt(path, c, t)
+    return t
+
+
+# ---------------------------------------------------------------------------
+# NumPy oracles (written from the official modeling code semantics)
+# ---------------------------------------------------------------------------
+
+
+def np_rms(x, w, eps=1e-6):
+    return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * w
+
+
+def np_rope_halves(x, pos, dr, theta=10000.0):
+    """neox-style rotate-half over the last dr dims; x [B,T,H,dr]."""
+    inv = 1.0 / theta ** (np.arange(0, dr, 2, dtype=np.float64) / dr)
+    ang = pos[..., None] * inv                     # [B,T,dr/2]
+    cos, sin = np.cos(ang)[:, :, None, :], np.sin(ang)[:, :, None, :]
+    x1, x2 = x[..., : dr // 2], x[..., dr // 2:]
+    return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+
+def _softmax_causal(logits):
+    # logits [B,H,T,S], causal over the last two dims
+    t, s = logits.shape[-2:]
+    mask = np.tril(np.ones((t, s), bool))
+    logits = np.where(mask, logits, -1e30)
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+def oracle_minicpm3(t, ids):
+    c = MCPM
+    h, nh, L = c["hidden_size"], c["num_attention_heads"], c["num_hidden_layers"]
+    dn, dr, dv = c["qk_nope_head_dim"], c["qk_rope_head_dim"], c["v_head_dim"]
+    rkv = c["kv_lora_rank"]
+    d = dn + dr
+    rs = c["scale_depth"] / np.sqrt(L)
+    b, tt = ids.shape
+    pos = np.broadcast_to(np.arange(tt, dtype=np.float64)[None], (b, tt))
+
+    def perm(z):  # official interleave -> halves pre-permutation
+        s = z.shape
+        return z.reshape(*s[:-1], dr // 2, 2).swapaxes(-1, -2).reshape(*s)
+
+    x = t["model.embed_tokens.weight"][ids].astype(np.float64) * c["scale_emb"]
+    for i in range(L):
+        p = f"model.layers.{i}"
+        hh = np_rms(x, t[f"{p}.input_layernorm.weight"])
+        qa = np_rms(hh @ t[f"{p}.self_attn.q_a_proj.weight"].T,
+                    t[f"{p}.self_attn.q_a_layernorm.weight"])
+        q = (qa @ t[f"{p}.self_attn.q_b_proj.weight"].T).reshape(b, tt, nh, d)
+        kva = hh @ t[f"{p}.self_attn.kv_a_proj_with_mqa.weight"].T
+        lat, kpe = kva[..., :rkv], kva[..., rkv:]
+        lat = np_rms(lat, t[f"{p}.self_attn.kv_a_layernorm.weight"])
+        kv = (lat @ t[f"{p}.self_attn.kv_b_proj.weight"].T).reshape(b, tt, nh, dn + dv)
+        k_nope, v = kv[..., :dn], kv[..., dn:]
+        q_pe = np_rope_halves(perm(q[..., dn:]), pos, dr)
+        kpe_r = np_rope_halves(perm(kpe)[:, :, None, :], pos, dr)
+        qf = np.concatenate([q[..., :dn], q_pe], -1)
+        kf = np.concatenate([k_nope, np.broadcast_to(kpe_r, (b, tt, nh, dr))], -1)
+        logits = np.einsum("bthd,bshd->bhts", qf, kf) / np.sqrt(d)
+        att = _softmax_causal(logits)
+        o = np.einsum("bhts,bshd->bthd", att, v).reshape(b, tt, nh * dv)
+        x = x + (o @ t[f"{p}.self_attn.o_proj.weight"].T) * rs
+        h2 = np_rms(x, t[f"{p}.post_attention_layernorm.weight"])
+        g = h2 @ t[f"{p}.mlp.gate_proj.weight"].T
+        u = h2 @ t[f"{p}.mlp.up_proj.weight"].T
+        silu = g / (1 + np.exp(-g)) * u
+        x = x + (silu @ t[f"{p}.mlp.down_proj.weight"].T) * rs
+    x = np_rms(x, t["model.norm.weight"])
+    return (x @ t["lm_head.weight"].T) * (c["dim_model_base"] / h)
+
+
+def oracle_baichuan(t, ids):
+    c = BCH
+    h, nh, L = c["hidden_size"], c["num_attention_heads"], c["num_hidden_layers"]
+    d = h // nh
+    b, tt = ids.shape
+    pos = np.broadcast_to(np.arange(tt, dtype=np.float64)[None], (b, tt))
+    x = t["model.embed_tokens.weight"][ids].astype(np.float64)
+    for i in range(L):
+        p = f"model.layers.{i}"
+        hh = np_rms(x, t[f"{p}.input_layernorm.weight"])
+        qkv = hh @ t[f"{p}.self_attn.W_pack.weight"].T        # [B,T,3H]
+        q = qkv[..., :h].reshape(b, tt, nh, d)
+        k = qkv[..., h:2 * h].reshape(b, tt, nh, d)
+        v = qkv[..., 2 * h:].reshape(b, tt, nh, d)
+        q = np_rope_halves(q, pos, d)
+        k = np_rope_halves(k, pos, d)
+        att = _softmax_causal(np.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d))
+        o = np.einsum("bhts,bshd->bthd", att, v).reshape(b, tt, h)
+        x = x + o @ t[f"{p}.self_attn.o_proj.weight"].T
+        h2 = np_rms(x, t[f"{p}.post_attention_layernorm.weight"])
+        g = h2 @ t[f"{p}.mlp.gate_proj.weight"].T
+        u = h2 @ t[f"{p}.mlp.up_proj.weight"].T
+        x = x + ((g / (1 + np.exp(-g)) * u) @ t[f"{p}.mlp.down_proj.weight"].T)
+    x = np_rms(x, t["model.norm.weight"])
+    return x @ t["lm_head.weight"].T
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_minicpm3_forward_oracle(tmp_path, rng):
+    t = make_minicpm3(rng, str(tmp_path))
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(2, 9)).astype(np.int32)
+    ref = oracle_minicpm3(t, ids)
+    ours = np.asarray(model.forward(ids))
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(ours - ref).mean() < 2e-3
+
+
+def test_minicpm3_quantize_roundtrip(tmp_path, rng):
+    make_minicpm3(rng, str(tmp_path / "fp"))
+    qc = BaseQuantizeConfig(bits=4, group_size=8, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    examples = [{"input_ids": rng.integers(0, 128, size=(16,))} for _ in range(2)]
+    model.quantize(examples)
+    model.save_quantized(str(tmp_path / "q"))
+    from safetensors import safe_open
+
+    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+        names = set(f.keys())
+    # all five MLA linears quantized under their HF names (minicpm3.py:8-15)
+    for mod in ("q_a_proj", "q_b_proj", "kv_a_proj_with_mqa", "kv_b_proj", "o_proj"):
+        assert f"model.layers.0.self_attn.{mod}.qweight" in names
+    reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_baichuan_forward_oracle(tmp_path, rng):
+    t = make_baichuan(rng, str(tmp_path))
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(2, 9)).astype(np.int32)
+    ref = oracle_baichuan(t, ids)
+    ours = np.asarray(model.forward(ids))
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(ours - ref).mean() < 2e-3
+
+
+def test_baichuan_13b_alibi_config():
+    from autogptq_tpu.models.registry import get_family
+
+    spec = get_family("baichuan")
+    cfg13 = spec.arch_fn(dict(BCH, hidden_size=5120, num_attention_heads=40,
+                              num_hidden_layers=40, intermediate_size=13696,
+                              model_max_length=4096))
+    assert cfg13.pos_embedding == "alibi"
+    assert cfg13.max_position_embeddings == 4096
+    cfg7 = spec.arch_fn(BCH)
+    assert cfg7.pos_embedding == "rope"
+
+
+def test_baichuan_quantize_roundtrip_wpack(tmp_path, rng):
+    make_baichuan(rng, str(tmp_path / "fp"))
+    qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    examples = [{"input_ids": rng.integers(0, 128, size=(16,))} for _ in range(2)]
+    model.quantize(examples)
+    model.save_quantized(str(tmp_path / "q"))
+    from safetensors import safe_open
+
+    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+        names = set(f.keys())
+    # saved under the fused reference name (baichuan.py:8-13)
+    assert "model.layers.0.self_attn.W_pack.qweight" in names
+    assert not any("q_proj" in n for n in names)
+    reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
+        rtol=2e-3, atol=2e-3,
+    )
