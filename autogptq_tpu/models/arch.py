@@ -391,6 +391,22 @@ def attention(
 
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhrts,bshd->bthrd", probs, values.astype(jnp.float32))
+    if "adaption" in bp and cfg.attn_variant != "mla":
+        # LLaMA-Adapter adaption prompt (peft AdaptedAttention semantics):
+        # prompt rows through the frozen k/v projections (NO rope on the
+        # adapter keys), separate softmax over the prompt length, added with
+        # a zero-init gate. q here is already post-rope, matching peft's
+        # compute_query_states.
+        ad = bp["adaption"]
+        plen = ad.prompt.shape[0]
+        pr = ad.prompt[None].astype(x.dtype)                  # [1, P, hidden]
+        kp = apply_linear(bp["k_proj"], pr, backend).reshape(1, plen, hkv, d)
+        vp = apply_linear(bp["v_proj"], pr, backend).reshape(1, plen, hkv, d)
+        ascore = jnp.einsum(
+            "bthrd,xphd->bhrtp", qh.astype(jnp.float32), kp.astype(jnp.float32)
+        ) * scale
+        aprobs = jax.nn.softmax(ascore, axis=-1) * ad.gate.astype(jnp.float32)
+        out = out + jnp.einsum("bhrtp,xphd->bthrd", aprobs, vp.astype(jnp.float32))
     if cfg.attn_variant == "mla":
         # V was zero-padded to head_dim for the uniform cache; slice back.
         out = out[..., : cfg.v_head_dim]

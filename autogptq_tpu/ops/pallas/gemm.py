@@ -304,12 +304,16 @@ def matmul_pallas(
     *,
     interpret: bool = False,
     bm: int = 256,
-    bnh: int = 2048,
+    bnh: int = 1024,
     dot_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    # bnh default 2048: wide tiles make the uint8 weight DMA contiguous
-    # (measured 452 GB/s vs 310 GB/s at bnh=512 on v5e); ragged last tiles
-    # are handled by Pallas block masking.
+    # bnh default 1024: for the kpair layout, narrower N tiles reduce VMEM
+    # pressure (double-buffered wp + the bf16-decoded tile) and pipeline
+    # DMA/compute at finer granularity — measured 711 GB/s vs 521 at
+    # bnh=2048 and 387 at bnh=4096 (same-run comparison, v5e). The planar
+    # layout preferred wide tiles because its plane columns made narrow
+    # DMAs strided; kpair rows are contiguous along N so 512KB blocks are
+    # already DMA-efficient.
     """Fused quantized matmul. ``x``: [..., K] -> [..., N]."""
     if ql.kperm is not None:
         x = jnp.take(x, ql.kperm, axis=-1)

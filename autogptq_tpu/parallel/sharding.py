@@ -155,6 +155,10 @@ def param_pspecs(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp")
                         en: _stacked_specs(sn, _COLUMN[en], tp_axis, "ep" if "ep" in mesh.shape else None)
                         for en, sn in node.items()
                     }
+                elif name == "adaption":  # adaption-prompt PEFT node
+                    from ..utils.peft import AdaptionPrompt
+
+                    sec[name] = AdaptionPrompt(prompt=P(None, None), gate=P())
                 else:
                     sec[name] = _linear_specs(node, _COLUMN[name], tp_axis, tp_size)
             bs[section] = sec

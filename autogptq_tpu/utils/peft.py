@@ -50,6 +50,49 @@ class GPTQLoraConfig:
         return self.lora_alpha / self.r
 
 
+@struct.dataclass
+class AdaptionPrompt:
+    """LLaMA-Adapter-style adaption prompt for one attention block
+    (reference third PEFT mode: peft.AdaptionPromptConfig routed through
+    get_gptq_peft_model, peft_utils.py:354-422). ``prompt`` rows are fed
+    through the block's frozen k/v projections; the zero-initialized
+    ``gate`` makes injection an exact identity at step 0."""
+
+    prompt: jnp.ndarray   # [adapter_len, hidden]
+    gate: jnp.ndarray     # scalar, init 0
+
+
+@dataclasses.dataclass
+class AdaptionPromptConfig:
+    adapter_len: int = 10
+    adapter_layers: int = 30   # top-N layers get prompts
+
+
+def inject_adaption_prompt(params: dict, pcfg: AdaptionPromptConfig, seed: int = 0) -> dict:
+    """Add AdaptionPrompt nodes to the TOP ``adapter_layers`` blocks."""
+    key = jax.random.PRNGKey(seed)
+    n_layers = len(params["layers"])
+    first = max(0, n_layers - pcfg.adapter_layers)
+    new_layers = []
+    for i, block in enumerate(params["layers"]):
+        block = dict(block)
+        if i >= first and "attn" in block:
+            key, sub = jax.random.split(key)
+            # infer hidden width from the q_proj input side
+            qp = block["attn"]["q_proj"]
+            hidden = qp.in_features if hasattr(qp, "in_features") else qp.kernel.shape[0]
+            attn = dict(block["attn"])
+            attn["adaption"] = AdaptionPrompt(
+                prompt=jax.random.normal(sub, (pcfg.adapter_len, hidden), jnp.float32) * 0.02,
+                gate=jnp.zeros((), jnp.float32),
+            )
+            block["attn"] = attn
+        new_layers.append(block)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
 def apply_lora(p: LoraLinear, x: jnp.ndarray, backend: str = "auto",
                dropout_rng=None, dropout_rate: float = 0.0) -> jnp.ndarray:
     from ..models.arch import apply_linear
@@ -132,6 +175,8 @@ def split_lora_params(params: dict) -> tuple[dict, dict]:
             return {"lora_a": node.lora_a, "lora_e": node.lora_e, "lora_b": node.lora_b}
         if isinstance(node, LoraLinear):
             return {"lora_a": node.lora_a, "lora_b": node.lora_b}
+        if isinstance(node, AdaptionPrompt):
+            return {"prompt": node.prompt, "gate": node.gate}
         if isinstance(node, dict):
             sub = {k: extract(v) for k, v in node.items()}
             return {k: v for k, v in sub.items() if v} or None
@@ -163,6 +208,8 @@ def merge_lora_params(params: dict, trainable: dict) -> dict:
                 lora_b=tnode["lora_b"],
                 scaling=node.scaling,
             )
+        if isinstance(node, AdaptionPrompt):
+            return AdaptionPrompt(prompt=tnode["prompt"], gate=tnode["gate"])
         if isinstance(node, dict):
             return {
                 k: merge(v, tnode.get(k)) if isinstance(tnode, dict) and tnode.get(k) is not None else v
@@ -290,6 +337,9 @@ def save_adapter(model, save_dir: str, spec=None) -> None:
 
 
 __all__ = [
+    "AdaptionPrompt",
+    "AdaptionPromptConfig",
+    "inject_adaption_prompt",
     "LoraLinear",
     "GPTQLoraConfig",
     "apply_lora",

@@ -18,11 +18,13 @@ import jax.numpy as jnp  # noqa: E402
 from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# sitecustomize forces jax onto CPU inside the subprocesses (the axon TPU
+# plugin ignores JAX_PLATFORMS=cpu; without this the examples would fight
+# over the single tunneled TPU and run ~10x slower).
 ENV = dict(
     os.environ,
     XLA_FLAGS="--xla_force_host_platform_device_count=1",
-    JAX_PLATFORMS="",  # conftest's CPU forcing doesn't apply to subprocesses
-    PYTHONPATH=REPO,
+    PYTHONPATH=os.pathsep.join([os.path.join(REPO, "tests", "_force_cpu"), REPO]),
 )
 
 
@@ -124,3 +126,12 @@ def test_example_quant_with_alpaca(tiny_model, tiny_data, tmp_path):
                 "--data", tiny_data["inst"], "--group_size", "16",
                 "--num_samples", "4", "--batch_size", "2"])
     assert "saved" in out
+
+
+def test_example_adaption_prompt_training(tiny_model, tiny_data, tmp_path):
+    out = _run(["examples/peft/peft_adaption_prompt_clm_instruction_tuning.py",
+                "--quantized_model_dir", tiny_model["q"],
+                "--data", tiny_data["inst"], "--out", str(tmp_path / "adapter"),
+                "--adapter_len", "4", "--adapter_layers", "2",
+                "--block_max_len", "64", "--batch_size", "2"])
+    assert "adapter saved" in out

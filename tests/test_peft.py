@@ -139,3 +139,46 @@ def test_adalora_training_and_prune(rng):
     node = merged["layers"][0]["attn"]["q_proj"]
     pruned = peft.adalora_prune(node, 4)
     assert int(np.asarray(pruned.rank_mask).sum()) == 4
+
+
+def test_adaption_prompt_identity_and_training(rng):
+    """Zero-init gate => exact identity; 30 steps reduce loss (the
+    reference criterion applied to the adaption-prompt PEFT mode)."""
+    params, cfg = _quantized_model()
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+    base_logits, _ = arch.forward(params, tokens, cfg, backend="xla", dtype=jnp.float32)
+
+    pcfg = peft.AdaptionPromptConfig(adapter_len=4, adapter_layers=2)
+    lparams = peft.inject_adaption_prompt(params, pcfg)
+    ad_logits, _ = arch.forward(lparams, tokens, cfg, backend="xla", dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(ad_logits), np.asarray(base_logits), rtol=1e-5, atol=1e-5
+    )
+
+    trainable, _ = peft.split_lora_params(lparams)
+    assert any("adaption" in str(b) or (b and "attn" in b) for b in trainable["layers"])
+
+    import optax
+
+    def loss_fn(trainable, tokens):
+        p = peft.merge_lora_params(lparams, trainable)
+        logits, _ = arch.forward(p, tokens, cfg, backend="xla", dtype=jnp.float32)
+        lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+        nll = -jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(trainable)
+
+    @jax.jit
+    def step(trainable, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, tokens)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(trainable, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        trainable, opt_state, loss = step(trainable, opt_state, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
