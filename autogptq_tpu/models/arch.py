@@ -94,6 +94,9 @@ class ArchConfig:
     # longrope-style per-dim inverse-frequency divisors + attention factor
     rope_factors: Optional[tuple] = None
     rope_attn_factor: Optional[float] = None
+    # DeciLM-style variable GQA: kv heads per layer (num_kv_heads then holds
+    # the max, sizing the uniform KV cache; unused head slots stay zero)
+    num_kv_heads_per_layer: Optional[tuple] = None
 
     @property
     def kv_repeat(self) -> int:
@@ -312,6 +315,8 @@ def attention(
 ):
     b, t, _ = x.shape
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.num_kv_heads_per_layer is not None:
+        hkv = cfg.num_kv_heads_per_layer[layer_idx]
 
     if cfg.attn_variant == "mla":
         q, k, v = _mla_qkv(bp, x, positions, cfg, backend, capture)
@@ -351,6 +356,9 @@ def attention(
             q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
             mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
         keys, values = ck, cv
+        if keys.shape[2] != hkv:  # variable-GQA cache sized for max kv heads
+            keys = keys[:, :, :hkv, :]
+            values = values[:, :, :hkv, :]
         mask = jnp.broadcast_to(mask, (b, t, s))
     else:
         keys, values = k, v

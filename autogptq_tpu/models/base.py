@@ -106,7 +106,10 @@ class GPTQModel:
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
-        tensors = hf_io.load_tensors(model_dir)
+        # lazy (mmap-backed) tensor view: peak host memory stays near one
+        # tensor at a time — required for 70B-class fp checkpoints on this
+        # host (the reference's low_cpu_mem_usage role)
+        tensors = hf_io.open_tensors(model_dir)
         params = params_lib.build_fp_params(tensors, spec, cfg, dtype)
         qc = quantize_config or BaseQuantizeConfig()
         qc.model_name_or_path = model_dir
@@ -134,7 +137,7 @@ class GPTQModel:
             tensors = marlin_compat.convert_checkpoint_marlin_to_gptq(raw, qc.group_size)
             qc.checkpoint_format = "gptq"
         else:
-            tensors = hf_io.load_tensors(model_dir, qc.model_file_base_name)
+            tensors = hf_io.open_tensors(model_dir, qc.model_file_base_name)
         params = params_lib.build_quantized_params(
             tensors, spec, cfg, qc.bits, qc.group_size, dtype
         )
@@ -149,8 +152,18 @@ class GPTQModel:
         examples: Sequence[dict],
         batch_size: int = 1,
         calib_dtype=jnp.float32,
+        checkpoint_dir: Optional[str] = None,
     ) -> None:
         """Run GPTQ calibration over ``examples`` (list of {"input_ids"}).
+
+        ``checkpoint_dir`` makes the run RESUMABLE (net-new vs the reference,
+        whose quantize() is one monolithic pass — SURVEY §5): each completed
+        decoder layer's packed tensors are written to
+        ``{checkpoint_dir}/layer_{i}.safetensors`` plus a ``state.json``
+        progress marker. Re-invoking quantize() with the same directory
+        restores the completed layers and re-forwards the calibration
+        activations through them (activations are recomputed, not stored),
+        then continues from the first unfinished layer.
 
         Follows the reference flow (modeling/_base.py:176-396): capture layer-0
         inputs, then per decoder block accumulate Hessians per
@@ -215,7 +228,27 @@ class GPTQModel:
         timer = PhaseTimer()
         avg_losses = []
         t_start = time.time()
+
+        # --- resume support -------------------------------------------------
+        resume_from = 0
+        if checkpoint_dir is not None:
+            resume_from = self._restore_quant_checkpoint(checkpoint_dir, qc)
+            if resume_from:
+                logger.info(
+                    "resuming quantization from layer %d (checkpoint %s)",
+                    resume_from, checkpoint_dir,
+                )
+                with timer.phase("resume_reforward"):
+                    for li in range(resume_from):
+                        for bi in range(len(batches)):
+                            hidden[bi] = block_apply(
+                                self.params["layers"][li], hidden[bi],
+                                positions[bi], masks[bi],
+                            )
+
         for li, block in enumerate(self.params["layers"]):
+            if li < resume_from:
+                continue
             block = dict(block)  # shallow copy we mutate as sublists quantize
             for sublist in quant_sublists:
                 present = [p for p in sublist if self._has_path(block, p)]
@@ -262,6 +295,8 @@ class GPTQModel:
                 for bi in range(len(batches)):
                     hidden[bi] = block_apply(block, hidden[bi], positions[bi], masks[bi])
             self.params["layers"][li] = block
+            if checkpoint_dir is not None:
+                self._save_quant_checkpoint(checkpoint_dir, li, qc)
 
         timer.log("quantize")
         logger.info(
@@ -271,6 +306,82 @@ class GPTQModel:
             float(np.mean(avg_losses)) if avg_losses else float("nan"),
         )
         self.quantized = True
+
+    def _save_quant_checkpoint(self, checkpoint_dir: str, li: int, qc) -> None:
+        """Write layer li's packed tensors + advance the progress marker."""
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        tensors: dict = {}
+        prefix = f"{li}."
+        for key, pk in self.packed_layers.items():
+            if not key.startswith(prefix):
+                continue
+            path = key[len(prefix):]
+            tensors[f"{path}.qweight"] = np.asarray(pk.qweight).astype(np.int32)
+            tensors[f"{path}.qzeros"] = np.asarray(pk.qzeros).astype(np.int32)
+            tensors[f"{path}.scales"] = np.asarray(pk.scales).astype(np.float16)
+            tensors[f"{path}.g_idx"] = np.asarray(pk.g_idx).astype(np.int32)
+            if pk.bias is not None:
+                tensors[f"{path}.bias"] = np.asarray(pk.bias)
+        hf_io.save_safetensors(
+            tensors, os.path.join(checkpoint_dir, f"layer_{li}.safetensors")
+        )
+        state = {
+            "next_layer": li + 1,
+            "num_layers": self.cfg.num_layers,
+            "quantize_config": qc.to_dict(),
+        }
+        tmp = os.path.join(checkpoint_dir, "state.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, os.path.join(checkpoint_dir, "state.json"))
+
+    def _restore_quant_checkpoint(self, checkpoint_dir: str, qc) -> int:
+        """Load completed layers from a quantize checkpoint; return the first
+        unfinished layer index (0 if nothing to resume)."""
+        state_path = os.path.join(checkpoint_dir, "state.json")
+        if not os.path.isfile(state_path):
+            return 0
+        with open(state_path) as f:
+            state = json.load(f)
+        saved_qc = state.get("quantize_config", {})
+        ours = qc.to_dict()
+        for k in ("bits", "group_size", "desc_act", "sym", "static_groups"):
+            if saved_qc.get(k) != ours.get(k):
+                raise ValueError(
+                    f"quantize checkpoint {checkpoint_dir} was produced with "
+                    f"{k}={saved_qc.get(k)!r}, current config has {ours.get(k)!r}"
+                )
+        next_layer = int(state["next_layer"])
+        from safetensors import safe_open
+
+        for li in range(next_layer):
+            fpath = os.path.join(checkpoint_dir, f"layer_{li}.safetensors")
+            if not os.path.isfile(fpath):
+                return li  # truncated checkpoint: resume from the gap
+            groups: dict[str, dict] = {}
+            with safe_open(fpath, framework="np") as f:
+                for name in f.keys():
+                    path, field = name.rsplit(".", 1)
+                    groups.setdefault(path, {})[field] = f.get_tensor(name)
+            block = dict(self.params["layers"][li])
+            for path, t in groups.items():
+                qweight = t["qweight"]
+                k = qweight.shape[0] * 32 // qc.bits
+                pk = qlin.PackedQuantLinear(
+                    qweight=qweight,
+                    qzeros=t["qzeros"],
+                    scales=t["scales"],
+                    g_idx=t["g_idx"],
+                    bias=t.get("bias"),
+                    bits=qc.bits,
+                    group_size=qc.group_size,
+                    in_features=k,
+                    out_features=qweight.shape[1],
+                )
+                self.packed_layers[f"{li}.{path}"] = pk
+                params_lib.set_in_block(block, path, qlin.from_packed(pk))
+            self.params["layers"][li] = block
+        return next_layer
 
     @staticmethod
     def _has_path(block: dict, path: str) -> bool:

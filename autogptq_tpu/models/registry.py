@@ -187,7 +187,36 @@ register(
     )
 )
 
-for _mt in ("mistral", "yi", "deci", "internlm", "xverse"):
+def _decilm_arch(c: dict) -> ArchConfig:
+    """DeciLM 6B/7B: llama-compatible except num_key_value_heads_per_layer
+    (variable GQA). The reference handles it via trust_remote_code name
+    lists (modeling/decilm.py); here the engine takes the per-layer list."""
+    per_layer = c.get("num_key_value_heads_per_layer")
+    if per_layer is None:
+        return _llama_arch(c, model_type="deci")
+    cfg = _llama_arch(
+        dict(c, num_key_value_heads=max(per_layer)),
+        model_type="deci",
+        num_kv_heads_per_layer=tuple(per_layer),
+    )
+    return cfg
+
+
+register(
+    FamilySpec(
+        model_type="deci",
+        arch_fn=_decilm_arch,
+        layers_prefix="model.layers",
+        block_linears=_LLAMA_BLOCK_LINEARS,
+        block_norms=_LLAMA_BLOCK_NORMS,
+        top_tensors=_LLAMA_TOP,
+        lm_head="lm_head",
+        quant_layers=_LLAMA_QUANT,
+    )
+)
+
+
+for _mt in ("mistral", "yi", "internlm", "xverse"):
     register(
         FamilySpec(
             model_type=_mt,

@@ -120,6 +120,62 @@ def load_tensors(model_dir: str, basename: str | None = None) -> dict[str, np.nd
     return dict(iter_tensors(find_checkpoint_files(model_dir, basename)))
 
 
+class LazyTensors:
+    """Dict-like view over checkpoint files that materializes tensors on
+    access (safetensors are mmap-backed, so host RSS stays at roughly one
+    tensor at a time instead of the whole checkpoint — the analog of the
+    reference's low_cpu_mem_usage/accelerate staging, modeling/_base.py:893-
+    900 + utils/accelerate_utils.py). A 70B fp16 checkpoint (140GB) loads on
+    this 125GB host only through this path."""
+
+    def __init__(self, files: list[str]):
+        from safetensors import safe_open
+
+        self._handles = []
+        self._index: dict[str, int] = {}
+        self._eager: dict[str, np.ndarray] = {}
+        for path in files:
+            if path.endswith(".safetensors"):
+                h = safe_open(path, framework="np")
+                hi = len(self._handles)
+                self._handles.append((path, h))
+                for name in h.keys():
+                    self._index[name] = hi
+            else:  # torch .bin cannot be partially loaded: eager fallback
+                self._eager.update(dict(_iter_torch_bin(path)))
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index or name in self._eager
+
+    def keys(self):
+        return list(self._index) + list(self._eager)
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __getitem__(self, name: str) -> np.ndarray:
+        if name in self._eager:
+            return self._eager[name]
+        path, h = self._handles[self._index[name]]
+        sl = h.get_slice(name)
+        if str(sl.get_dtype()).lower() in ("bf16", "bfloat16"):
+            import torch
+            from safetensors import safe_open as so_t
+
+            with so_t(path, framework="pt") as ft:
+                return ft.get_tensor(name).float().numpy()
+        return h.get_tensor(name)
+
+    def get(self, name: str, default=None):
+        return self[name] if name in self else default
+
+
+def open_tensors(model_dir: str, basename: str | None = None):
+    """Lazy when possible (safetensors), eager dict otherwise."""
+    files = find_checkpoint_files(model_dir, basename)
+    return LazyTensors(files)
+
+
 def save_safetensors(
     tensors: dict[str, np.ndarray],
     path: str,

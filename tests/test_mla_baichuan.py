@@ -276,3 +276,84 @@ def test_baichuan_quantize_roundtrip_wpack(tmp_path, rng):
         np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
         rtol=2e-3, atol=2e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# DeciLM variable GQA (per-layer kv heads)
+# ---------------------------------------------------------------------------
+
+DECI = dict(
+    model_type="deci", vocab_size=128, hidden_size=32,
+    num_hidden_layers=2, num_attention_heads=4,
+    num_key_value_heads_per_layer=[2, 1], intermediate_size=64,
+    rms_norm_eps=1e-6, max_position_embeddings=64,
+)
+
+
+def make_deci(rng, path):
+    c = DECI
+    h = c["hidden_size"]
+    nh = c["num_attention_heads"]
+    d = h // nh
+    t = {
+        "model.embed_tokens.weight": _w(rng, c["vocab_size"], h),
+        "model.norm.weight": 1 + 0.1 * _w(rng, h),
+        "lm_head.weight": _w(rng, c["vocab_size"], h),
+    }
+    for i, kvh in enumerate(c["num_key_value_heads_per_layer"]):
+        p = f"model.layers.{i}"
+        t[f"{p}.self_attn.q_proj.weight"] = _w(rng, nh * d, h)
+        t[f"{p}.self_attn.k_proj.weight"] = _w(rng, kvh * d, h)
+        t[f"{p}.self_attn.v_proj.weight"] = _w(rng, kvh * d, h)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(rng, h, nh * d)
+        t[f"{p}.input_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.post_attention_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.up_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.down_proj.weight"] = _w(rng, h, c["intermediate_size"])
+    _save_ckpt(path, c, t)
+    return t
+
+
+def oracle_deci(t, ids):
+    c = DECI
+    h, nh, L = c["hidden_size"], c["num_attention_heads"], c["num_hidden_layers"]
+    d = h // nh
+    b, tt = ids.shape
+    pos = np.broadcast_to(np.arange(tt, dtype=np.float64)[None], (b, tt))
+    x = t["model.embed_tokens.weight"][ids].astype(np.float64)
+    for i, kvh in enumerate(c["num_key_value_heads_per_layer"]):
+        p = f"model.layers.{i}"
+        hh = np_rms(x, t[f"{p}.input_layernorm.weight"])
+        q = (hh @ t[f"{p}.self_attn.q_proj.weight"].T).reshape(b, tt, nh, d)
+        k = (hh @ t[f"{p}.self_attn.k_proj.weight"].T).reshape(b, tt, kvh, d)
+        v = (hh @ t[f"{p}.self_attn.v_proj.weight"].T).reshape(b, tt, kvh, d)
+        q = np_rope_halves(q, pos, d)
+        k = np_rope_halves(k, pos, d)
+        rep = nh // kvh
+        k = np.repeat(k, rep, axis=2)
+        v = np.repeat(v, rep, axis=2)
+        att = _softmax_causal(np.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d))
+        o = np.einsum("bhts,bshd->bthd", att, v).reshape(b, tt, h)
+        x = x + o @ t[f"{p}.self_attn.o_proj.weight"].T
+        h2 = np_rms(x, t[f"{p}.post_attention_layernorm.weight"])
+        g = h2 @ t[f"{p}.mlp.gate_proj.weight"].T
+        u = h2 @ t[f"{p}.mlp.up_proj.weight"].T
+        x = x + ((g / (1 + np.exp(-g)) * u) @ t[f"{p}.mlp.down_proj.weight"].T)
+    x = np_rms(x, t["model.norm.weight"])
+    return x @ t["lm_head.weight"].T
+
+
+def test_decilm_variable_gqa_forward(tmp_path, rng):
+    t = make_deci(rng, str(tmp_path))
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert model.cfg.num_kv_heads_per_layer == (2, 1)
+    assert model.cfg.num_kv_heads == 2  # max, sizes the cache
+    ids = rng.integers(0, 128, size=(2, 9)).astype(np.int32)
+    ref = oracle_deci(t, ids)
+    ours = np.asarray(model.forward(ids))
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(ours - ref).mean() < 2e-3
+    # cached generation exercises the padded KV-cache slots
+    out = model.generate(ids[:1, :5], max_new_tokens=4)
+    assert out.shape == (1, 9)

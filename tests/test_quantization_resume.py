@@ -1,0 +1,93 @@
+"""Resumable quantization: interrupt after layer 0, resume, and verify the
+result is bit-identical to an uninterrupted run (net-new capability — the
+reference's quantize() is one monolithic pass, SURVEY §5)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+transformers = pytest.importorskip("transformers")
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig  # noqa: E402
+
+
+def _fp_model(path):
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=2, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    transformers.LlamaForCausalLM(cfg).save_pretrained(path, safe_serialization=True)
+
+
+def _examples(rng, n=3):
+    return [{"input_ids": rng.integers(0, 128, size=(20,))} for _ in range(n)]
+
+
+def test_quantize_resume_bit_identical(tmp_path, rng):
+    _fp_model(tmp_path / "fp")
+    qc = dict(bits=4, group_size=16, desc_act=True)
+
+    # uninterrupted reference run
+    m_ref = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    ex = _examples(np.random.default_rng(7))
+    m_ref.quantize(ex)
+
+    # checkpointed run
+    ckpt = str(tmp_path / "ckpt")
+    m1 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    m1.quantize(_examples(np.random.default_rng(7)), checkpoint_dir=ckpt)
+
+    # simulate an interruption after layer 0: truncate the checkpoint
+    os.remove(os.path.join(ckpt, "layer_1.safetensors"))
+    os.remove(os.path.join(ckpt, "layer_2.safetensors"))
+    with open(os.path.join(ckpt, "state.json")) as f:
+        state = json.load(f)
+    state["next_layer"] = 1
+    with open(os.path.join(ckpt, "state.json"), "w") as f:
+        json.dump(state, f)
+
+    # resume on a FRESH model
+    m2 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    m2.quantize(_examples(np.random.default_rng(7)), checkpoint_dir=ckpt)
+
+    for key, pk_ref in m_ref.packed_layers.items():
+        pk = m2.packed_layers[key]
+        np.testing.assert_array_equal(np.asarray(pk.qweight), np.asarray(pk_ref.qweight), err_msg=key)
+        np.testing.assert_array_equal(np.asarray(pk.qzeros), np.asarray(pk_ref.qzeros), err_msg=key)
+        np.testing.assert_array_equal(
+            np.asarray(pk.scales).view(np.uint16), np.asarray(pk_ref.scales).view(np.uint16), err_msg=key)
+
+    # config mismatch is rejected
+    m3 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"),
+        quantize_config=BaseQuantizeConfig(bits=4, group_size=32, desc_act=True),
+        dtype=jnp.float32)
+    with pytest.raises(ValueError, match="group_size"):
+        m3.quantize(_examples(np.random.default_rng(7)), checkpoint_dir=ckpt)
+
+
+def test_quantize_resume_truncated_gap(tmp_path, rng):
+    """A missing middle layer file resumes from the gap, not the marker."""
+    _fp_model(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=False)
+    ckpt = str(tmp_path / "ckpt")
+    m1 = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    m1.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+    os.remove(os.path.join(ckpt, "layer_1.safetensors"))
+
+    m2 = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    m2.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+    assert set(m2.packed_layers) == set(m1.packed_layers)
+    ids = np.random.default_rng(0).integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(m2.forward(ids)), np.asarray(m1.forward(ids)), rtol=2e-3, atol=2e-3)
