@@ -298,6 +298,36 @@ class GPTQModel:
             if checkpoint_dir is not None:
                 self._save_quant_checkpoint(checkpoint_dir, li, qc)
 
+        # Optional lm_head quantization (GPTQModel-style extension; the
+        # reference never quantizes the head). Hessian comes from the
+        # final-normed hidden states that actually feed the head.
+        if qc.lm_head and "lm_head" in self.params and not cfg.tie_word_embeddings:
+            node = self.params["lm_head"]
+            if hasattr(node, "kernel"):
+                final_fn = jax.jit(lambda x: arch.apply_norm(self.params["final_norm"], x, cfg)) \
+                    if cfg.final_norm and "final_norm" in self.params else (lambda x: x)
+                h_acc = None
+                with timer.phase("hessian"):
+                    for bi in range(len(batches)):
+                        x_in = final_fn(hidden[bi])
+                        if h_acc is None:
+                            h_acc = hessian_init(x_in.shape[-1])
+                        h_acc = hessian_update(h_acc[0], h_acc[1], x_in)
+                w = np.asarray(node.kernel, dtype=np.float32).T
+                with timer.phase("solver"):
+                    res = gptq_quantize(jnp.asarray(w), h_acc[0], gcfg)
+                    avg_losses.append(float(res.total_loss))
+                with timer.phase("pack"):
+                    packed = qlin.pack_from_solver(
+                        np.asarray(res.qweight), np.asarray(res.scale),
+                        np.asarray(res.zero), np.asarray(res.g_idx),
+                        bits=qc.bits, group_size=qc.group_size,
+                        bias=None if node.bias is None else np.asarray(node.bias),
+                    )
+                    self.packed_layers["lm_head"] = packed
+                    self.params["lm_head"] = qlin.from_packed(packed)
+                logger.info("lm_head quantized")
+
         timer.log("quantize")
         logger.info(
             "quantized %d layers in %.1fs (mean solver loss %.4f)",

@@ -156,7 +156,9 @@ def build_quantized_params(
     for our, hf in spec.top_tensors.items():
         if hf in tensors:
             _set_in(params, our, _to_jnp(tensors[hf], dtype))
-    if spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
+    if spec.lm_head is not None and f"{spec.lm_head}.qweight" in tensors:
+        pass  # quantized lm_head: built below once make_ql is defined
+    elif spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
         w = tensors[f"{spec.lm_head}.weight"]
         b = tensors.get(f"{spec.lm_head}.bias")
         params["lm_head"] = DenseLinear(
@@ -186,6 +188,15 @@ def build_quantized_params(
             out_features=qweight.shape[1],
         )
         return qlin.from_packed(packed)
+
+    if spec.lm_head is not None and f"{spec.lm_head}.qweight" in tensors:
+        t = {
+            key: tensors[f"{spec.lm_head}.{key}"]
+            for key in ("qweight", "qzeros", "scales")
+        }
+        if f"{spec.lm_head}.g_idx" in tensors:
+            t["g_idx"] = tensors[f"{spec.lm_head}.g_idx"]
+        params["lm_head"] = make_ql(t, tensors.get(f"{spec.lm_head}.bias"))
 
     for i in range(cfg.num_layers):
         prefix = f"{spec.layers_prefix}.{i}"
@@ -287,7 +298,15 @@ def flatten_quantized_params(
         except (KeyError, TypeError):
             continue
         out[hf] = as_np(val)
-    if "lm_head" in params and spec.lm_head is not None:
+    if "lm_head" in packed_layers and spec.lm_head is not None:
+        pk = packed_layers["lm_head"]
+        out[f"{spec.lm_head}.qweight"] = np.asarray(pk.qweight).astype(np.int32)
+        out[f"{spec.lm_head}.qzeros"] = np.asarray(pk.qzeros).astype(np.int32)
+        out[f"{spec.lm_head}.scales"] = np.asarray(pk.scales).astype(np.float16)
+        out[f"{spec.lm_head}.g_idx"] = np.asarray(pk.g_idx).astype(np.int32)
+        if pk.bias is not None:
+            out[f"{spec.lm_head}.bias"] = as_np(pk.bias)
+    elif "lm_head" in params and spec.lm_head is not None:
         lm = params["lm_head"]
         out[f"{spec.lm_head}.weight"] = np.ascontiguousarray(as_np(lm.kernel).T)
         if lm.bias is not None:

@@ -66,6 +66,10 @@ class BaseQuantizeConfig:
     # TPU-native extension (not part of the reference schema; dropped from
     # to_dict so emitted checkpoints stay reference-readable).
     mse: bool = False
+    # quantize the lm_head too (GPTQModel-style "lm_head" key; the original
+    # reference never quantizes it). Serialized so loaders can detect the
+    # quantized head; reference loaders ignore unknown keys.
+    lm_head: bool = False
 
     def __post_init__(self):
         valid_formats = QUANT_METHOD_FORMAT_MAPPING.get(self.quant_method)
@@ -94,6 +98,7 @@ class BaseQuantizeConfig:
             "static_groups": self.static_groups,
             "sym": self.sym,
             "true_sequential": self.true_sequential,
+            "lm_head": self.lm_head,
             "model_name_or_path": self.model_name_or_path,
             "model_file_base_name": self.model_file_base_name,
             QUANT_METHOD_FIELD: self.quant_method,

@@ -91,3 +91,29 @@ def test_quantize_resume_truncated_gap(tmp_path, rng):
     ids = np.random.default_rng(0).integers(0, 128, size=(1, 8)).astype(np.int32)
     np.testing.assert_allclose(
         np.asarray(m2.forward(ids)), np.asarray(m1.forward(ids)), rtol=2e-3, atol=2e-3)
+
+
+def test_lm_head_quantization(tmp_path, rng):
+    """Opt-in lm_head quantization (GPTQModel-style extension): save names
+    include lm_head.qweight; reload matches pre-save forward."""
+    _fp_model(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=False, lm_head=True)
+    m = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    m.quantize(_examples(np.random.default_rng(1)))
+    from autogptq_tpu.ops.quantlinear import QuantLinear
+
+    assert isinstance(m.params["lm_head"], QuantLinear)
+    m.save_quantized(str(tmp_path / "q"))
+
+    from safetensors import safe_open
+
+    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+        names = set(f.keys())
+    assert "lm_head.qweight" in names and "lm_head.weight" not in names
+
+    m2 = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    assert m2.quantize_config.lm_head is True
+    assert isinstance(m2.params["lm_head"], QuantLinear)
+    ids = np.random.default_rng(0).integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(m2.forward(ids)), np.asarray(m.forward(ids)), rtol=2e-3, atol=2e-3)
