@@ -226,17 +226,41 @@ def apply_rope(q, k, positions, cfg: ArchConfig):
 
 @struct.dataclass
 class KVCache:
-    k: jnp.ndarray        # [L, B, S, Hkv, D]
+    """KV cache. ``quantized=True`` at create time stores K/V as int8 with a
+    per-(position, head) fp32 scale — halves cache HBM traffic for
+    long-context decode at ~0.4% dequant error (net-new vs the reference,
+    which has no KV machinery at all — HF generate owns its cache there)."""
+
+    k: jnp.ndarray        # [L, B, S, Hkv, D]  (bf16/f32 or int8)
     v: jnp.ndarray        # [L, B, S, Hkv, D]
     length: jnp.ndarray   # scalar int32: number of valid positions
+    k_scale: Optional[jnp.ndarray] = None   # f32 [L, B, S, Hkv, 1] (int8 mode)
+    v_scale: Optional[jnp.ndarray] = None
 
     @classmethod
-    def create(cls, cfg: ArchConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    def create(cls, cfg: ArchConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               quantized: bool = False):
         shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if quantized:
+            sshape = shape[:-1] + (1,)
+            return cls(
+                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                length=jnp.zeros((), jnp.int32),
+                k_scale=jnp.zeros(sshape, jnp.float32),
+                v_scale=jnp.zeros(sshape, jnp.float32),
+            )
         return cls(
             k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
             length=jnp.zeros((), jnp.int32),
         )
+
+
+def _kv_quantize(x: jnp.ndarray):
+    """Per-(token, head) symmetric int8 quantization over the D axis."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    q = jnp.round(xf / jnp.maximum(scale, 1e-10)).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -336,26 +360,41 @@ def attention(
     # works with left padding); logical positions feed only RoPE/learned-pos.
     if cache is not None:
         start = cache.length
+        kv_int8 = cache.k.dtype == jnp.int8
+        if kv_int8:
+            kq, ks = _kv_quantize(k)
+            vq, vs = _kv_quantize(v)
+        else:
+            kq, vq = k.astype(cache.k.dtype), v.astype(cache.v.dtype)
+            ks = vs = None
+        cks = cvs = None
         if start.ndim == 1:
             # Continuous batching: per-slot write cursors (T must be 1).
-            ck = cache.k[layer_idx].at[jnp.arange(b), start].set(
-                k[:, 0].astype(cache.k.dtype)
-            )
-            cv = cache.v[layer_idx].at[jnp.arange(b), start].set(
-                v[:, 0].astype(cache.v.dtype)
-            )
+            rows = jnp.arange(b)
+            ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0])
+            cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0])
+            if kv_int8:
+                cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0])
+                cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0])
             s = ck.shape[1]
             kv_slot = jnp.arange(s)
             q_slot = start[:, None, None]                  # [B, 1, 1]
             mask = kv_slot[None, None, :] <= q_slot        # [B, 1, S]
         else:
-            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], k.astype(cache.k.dtype), (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], v.astype(cache.v.dtype), (0, start, 0, 0))
+            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq, (0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq, (0, start, 0, 0))
+            if kv_int8:
+                cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks, (0, start, 0, 0))
+                cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs, (0, start, 0, 0))
             s = ck.shape[1]
             kv_slot = jnp.arange(s)[None, :]               # [1, S]
             q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
             mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
-        keys, values = ck, cv
+        if kv_int8:
+            keys = ck.astype(jnp.float32) * cks
+            values = cv.astype(jnp.float32) * cvs
+        else:
+            keys, values = ck, cv
         if keys.shape[2] != hkv:  # variable-GQA cache sized for max kv heads
             keys = keys[:, :, :hkv, :]
             values = values[:, :, :hkv, :]
@@ -426,6 +465,8 @@ def attention(
     out = apply_linear(bp["o_proj"], out, backend)
 
     if cache is not None:
+        if cache.k.dtype == jnp.int8:
+            return out, (ck, cv, cks, cvs)
         return out, (ck, cv)
     return out, None
 
@@ -656,15 +697,23 @@ def forward(
     x = embed(params, tokens, positions, cfg, dtype)
 
     new_k, new_v = (cache.k, cache.v) if cache is not None else (None, None)
+    new_ks = cache.k_scale if cache is not None else None
+    new_vs = cache.v_scale if cache is not None else None
     for i, bp in enumerate(params["layers"]):
         x, kv = block_forward(bp, x, i, cache, positions, cfg, backend, attn_mask)
         if cache is not None:
             new_k = new_k.at[i].set(kv[0])
             new_v = new_v.at[i].set(kv[1])
+            if len(kv) == 4:  # int8 KV: per-row scales travel with the cache
+                new_ks = new_ks.at[i].set(kv[2])
+                new_vs = new_vs.at[i].set(kv[3])
 
     logits = unembed(params, x, cfg)
     if cache is not None:
-        cache = KVCache(k=new_k, v=new_v, length=cache.length + t)
+        cache = KVCache(
+            k=new_k, v=new_v, length=cache.length + t,
+            k_scale=new_ks, v_scale=new_vs,
+        )
     return logits, cache
 
 

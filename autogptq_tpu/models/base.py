@@ -531,6 +531,7 @@ class GPTQModel:
         eos_token_id: Optional[int] = None,
         min_new_tokens: int = 0,
         seed: int = 0,
+        kv_quant: bool = False,
     ):
         """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
         search. Returns np.ndarray [B, T_in + max_new_tokens]."""
@@ -545,6 +546,7 @@ class GPTQModel:
             eos_token_id=eos_token_id,
             min_new_tokens=min_new_tokens,
             seed=seed,
+            kv_quant=kv_quant,
         )
 
 

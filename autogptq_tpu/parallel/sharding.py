@@ -170,14 +170,17 @@ def param_pspecs(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp")
     return specs
 
 
-def cache_pspecs(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp"):
-    """KVCache PartitionSpecs: [L, B, S, Hkv, D] — batch on dp, heads on tp."""
+def cache_pspecs(mesh: Mesh, dp_axis: str = "dp", tp_axis: str = "tp",
+                 quantized: bool = False):
+    """KVCache PartitionSpecs: [L, B, S, Hkv, D] — batch on dp, heads on tp.
+    ``quantized`` adds matching specs for the int8 cache's scale arrays."""
     from ..models.arch import KVCache
 
+    spec = P(None, dp_axis, None, tp_axis, None)
     return KVCache(
-        k=P(None, dp_axis, None, tp_axis, None),
-        v=P(None, dp_axis, None, tp_axis, None),
-        length=P(),
+        k=spec, v=spec, length=P(),
+        k_scale=spec if quantized else None,
+        v_scale=spec if quantized else None,
     )
 
 

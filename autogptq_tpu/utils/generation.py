@@ -42,7 +42,7 @@ def _prep_inputs(input_ids, pad_token_id=0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype",
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype", "kv_quant",
     ),
 )
 def _generate_greedy(
@@ -57,10 +57,11 @@ def _generate_greedy(
     backend,
     dtype,
     rng_key,
+    kv_quant=False,
 ):
     b, t = tokens.shape
     total = t + max_new_tokens
-    cache = KVCache.create(cfg, b, total, dtype=dtype)
+    cache = KVCache.create(cfg, b, total, dtype=dtype, quantized=kv_quant)
     validity = jnp.zeros((b, total), jnp.int32)
     validity = validity.at[:, :t].set(mask)
 
@@ -123,7 +124,7 @@ def _gather_beams(tree, idx):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams", "backend", "dtype",
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams", "backend", "dtype", "kv_quant",
     ),
 )
 def _generate_beam(
@@ -137,6 +138,7 @@ def _generate_beam(
     num_beams,
     backend,
     dtype,
+    kv_quant=False,
 ):
     """Standard length-normalization-free beam search (HF default alpha=0)."""
     b, t = tokens.shape
@@ -149,7 +151,7 @@ def _generate_beam(
     tokens_e = jnp.repeat(tokens, k, axis=0)
     mask_e = jnp.repeat(mask, k, axis=0)
 
-    cache = KVCache.create(cfg, bk, total, dtype=dtype)
+    cache = KVCache.create(cfg, bk, total, dtype=dtype, quantized=kv_quant)
     validity = jnp.zeros((bk, total), jnp.int32).at[:, :t].set(mask_e)
     positions = jnp.maximum(jnp.cumsum(mask_e, axis=-1) - 1, 0)
     logits, cache = arch.forward(
@@ -236,6 +238,7 @@ def generate(
     min_new_tokens: int = 0,
     seed: int = 0,
     pad_token_id: int = 0,
+    kv_quant: bool = False,
 ) -> np.ndarray:
     ids, mask = _prep_inputs(input_ids, pad_token_id)
     if num_beams > 1:
@@ -250,6 +253,7 @@ def generate(
             num_beams,
             model.backend,
             model.dtype,
+            kv_quant=kv_quant,
         )
     else:
         new = _generate_greedy(
@@ -264,6 +268,7 @@ def generate(
             model.backend,
             model.dtype,
             jax.random.PRNGKey(seed),
+            kv_quant=kv_quant,
         )
     return np.concatenate([ids, np.asarray(new)], axis=1)
 
