@@ -335,7 +335,7 @@ def _mixtral_arch(c: dict) -> ArchConfig:
     )
 
 
-def _mixtral_block_linears() -> dict[str, str]:
+def _mixtral_block_linears(num_experts: int) -> dict[str, str]:
     d = {
         "attn.q_proj": "self_attn.q_proj",
         "attn.k_proj": "self_attn.k_proj",
@@ -343,7 +343,7 @@ def _mixtral_block_linears() -> dict[str, str]:
         "attn.o_proj": "self_attn.o_proj",
         "mlp.router": "block_sparse_moe.gate",
     }
-    for e in range(8):
+    for e in range(num_experts):
         d[f"mlp.experts.{e}.gate_proj"] = f"block_sparse_moe.experts.{e}.w1"
         d[f"mlp.experts.{e}.down_proj"] = f"block_sparse_moe.experts.{e}.w2"
         d[f"mlp.experts.{e}.up_proj"] = f"block_sparse_moe.experts.{e}.w3"
@@ -351,25 +351,32 @@ def _mixtral_block_linears() -> dict[str, str]:
 
 
 # Quantization order mirrors reference mixtral.py:8-40 (router not quantized).
-_MIXTRAL_QUANT = [
-    ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
-    ["attn.o_proj"],
-    [f"mlp.experts.{e}.{p}" for e in range(8) for p in ("gate_proj", "up_proj")],
-    [f"mlp.experts.{e}.down_proj" for e in range(8)],
-]
+def _mixtral_quant(num_experts: int) -> list[list[str]]:
+    return [
+        ["attn.k_proj", "attn.v_proj", "attn.q_proj"],
+        ["attn.o_proj"],
+        [f"mlp.experts.{e}.{p}" for e in range(num_experts) for p in ("gate_proj", "up_proj")],
+        [f"mlp.experts.{e}.down_proj" for e in range(num_experts)],
+    ]
 
-register(
-    FamilySpec(
+
+def _mixtral_family(c: dict) -> FamilySpec:
+    """Config-dependent spec: the expert name lists follow num_local_experts
+    (the reference hardcodes 8, mixtral.py:8-40)."""
+    n = c.get("num_local_experts", 8)
+    return FamilySpec(
         model_type="mixtral",
         arch_fn=_mixtral_arch,
         layers_prefix="model.layers",
-        block_linears=_mixtral_block_linears(),
+        block_linears=_mixtral_block_linears(n),
         block_norms=_LLAMA_BLOCK_NORMS,
         top_tensors=_LLAMA_TOP,
         lm_head="lm_head",
-        quant_layers=_MIXTRAL_QUANT,
+        quant_layers=_mixtral_quant(n),
     )
-)
+
+
+REGISTRY["mixtral"] = _mixtral_family
 
 
 # ---------------------------------------------------------------------------

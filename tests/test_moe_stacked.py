@@ -70,3 +70,29 @@ def test_ep_tp_sharded_moe(quantized_mixtral, rng):
             lambda p, t: arch.forward(p, t, model.cfg, backend="xla", dtype=jnp.float32)
         )(sharded, tokens)
     np.testing.assert_allclose(np.asarray(logits), base, rtol=2e-4, atol=2e-4)
+
+
+def test_mixtral_nonstandard_expert_count(tmp_path, rng):
+    """The spec must follow num_local_experts (found via a real-TPU smoke:
+    a 4-expert checkpoint crashed the previously-hardcoded 8-expert lists)."""
+    import torch
+    import transformers
+
+    from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig
+
+    torch.manual_seed(0)
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2, tie_word_embeddings=False,
+    )
+    transformers.MixtralForCausalLM(cfg).save_pretrained(tmp_path / "fp", safe_serialization=True)
+    qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=False)
+    m = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    assert m.cfg.moe_num_experts == 4
+    m.quantize([{"input_ids": rng.integers(0, 128, size=(16,))} for _ in range(2)])
+    m.save_quantized(str(tmp_path / "q"))
+    m2 = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(m2.forward(ids)), np.asarray(m.forward(ids)), rtol=2e-3, atol=2e-3)
