@@ -103,7 +103,7 @@ def supported(ql: QuantLinear) -> bool:
     return c % 128 == 0
 
 
-def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype):
+def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype, prefill):
     """K-pair bitcast kernel — HBM speed-of-light decode path (~810 GB/s
     effective on v5e vs ~450 for the planar shift/mask kernel).
 
@@ -138,6 +138,26 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
     # shift pair on the hi side and a single mask on the lo side.
     word = jnp.int32(0x3F803F80) | (t & 15) | ((t >> 4) << 16)
     wb = pltpu.bitcast(word, jnp.bfloat16)  # [BK, BN] = 1 + v/128, K order
+    if prefill:
+        # Large-M regime (the reference's reconstruct+GEMM idea,
+        # q_gemm.cu:118-158): dequantize the whole tile ONCE — the +2 VPU
+        # ops per element are amortized over BM rows — and contract the
+        # full BK in one MXU-efficient dot instead of per-group slices.
+        bn = wb.shape[1]
+        sg = s_ref[...].reshape(rows_per_blk, 1, bn)
+        s128 = sg * 128.0
+        zadj = s128 + sg * (
+            z_ref[...].reshape(rows_per_blk, 1, bn).astype(jnp.int32).astype(jnp.float32)
+        )
+        w3 = wb.astype(jnp.float32).reshape(rows_per_blk, gs_blk, bn)
+        wd = (w3 * s128 - zadj).reshape(rows_per_blk * gs_blk, bn)
+        out_ref[...] += jax.lax.dot_general(
+            xv,
+            wd.astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
     wv = wb.astype(dot_dtype)
     for r in range(rows_per_blk):
         xr = xv[:, r * gs_blk:(r + 1) * gs_blk]
@@ -192,7 +212,7 @@ def _matmul_kpair(
 
     kernel = functools.partial(
         _kernel_kpair, rows_per_blk=rows_per_blk, gs_blk=gs_blk,
-        dot_dtype=dot_dtype,
+        dot_dtype=dot_dtype, prefill=m >= 32,
     )
 
     flops = 2 * m * k * n_pad

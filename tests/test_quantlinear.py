@@ -75,7 +75,7 @@ def test_matmul_xla_desc_act(rng):
 
 @pytest.mark.parametrize("bits", BITS)
 @pytest.mark.parametrize("group_size", [64, 128, -1])
-@pytest.mark.parametrize("m", [1, 9])
+@pytest.mark.parametrize("m", [1, 9, 40])  # 40 hits the prefill regime (m >= 32)
 def test_matmul_pallas_interpret(bits, group_size, m, rng):
     k, n = 128, 256
     packed, w_ref = make_packed(rng, bits, k, n, group_size)
