@@ -97,6 +97,11 @@ class ArchConfig:
     # DeciLM-style variable GQA: kv heads per layer (num_kv_heads then holds
     # the max, sizing the uniform KV cache; unused head slots stay zero)
     num_kv_heads_per_layer: Optional[tuple] = None
+    # Explicit tensor parallelism (shard_map path, parallel/tp.py): when set,
+    # row-parallel partial sums (o_proj / down_proj outputs) are psum'd over
+    # this mesh axis. The cfg passed into the shard_map body must already
+    # carry LOCAL head/intermediate counts.
+    tp_axis: Optional[str] = None
 
     @property
     def kv_repeat(self) -> int:
@@ -463,6 +468,8 @@ def attention(
     if capture is not None:
         capture["o_proj"] = out
     out = apply_linear(bp["o_proj"], out, backend)
+    if cfg.tp_axis is not None:  # row-parallel partial sum (megatron pattern)
+        out = jax.lax.psum(out, cfg.tp_axis)
 
     if cache is not None:
         if cache.k.dtype == jnp.int8:
@@ -508,7 +515,10 @@ def mlp(
         h = act(gate) * up
         if capture is not None:
             capture["down_proj"] = h
-        return apply_linear(bp["down_proj"], h, backend)
+        y = apply_linear(bp["down_proj"], h, backend)
+        if cfg.tp_axis is not None:
+            y = jax.lax.psum(y, cfg.tp_axis)
+        return y
     h = apply_linear(bp["up_proj"], x, backend)
     if cfg.mlp_act == "gelu":
         h = jax.nn.gelu(h, approximate=False)
@@ -520,7 +530,10 @@ def mlp(
         raise ValueError(f"unknown activation {cfg.mlp_act}")
     if capture is not None:
         capture["down_proj"] = h
-    return apply_linear(bp["down_proj"], h, backend)
+    y = apply_linear(bp["down_proj"], h, backend)
+    if cfg.tp_axis is not None:
+        y = jax.lax.psum(y, cfg.tp_axis)
+    return y
 
 
 def moe_mlp(

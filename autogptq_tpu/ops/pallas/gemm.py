@@ -346,14 +346,18 @@ def matmul_pallas(
         k_pad = ql.wp.shape[0] * 2
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
             x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        # widths derive from the (possibly shard_map-local) wp, NOT the
+        # static metadata — under explicit TP the node carries global
+        # in/out_features but holds only its shard
+        n_loc = ql.wp.shape[1]
         y = _matmul_kpair(
             x2d,
             ql.wp,
             ql.scales,
             ql.zeros,
             group_size=ql.group_size,
-            n_pad=ql.n_pad,
-            out_features=ql.out_features,
+            n_pad=n_loc,
+            out_features=min(ql.out_features, n_loc),
             interpret=interpret,
             bm=bm,
             bn=bnh,
@@ -362,7 +366,7 @@ def matmul_pallas(
         y = y.astype(x.dtype)
         if ql.bias is not None:
             y = y + ql.bias.astype(y.dtype)
-        return y.reshape(*batch_shape, ql.out_features)
+        return y.reshape(*batch_shape, y.shape[-1])
 
     y = _matmul_planar(
         x2d,

@@ -260,7 +260,10 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     if ql.layout == "kpair":
         lo = ql.wp & np.uint8(0xF)
         hi = ql.wp >> np.uint8(4)
-        w_int = jnp.stack([lo, hi], axis=1).reshape(-1, ql.n_pad).astype(jnp.float32)
+        # widths derive from the (possibly shard_map-local) arrays, NOT the
+        # static metadata — under explicit TP the node carries GLOBAL
+        # in/out_features but holds only its shard
+        w_int = jnp.stack([lo, hi], axis=1).reshape(-1, ql.wp.shape[1]).astype(jnp.float32)
     else:
         sbits = _storage_bits(ql.bits)
         mask = np.uint8((1 << sbits) - 1)
@@ -270,13 +273,14 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
         w_int = jnp.concatenate(parts, axis=1).astype(jnp.float32)   # [K, n_pad]
     k = w_int.shape[0]            # may exceed in_features (kpair K padding)
     g = ql.groups
-    scales2 = ql.scales.reshape(g, ql.n_pad)
-    sz2 = ql.scales.reshape(g, ql.n_pad) * ql.zeros.reshape(g, ql.n_pad).astype(jnp.float32)
+    n_loc = w_int.shape[1]
+    scales2 = ql.scales.reshape(g, n_loc)
+    sz2 = scales2 * ql.zeros.reshape(g, n_loc).astype(jnp.float32)
     if k % g == 0:
         gs = k // g
-        w3 = w_int.reshape(g, gs, ql.n_pad)
+        w3 = w_int.reshape(g, gs, n_loc)
         w3 = w3 * scales2[:, None, :] - sz2[:, None, :]
-        w = w3.reshape(k, ql.n_pad)
+        w = w3.reshape(k, n_loc)
     else:  # ragged last group: fall back to a row gather of params
         g_of_k = jnp.minimum(
             jnp.arange(k) // (ql.group_size if ql.group_size != -1 else k), g - 1
@@ -299,7 +303,7 @@ def matmul_xla(x: jnp.ndarray, ql: QuantLinear) -> jnp.ndarray:
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    y = y[..., : ql.out_features].astype(x.dtype)
+    y = y[..., : min(ql.out_features, w.shape[1])].astype(x.dtype)
     if ql.bias is not None:
         y = y + ql.bias.astype(x.dtype)
     return y
