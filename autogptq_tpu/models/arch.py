@@ -354,9 +354,16 @@ def attention(
         if capture is not None:
             capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
 
-        q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
-        k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
-        v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
+        if "qkv_proj" in bp:  # statically fused at load (params.fuse_qkv_gateup)
+            qkv = apply_linear(bp["qkv_proj"], x, backend)
+            hq = h * d
+            q = qkv[..., :hq].reshape(b, t, h, d)
+            k = qkv[..., hq:hq + hkv * d].reshape(b, t, hkv, d)
+            v = qkv[..., hq + hkv * d:].reshape(b, t, hkv, d)
+        else:
+            q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
+            k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
+            v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
 
         if cfg.pos_embedding in ("rope", "rope_gptj"):
             q, k = apply_rope(q, k, positions, cfg)
@@ -509,8 +516,13 @@ def mlp(
         if cfg.mlp_act.endswith("_glu"):
             capture["gate_proj"] = x
     if cfg.mlp_act.endswith("_glu"):
-        gate = apply_linear(bp["gate_proj"], x, backend)
-        up = apply_linear(bp["up_proj"], x, backend)
+        if "gateup_proj" in bp:  # statically fused at load
+            gu = apply_linear(bp["gateup_proj"], x, backend)
+            half = gu.shape[-1] // 2
+            gate, up = gu[..., :half], gu[..., half:]
+        else:
+            gate = apply_linear(bp["gate_proj"], x, backend)
+            up = apply_linear(bp["up_proj"], x, backend)
         act = jax.nn.silu if cfg.mlp_act == "silu_glu" else jax.nn.gelu
         h = act(gate) * up
         if capture is not None:

@@ -121,8 +121,14 @@ class GPTQModel:
         model_dir: str,
         dtype=jnp.bfloat16,
         backend: str = "auto",
+        inject_fused_attention: bool = False,
+        inject_fused_mlp: bool = False,
         **kwargs,
     ) -> "GPTQModel":
+        """``inject_fused_attention``/``inject_fused_mlp`` mirror the
+        reference kwargs (_base.py:690-715) but fuse STATICALLY at load:
+        q/k/v (and gate/up) runtime layouts are concatenated along N into
+        one kernel invocation (params.fuse_qkv_gateup)."""
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
@@ -141,6 +147,10 @@ class GPTQModel:
         params = params_lib.build_quantized_params(
             tensors, spec, cfg, qc.bits, qc.group_size, dtype
         )
+        if inject_fused_attention or inject_fused_mlp:
+            params = params_lib.fuse_qkv_gateup(
+                params, attention=inject_fused_attention, mlp=inject_fused_mlp
+            )
         return cls(params, cfg, spec, qc, quantized=True, backend=backend, dtype=dtype)
 
     # ------------------------------------------------------------------

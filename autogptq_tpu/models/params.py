@@ -415,3 +415,36 @@ __all__ = [
     "get_in",
     "set_in_block",
 ]
+
+def fuse_qkv_gateup(params: dict, attention: bool = True, mlp: bool = True) -> dict:
+    """Load-time static fusion: q/k/v -> one "qkv_proj" and gate/up -> one
+    "gateup_proj" per block (the reference injects fused modules dynamically,
+    fused_llama_attn.py:163-207 / fused_llama_mlp.py; here it is a pure
+    params transform). Skips blocks where fusion preconditions fail
+    (desc_act kperm, mismatched shapes, dense nodes). Inference-only:
+    save_quantized() expects the unfused tree."""
+    from ..ops.quantlinear import QuantLinear, concat_qls
+
+    def try_fuse(sec: dict, names: tuple, fused_name: str):
+        nodes = [sec.get(n) for n in names]
+        if not all(isinstance(n, QuantLinear) for n in nodes):
+            return sec
+        try:
+            fused = concat_qls(nodes)
+        except ValueError:
+            return sec
+        out = {k: v for k, v in sec.items() if k not in names}
+        out[fused_name] = fused
+        return out
+
+    new_layers = []
+    for block in params["layers"]:
+        block = dict(block)
+        if attention and "attn" in block and all(k in block["attn"] for k in ("q_proj", "k_proj", "v_proj")):
+            block["attn"] = try_fuse(dict(block["attn"]), ("q_proj", "k_proj", "v_proj"), "qkv_proj")
+        if mlp and "mlp" in block and all(k in block["mlp"] for k in ("gate_proj", "up_proj")):
+            block["mlp"] = try_fuse(dict(block["mlp"]), ("gate_proj", "up_proj"), "gateup_proj")
+        new_layers.append(block)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out

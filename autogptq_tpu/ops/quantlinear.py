@@ -331,6 +331,62 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
     return matmul_xla(x, ql)
 
 
+def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
+    """Concatenate QuantLinears along the OUTPUT axis into one fused linear
+    (static QKV / gate+up fusion — the load-time analog of the reference's
+    fused-attention injection, fused_llama_attn.py:163-207). Concatenation
+    happens at the LOGICAL column level (per-part lane padding is dropped
+    and re-applied once at the end), so callers can split the fused output
+    at plain logical offsets. kpair layout only; host-side, one-time."""
+    first = qls[0]
+    for q in qls:
+        if (q.layout != first.layout or q.bits != first.bits
+                or q.group_size != first.group_size
+                or q.wp.shape[0] != first.wp.shape[0]):
+            raise ValueError("fusion requires matching K/layout/bits/group")
+        if q.kperm is not None:
+            raise ValueError("fusion requires trivial kperm (no desc_act)")
+    if first.layout != "kpair":
+        raise ValueError("fusion implemented for the kpair layout only")
+
+    w_parts, s_parts, z_parts = [], [], []
+    for q in qls:
+        n = q.out_features
+        w_parts.append(kpair_unpack_np(np.asarray(q.wp))[:, :n])
+        s_parts.append(np.asarray(q.scales)[:, :, :n])
+        z_parts.append(np.asarray(q.zeros)[:, :, :n])
+    w_int = np.concatenate(w_parts, axis=-1)
+    scales = np.concatenate(s_parts, axis=-1)
+    zeros = np.concatenate(z_parts, axis=-1)
+    n_tot = w_int.shape[1]
+    n_pad = _round_up(n_tot, 128)
+    if n_pad != n_tot:
+        w_int = np.pad(w_int, ((0, 0), (0, n_pad - n_tot)))
+        scales = np.pad(scales, ((0, 0), (0, 0), (0, n_pad - n_tot)))
+        zeros = np.pad(zeros, ((0, 0), (0, 0), (0, n_pad - n_tot)))
+
+    biases = [q.bias for q in qls]
+    if any(b is not None for b in biases):
+        bias = jnp.concatenate(
+            [jnp.asarray(b) if b is not None else jnp.zeros((q.out_features,), jnp.float32)
+             for b, q in zip(biases, qls)], axis=-1)
+    else:
+        bias = None
+    return QuantLinear(
+        wp=jnp.asarray(_kpair_pack(w_int)),
+        scales=jnp.asarray(scales),
+        zeros=jnp.asarray(zeros),
+        kperm=None,
+        bias=bias,
+        bits=first.bits,
+        group_size=first.group_size,
+        in_features=first.in_features,
+        out_features=n_tot,
+        n_pad=n_pad,
+        layout=first.layout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Stacked experts (MoE): one pytree holding E runtime layouts with a leading
 # expert axis. Enables expert-parallel sharding (P("ep", ...)) and batched
@@ -445,6 +501,7 @@ def pack_from_solver(
 
 __all__ = [
     "PackedQuantLinear",
+    "concat_qls",
     "QuantLinear",
     "from_packed",
     "pack_from_solver",

@@ -106,6 +106,8 @@ def _stacked_specs(node: StackedQuantLinear, col: bool, tp: str, ep: str | None)
 
 # Which block paths are column-parallel (True) vs row-parallel (False).
 _COLUMN = {
+    "qkv_proj": True,
+    "gateup_proj": True,
     "q_proj": True,
     "k_proj": True,
     "v_proj": True,

@@ -113,6 +113,12 @@ def main():
     new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     prompt_len = 16
     params, cfg = build_model()
+    import os
+
+    if os.environ.get("BENCH_FUSE"):  # static qkv+gateup fusion (A/B knob)
+        from autogptq_tpu.models.params import fuse_qkv_gateup
+
+        params = fuse_qkv_gateup(params)
     from autogptq_tpu.utils import generation
 
     model = _Shim(params, cfg)

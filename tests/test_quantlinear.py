@@ -126,3 +126,27 @@ def test_pack_from_solver_roundtrip(rng):
     # fake-quantized weights (fp32) vs fp16-scale packed roundtrip
     expected = xt @ np.asarray(res.qweight).T
     np.testing.assert_allclose(y, expected, rtol=5e-3, atol=5e-3)
+
+
+def test_fused_qkv_gateup_forward_parity(rng):
+    """Static QKV/gate-up fusion (the reference's fused-module injection done
+    as a load-time params transform) must not change the forward."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ge_fuse", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    params, cfg = mod._tiny_quantized_llama(hidden=128, inter=256, layers=2, group_size=32)
+
+    from autogptq_tpu.models import arch
+    from autogptq_tpu.models.params import fuse_qkv_gateup
+
+    fused = fuse_qkv_gateup(params)
+    b0 = fused["layers"][0]
+    assert "qkv_proj" in b0["attn"] and "q_proj" not in b0["attn"]
+    assert "gateup_proj" in b0["mlp"] and "gate_proj" not in b0["mlp"]
+
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    ref, _ = arch.forward(params, tokens, cfg, backend="xla", dtype=jnp.float32)
+    got, _ = arch.forward(fused, tokens, cfg, backend="xla", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
