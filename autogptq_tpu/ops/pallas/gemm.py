@@ -1,20 +1,28 @@
 """Fused dequant-matmul Pallas TPU kernel family.
 
-One kernel replaces the reference's seven CUDA/Triton backends: it streams
-the planar-packed sub-byte weights (see ops/quantlinear.py) HBM -> VMEM,
-unpacks with shift/mask on the VPU, dequantizes with a fused
-multiply-subtract, and feeds bf16 tiles straight to the MXU with fp32
-accumulation. Weights cross HBM exactly once at their packed width (4 bits
-per weight for int4), which is the speed-of-light for the memory-bound
-decode regime — the same insight behind the reference's exllamav2/Marlin
-kernels (fused dequant GEMV; reconstruct+GEMM only for huge M), but here a
-single kernel covers both regimes via M-tiling.
+One kernel family replaces the reference's seven CUDA/Triton backends.
+Weights cross HBM exactly once at their packed width (4 bits per weight for
+int4), the speed-of-light for the memory-bound decode regime — the same
+insight behind the reference's exllamav2/Marlin kernels.
 
-Layout recap: ``wp`` is ``uint8[K, C]`` where ``C = n_pad / planes`` and
-plane ``p`` (bit field ``p*sbits..``) holds logical output columns
-``[p*C, (p+1)*C)``. The kernel computes in the planar 3-D view
-``y3[M, planes, C]``; ``y3.reshape(M, n_pad)`` is exactly ``x @ W`` because
-plane concatenation along N *is* that reshape.
+Two layouts (see ops/quantlinear.py):
+
+* ``kpair`` (3/4-bit, the hot path, `_kernel_kpair`): byte [k', n] packs two
+  adjacent K rows; the kernel builds both bf16 bit patterns 0x3F80|v
+  (= 1 + v/128) inside one i32 word and row-interleaves them with a single
+  i32->bf16 bitcast (~2.5 integer VPU ops/weight, zero int->float casts).
+  Decode (M < 32): exact factored per-group dequant
+  ``out += 128s*B_g - (128s+sz)*xs_g`` keeps unpack work minimal
+  (~500-800 GB/s of the v5e's 820 GB/s HBM). Prefill (M >= 32): the decoded
+  tile is dequantized once and contracted in one full-BK MXU dot
+  (157 TFLOP/s at M=1024 = 80% of bf16 peak) — the reference's
+  reconstruct+GEMM regime (q_gemm.cu:118-158) fused into the same kernel.
+
+* ``planar`` (2/8-bit, `_kernel`): shift/mask per plane, fused
+  multiply-subtract dequant, M-tiled MXU matmul.
+
+Both read block widths from the (possibly shard_map-local) arrays so the
+same kernels serve explicit tensor parallelism (parallel/tp.py).
 """
 
 from __future__ import annotations
