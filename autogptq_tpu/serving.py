@@ -21,7 +21,6 @@ the cache batch axis on "dp" / heads on "tp").
 from __future__ import annotations
 
 import dataclasses
-import functools
 from collections import deque
 from typing import Optional
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Iterator
+from typing import Iterator
 
 import numpy as np
 
