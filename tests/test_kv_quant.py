@@ -56,3 +56,26 @@ def test_generate_kv_quant(rng):
     assert out8.shape == out16.shape == (1, 12)
     # same prompt, near-identical distributions: most greedy tokens agree
     assert (out8[0, 6:] == out16[0, 6:]).mean() >= 0.5
+
+
+def test_int8_cache_continuous_batching(rng):
+    """The per-slot-cursor branch (serving engine pattern) with int8 KV."""
+    params, cfg = _model()
+    b = 2
+    cache = arch.KVCache.create(cfg, b, 16, quantized=True)
+    lengths = jnp.asarray([3, 5], jnp.int32)
+    cache = arch.KVCache(
+        k=cache.k, v=cache.v, length=lengths,
+        k_scale=cache.k_scale, v_scale=cache.v_scale,
+    )
+    tok = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, 1)), jnp.int32)
+    logits, cache2 = arch.forward(
+        params, tok, cfg, cache=cache, positions=lengths[:, None],
+        backend="xla", dtype=jnp.float32,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
+    np.testing.assert_array_equal(np.asarray(cache2.length), [4, 6])
+    # the written scale rows are nonzero exactly at the cursor positions
+    ks = np.asarray(cache2.k_scale)  # [L, B, S, H, 1]
+    assert (ks[0, 0, 3] > 0).all() and (ks[0, 1, 5] > 0).all()
+    assert (ks[0, 0, 4] == 0).all()
