@@ -60,16 +60,21 @@ class ContinuousBatchEngine:
         max_slots: int = 4,
         max_seq_len: int = 1024,
         cache_dtype=None,
+        kv_quant: bool = False,
     ):
         self.model = model
         self.cfg = model.cfg
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
-        self.cache_dtype = cache_dtype or model.dtype
+        self.kv_quant = kv_quant
+        self.cache_dtype = jnp.int8 if kv_quant else (cache_dtype or model.dtype)
         cfg = self.cfg
         shape = (cfg.num_layers, max_slots, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
         self.cache_k = jnp.zeros(shape, self.cache_dtype)
         self.cache_v = jnp.zeros(shape, self.cache_dtype)
+        sshape = shape[:-1] + (1,)
+        self.cache_ks = jnp.zeros(sshape, jnp.float32) if kv_quant else None
+        self.cache_vs = jnp.zeros(sshape, jnp.float32) if kv_quant else None
         self.lengths = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
         self.slots = [_SlotState() for _ in range(max_slots)]
@@ -94,7 +99,10 @@ class ContinuousBatchEngine:
 
             @jax.jit
             def prefill(params, tokens, mask):
-                cache = KVCache.create(self.cfg, 1, bucket, dtype=self.cache_dtype)
+                cache = KVCache.create(
+                    self.cfg, 1, bucket, dtype=self.cache_dtype,
+                    quantized=self.kv_quant,
+                )
                 logits, cache = arch.forward(
                     params, tokens, self.cfg, cache=cache,
                     backend=model.backend, attn_mask=mask, dtype=model.dtype,
@@ -103,7 +111,11 @@ class ContinuousBatchEngine:
                 # next token = argmax at the last valid position
                 last = jnp.sum(mask, -1) - 1
                 nxt = jnp.argmax(logits[jnp.arange(1), last], axis=-1)
-                return cache.k[:, 0], cache.v[:, 0], nxt.astype(jnp.int32)
+                scales = (
+                    (cache.k_scale[:, 0], cache.v_scale[:, 0])
+                    if self.kv_quant else ()
+                )
+                return cache.k[:, 0], cache.v[:, 0], nxt.astype(jnp.int32), scales
 
             self._prefill_fns[bucket] = fn = prefill
 
@@ -111,7 +123,7 @@ class ContinuousBatchEngine:
         mask = np.zeros((1, bucket), np.int32)
         tokens[0, :p] = req.prompt  # RIGHT padding: slot cache is contiguous
         mask[0, :p] = 1
-        k, v, nxt = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
+        k, v, nxt, scales = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
         # copy the valid prefix into the engine cache at this slot
         self.cache_k = jax.lax.dynamic_update_slice(
             self.cache_k, k[:, None, :, :, :].astype(self.cache_dtype), (0, slot, 0, 0, 0)
@@ -119,6 +131,12 @@ class ContinuousBatchEngine:
         self.cache_v = jax.lax.dynamic_update_slice(
             self.cache_v, v[:, None, :, :, :].astype(self.cache_dtype), (0, slot, 0, 0, 0)
         )
+        if self.kv_quant:
+            ks, vs = scales
+            self.cache_ks = jax.lax.dynamic_update_slice(
+                self.cache_ks, ks[:, None], (0, slot, 0, 0, 0))
+            self.cache_vs = jax.lax.dynamic_update_slice(
+                self.cache_vs, vs[:, None], (0, slot, 0, 0, 0))
         self.lengths = self.lengths.at[slot].set(p)
         self.cur_tokens = self.cur_tokens.at[slot].set(int(nxt[0]))
         st = self.slots[slot]
@@ -135,15 +153,18 @@ class ContinuousBatchEngine:
             model = self.model
 
             @jax.jit
-            def step(params, cache_k, cache_v, lengths, cur_tokens):
-                cache = KVCache(k=cache_k, v=cache_v, length=lengths)
+            def step(params, cache_k, cache_v, cache_ks, cache_vs, lengths, cur_tokens):
+                cache = KVCache(
+                    k=cache_k, v=cache_v, length=lengths,
+                    k_scale=cache_ks, v_scale=cache_vs,
+                )
                 logits, cache = arch.forward(
                     params, cur_tokens[:, None], self.cfg, cache=cache,
                     backend=model.backend, dtype=model.dtype,
                     positions=lengths[:, None],
                 )
                 nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-                return cache.k, cache.v, cache.length, nxt
+                return cache.k, cache.v, cache.k_scale, cache.v_scale, cache.length, nxt
 
             self._decode_fn = step
         return self._decode_fn
@@ -155,8 +176,10 @@ class ContinuousBatchEngine:
         if not any(st.req is not None for st in self.slots):
             return []
         step = self._decode_step_fn()
-        self.cache_k, self.cache_v, self.lengths, nxt = step(
-            self.model.params, self.cache_k, self.cache_v, self.lengths, self.cur_tokens
+        (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+         self.lengths, nxt) = step(
+            self.model.params, self.cache_k, self.cache_v,
+            self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
         )
         nxt_np = np.asarray(nxt)
         self.cur_tokens = nxt

@@ -58,3 +58,29 @@ def test_slot_reuse_and_eos(rng):
     assert len(results[0]) == 4 and len(results[1]) == 3
     np.testing.assert_array_equal(results[0], sequential_greedy(model, p1, 4))
     np.testing.assert_array_equal(results[1], sequential_greedy(model, p2, 3))
+
+
+def test_continuous_kv_quant_matches_sequential(rng):
+    """Engine with the int8 KV cache must equal sequential greedy generation
+    with the SAME int8 quantization (identical write/dequant math) — the
+    analog of test_continuous_matches_sequential for the quantized cache.
+    (bf16-vs-int8 token agreement is meaningless on a random tiny model:
+    a first-token argmax flip cascades.)"""
+    from autogptq_tpu.utils import generation
+
+    model = Shim()
+    eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128, kv_quant=True)
+    assert eng.cache_k.dtype == jnp.int8 and eng.cache_ks is not None
+
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 9)]
+    for i, p in enumerate(prompts):
+        eng.submit(Request(req_id=i, prompt=p, max_new_tokens=6))
+    for _ in range(40):
+        eng.step()
+        if len(eng.finished) == len(prompts):
+            break
+    assert len(eng.finished) == len(prompts)
+    for i, p in enumerate(prompts):
+        ref = generation.generate(model, p[None], max_new_tokens=6, kv_quant=True)[0, len(p):]
+        np.testing.assert_array_equal(np.asarray(eng.finished[i]), np.asarray(ref))
