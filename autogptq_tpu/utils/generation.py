@@ -207,9 +207,19 @@ def _generate_beam(
         tok_idx = (flat_idx % vocab).astype(jnp.int32)
 
         gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(bk)
-        cache = KVCache(
-            k=cache.k[:, gather], v=cache.v[:, gather], length=cache.length
-        )
+        # Physically reordering the KV cache costs ~2 x cache-size of HBM
+        # traffic per step — skip it when every beam keeps its own parent
+        # (the common steady state after the beams de-correlate).
+        identity = jnp.all(gather == jnp.arange(bk))
+
+        def _reorder(c):
+            return KVCache(
+                k=c.k[:, gather], v=c.v[:, gather], length=c.length,
+                k_scale=None if c.k_scale is None else c.k_scale[:, gather],
+                v_scale=None if c.v_scale is None else c.v_scale[:, gather],
+            )
+
+        cache = jax.lax.cond(identity, lambda c: c, _reorder, cache)
         validity = validity[gather]
         cur_pos = cur_pos[gather]
         out = jnp.take_along_axis(out, beam_idx[:, :, None], axis=1)
