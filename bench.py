@@ -119,6 +119,11 @@ def main():
         from autogptq_tpu.models.params import fuse_qkv_gateup
 
         params = fuse_qkv_gateup(params)
+    if os.environ.get("BENCH_QUANT_LMHEAD"):  # lm_head int4 (A/B knob)
+        import jax as _jax
+
+        params["lm_head"] = device_quant_linear(
+            _jax.random.PRNGKey(99), cfg.hidden_size, cfg.vocab_size)
     from autogptq_tpu.utils import generation
 
     model = _Shim(params, cfg)
