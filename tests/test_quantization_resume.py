@@ -117,3 +117,26 @@ def test_lm_head_quantization(tmp_path, rng):
     ids = np.random.default_rng(0).integers(0, 128, size=(1, 8)).astype(np.int32)
     np.testing.assert_allclose(
         np.asarray(m2.forward(ids)), np.asarray(m.forward(ids)), rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 8])
+def test_quantize_roundtrip_all_bit_widths(bits, tmp_path, rng):
+    """Full quantize->save->reload->forward pipeline for the non-4-bit
+    widths (4-bit is covered everywhere else): 3-bit exercises the
+    nibble-padded kpair runtime layout, 2/8-bit the planar layout."""
+    _fp_model(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=bits, group_size=16, desc_act=(bits == 3))
+    m = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    m.quantize(_examples(np.random.default_rng(bits)))
+    m.save_quantized(str(tmp_path / "q"))
+    m2 = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    from autogptq_tpu.ops.quantlinear import QuantLinear
+
+    lin = m2.params["layers"][0]["attn"]["q_proj"]
+    assert isinstance(lin, QuantLinear)
+    assert lin.layout == ("kpair" if bits == 3 else "planar")
+    ids = np.random.default_rng(0).integers(0, 128, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(m2.forward(ids)), np.asarray(m.forward(ids)), rtol=2e-3, atol=2e-3)
+    out = m2.generate(ids, max_new_tokens=4)
+    assert out.shape == (1, 12)
