@@ -108,6 +108,10 @@ class ArchConfig:
         return self.num_heads // self.num_kv_heads
 
 
+# Escape hatch for the Pallas flash-attention prefill path (debugging /
+# A-B comparisons); the per-call eligibility conditions live in attention().
+FLASH_PREFILL = True
+
 # A "linear" in a params tree is either a DenseLinear or a
 # quantlinear.QuantLinear; dispatch happens on node type at trace time.
 
@@ -429,6 +433,57 @@ def attention(
         mask = mask & (kv_slot > q_slot - window)
 
     scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+
+    # Prefill fast path: the Pallas flash-attention kernel avoids
+    # materializing the T x S score matrix (the dominant prefill cost at
+    # long context). Only the fresh q/k/v take part (prefill attends within
+    # the prompt: every call site with t > 1 has an empty cache), so it
+    # composes with the cache writes above. Left padding is expressed as
+    # segment ids (pads = segment 0). Falls back to the einsum path for
+    # alibi / softcap / sliding-window / ragged shapes / non-TPU.
+    if (
+        FLASH_PREFILL
+        and t > 1
+        and backend != "xla"
+        and jax.default_backend() == "tpu"
+        and cfg.pos_embedding != "alibi"
+        and cfg.attn_softcap is None
+        and window is None
+        and capture is None
+        and "adaption" not in bp
+        and t % 128 == 0
+        and d % 128 == 0
+    ):
+        from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+        rep = h // hkv
+        kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+        seg = None
+        if attn_mask is not None:
+            ids32 = attn_mask[:, :t].astype(jnp.float32)
+            seg = _fa.SegmentIds(q=ids32, kv=ids32)
+        of = _fa.flash_attention(
+            q.swapaxes(1, 2).astype(jnp.float32),
+            kf.swapaxes(1, 2).astype(jnp.float32),
+            vf.swapaxes(1, 2).astype(jnp.float32),
+            segment_ids=seg,
+            causal=True,
+            sm_scale=float(scale),
+        ).swapaxes(1, 2)                                   # [B, T, H, D]
+        if cfg.attn_variant == "mla":
+            of = of[..., : cfg.v_head_dim]
+            of = of.reshape(b, t, h * cfg.v_head_dim).astype(x.dtype)
+        else:
+            of = of.reshape(b, t, h * d).astype(x.dtype)
+        out = apply_linear(bp["o_proj"], of, backend)
+        if cfg.tp_axis is not None:
+            out = jax.lax.psum(out, cfg.tp_axis)
+        if cache is not None:
+            if cache.k.dtype == jnp.int8:
+                return out, (ck, cv, cks, cvs)
+            return out, (ck, cv)
+        return out, None
 
     # GQA: fold repeat into the einsum via head grouping.
     rep = h // hkv
