@@ -345,6 +345,7 @@ def attention(
     backend: str = "auto",
     attn_mask: Optional[jnp.ndarray] = None,   # [B, S] key-side validity
     capture: Optional[dict] = None,            # calibration: linear inputs
+    fresh_prefill: bool = False,        # static: cache is known empty
 ):
     b, t, _ = x.shape
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -444,6 +445,10 @@ def attention(
     if (
         FLASH_PREFILL
         and t > 1
+        # a cached multi-token chunk could be a CONTINUATION (chunked
+        # prefill); flash only attends within the chunk, so it is only safe
+        # when the caller statically knows the cache is empty
+        and (cache is None or fresh_prefill)
         and backend != "xla"
         and jax.default_backend() == "tpu"
         and cfg.pos_embedding != "alibi"
@@ -688,6 +693,7 @@ def block_forward(
     backend: str = "auto",
     attn_mask: Optional[jnp.ndarray] = None,
     capture: Optional[dict] = None,
+    fresh_prefill: bool = False,
 ):
     """One decoder block. Returns (hidden, (cache_k, cache_v) or None).
 
@@ -701,7 +707,8 @@ def block_forward(
 
     h = apply_norm(bp["input_norm"], x, cfg)
     attn_out, kv = attention(
-        bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask, attn_cap
+        bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask,
+        attn_cap, fresh_prefill,
     )
     rs = cfg.residual_scale  # minicpm: scale_depth / sqrt(num_layers)
     if cfg.parallel_block:
@@ -764,6 +771,7 @@ def forward(
     backend: str = "auto",
     attn_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.bfloat16,
+    fresh_prefill: bool = False,        # static: cache is known empty
 ):
     """Full forward. Returns (logits [B, T, V], new_cache or None)."""
     b, t = tokens.shape
@@ -780,7 +788,10 @@ def forward(
     new_ks = cache.k_scale if cache is not None else None
     new_vs = cache.v_scale if cache is not None else None
     for i, bp in enumerate(params["layers"]):
-        x, kv = block_forward(bp, x, i, cache, positions, cfg, backend, attn_mask)
+        x, kv = block_forward(
+            bp, x, i, cache, positions, cfg, backend, attn_mask,
+            fresh_prefill=fresh_prefill,
+        )
         if cache is not None:
             new_k = new_k.at[i].set(kv[0])
             new_v = new_v.at[i].set(kv[1])

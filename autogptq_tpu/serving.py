@@ -107,6 +107,7 @@ class ContinuousBatchEngine:
                     params, tokens, self.cfg, cache=cache,
                     backend=model.backend, attn_mask=mask, dtype=model.dtype,
                     positions=jnp.maximum(jnp.cumsum(mask, -1) - 1, 0),
+                    fresh_prefill=True,
                 )
                 # next token = argmax at the last valid position
                 last = jnp.sum(mask, -1) - 1

@@ -68,7 +68,7 @@ def _generate_greedy(
     positions = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
     logits, cache = arch.forward(
         params, tokens, cfg, cache=cache, positions=positions,
-        backend=backend, attn_mask=validity, dtype=dtype,
+        backend=backend, attn_mask=validity, dtype=dtype, fresh_prefill=True,
     )
     last_logits = logits[:, -1, :]
     next_pos = positions[:, -1] + 1
@@ -156,7 +156,7 @@ def _generate_beam(
     positions = jnp.maximum(jnp.cumsum(mask_e, axis=-1) - 1, 0)
     logits, cache = arch.forward(
         params, tokens_e, cfg, cache=cache, positions=positions,
-        backend=backend, attn_mask=validity, dtype=dtype,
+        backend=backend, attn_mask=validity, dtype=dtype, fresh_prefill=True,
     )
     logprobs_full = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
 
