@@ -88,11 +88,24 @@ class ContinuousBatchEngine:
     def submit(self, req: Request) -> None:
         self.queue.append(req)
 
-    def _prefill(self, slot: int, req: Request) -> None:
-        p = len(req.prompt)
-        bucket = _bucket(p)
-        if bucket > self.max_seq_len:
-            raise ValueError(f"prompt of {p} tokens exceeds max_seq_len")
+    def warmup(self, buckets=(32, 64, 128)) -> None:
+        """Pre-compile the decode step and the given prefill buckets (the
+        reference's triton ``warmup()`` role, qlinear_triton.py:168-215 —
+        there it pre-autotunes over M; here it pre-triggers XLA compiles so
+        the first real request pays no compilation latency). Engine state is
+        untouched: the jitted functions are pure and results are discarded."""
+        for b in buckets:
+            if b > self.max_seq_len:
+                continue
+            fn = self._get_prefill_fn(_bucket(b))
+            tokens = jnp.zeros((1, _bucket(b)), jnp.int32)
+            mask = tokens.at[0, :2].set(1)
+            fn(self.model.params, tokens, mask)
+        step = self._decode_step_fn()
+        step(self.model.params, self.cache_k, self.cache_v,
+             self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens)
+
+    def _get_prefill_fn(self, bucket: int):
         fn = self._prefill_fns.get(bucket)
         if fn is None:
             model = self.model
@@ -119,6 +132,14 @@ class ContinuousBatchEngine:
                 return cache.k[:, 0], cache.v[:, 0], nxt.astype(jnp.int32), scales
 
             self._prefill_fns[bucket] = fn = prefill
+        return fn
+
+    def _prefill(self, slot: int, req: Request) -> None:
+        p = len(req.prompt)
+        bucket = _bucket(p)
+        if bucket > self.max_seq_len:
+            raise ValueError(f"prompt of {p} tokens exceeds max_seq_len")
+        fn = self._get_prefill_fn(bucket)
 
         tokens = np.zeros((1, bucket), np.int32)
         mask = np.zeros((1, bucket), np.int32)

@@ -84,3 +84,22 @@ def test_continuous_kv_quant_matches_sequential(rng):
     for i, p in enumerate(prompts):
         ref = generation.generate(model, p[None], max_new_tokens=6, kv_quant=True)[0, len(p):]
         np.testing.assert_array_equal(np.asarray(eng.finished[i]), np.asarray(ref))
+
+
+def test_warmup_precompiles_and_preserves_state(rng):
+    model = Shim()
+    eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128)
+    eng.warmup(buckets=(32, 64))
+    assert 32 in eng._prefill_fns and 64 in eng._prefill_fns
+    assert eng._decode_fn is not None
+    assert all(st.req is None for st in eng.slots)
+    assert int(eng.lengths.sum()) == 0
+    # engine still works normally after warmup
+    p = rng.integers(0, model.cfg.vocab_size, size=(5,)).astype(np.int32)
+    eng.submit(Request(req_id=0, prompt=p, max_new_tokens=4))
+    for _ in range(10):
+        eng.step()
+        if eng.finished:
+            break
+    expected = sequential_greedy(model, p, 4)
+    np.testing.assert_array_equal(eng.finished[0], expected)
