@@ -34,17 +34,23 @@ class AutoGPTQForCausalLM:
         quantize_config: Optional[BaseQuantizeConfig] = None,
         **kwargs,
     ) -> GPTQModel:
-        cls.check_and_get_model_type(pretrained_model_name_or_path)
+        model_dir = hf_io.resolve_model_dir(
+            pretrained_model_name_or_path, kwargs.get("revision")
+        )
+        cls.check_and_get_model_type(model_dir)
         return GPTQModel.from_pretrained(
-            pretrained_model_name_or_path, quantize_config=quantize_config, **kwargs
+            model_dir, quantize_config=quantize_config, **kwargs
         )
 
     @classmethod
     def from_quantized(
         cls, model_name_or_path: str, **kwargs
     ) -> GPTQModel:
-        cls.check_and_get_model_type(model_name_or_path)
-        return GPTQModel.from_quantized(model_name_or_path, **kwargs)
+        model_dir = hf_io.resolve_model_dir(
+            model_name_or_path, kwargs.get("revision")
+        )
+        cls.check_and_get_model_type(model_dir)
+        return GPTQModel.from_quantized(model_dir, **kwargs)
 
 
 __all__ = ["AutoGPTQForCausalLM"]

@@ -101,8 +101,10 @@ class GPTQModel:
         model_dir: str,
         quantize_config: Optional[BaseQuantizeConfig] = None,
         dtype=jnp.bfloat16,
+        revision: Optional[str] = None,
         **kwargs,
     ) -> "GPTQModel":
+        model_dir = hf_io.resolve_model_dir(model_dir, revision)
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
@@ -123,12 +125,17 @@ class GPTQModel:
         backend: str = "auto",
         inject_fused_attention: bool = False,
         inject_fused_mlp: bool = False,
+        revision: Optional[str] = None,
         **kwargs,
     ) -> "GPTQModel":
         """``inject_fused_attention``/``inject_fused_mlp`` mirror the
         reference kwargs (_base.py:690-715) but fuse STATICALLY at load:
         q/k/v (and gate/up) runtime layouts are concatenated along N into
-        one kernel invocation (params.fuse_qkv_gateup)."""
+        one kernel invocation (params.fuse_qkv_gateup). ``model_dir`` may be
+        a local directory or an HF Hub repo id (+ ``revision``), resolved
+        through the local hub cache (hf_io.resolve_model_dir — the
+        reference's get_checkpoints role, modeling/_utils.py:704-770)."""
+        model_dir = hf_io.resolve_model_dir(model_dir, revision)
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
@@ -242,7 +249,10 @@ class GPTQModel:
         # --- resume support -------------------------------------------------
         resume_from = 0
         if checkpoint_dir is not None:
-            resume_from = self._restore_quant_checkpoint(checkpoint_dir, qc)
+            resume_from, restored_losses = self._restore_quant_checkpoint(checkpoint_dir, qc)
+            # restore completed layers' solver losses so the final logged
+            # average covers the FULL model, comparable to an unresumed run
+            avg_losses.extend(restored_losses)
             if resume_from:
                 logger.info(
                     "resuming quantization from layer %d (checkpoint %s)",
@@ -306,7 +316,7 @@ class GPTQModel:
                     hidden[bi] = block_apply(block, hidden[bi], positions[bi], masks[bi])
             self.params["layers"][li] = block
             if checkpoint_dir is not None:
-                self._save_quant_checkpoint(checkpoint_dir, li, qc)
+                self._save_quant_checkpoint(checkpoint_dir, li, qc, avg_losses)
 
         # Optional lm_head quantization (GPTQModel-style extension; the
         # reference never quantizes the head). Hessian comes from the
@@ -347,7 +357,8 @@ class GPTQModel:
         )
         self.quantized = True
 
-    def _save_quant_checkpoint(self, checkpoint_dir: str, li: int, qc) -> None:
+    def _save_quant_checkpoint(self, checkpoint_dir: str, li: int, qc,
+                               losses: Optional[list] = None) -> None:
         """Write layer li's packed tensors + advance the progress marker."""
         os.makedirs(checkpoint_dir, exist_ok=True)
         tensors: dict = {}
@@ -369,18 +380,21 @@ class GPTQModel:
             "next_layer": li + 1,
             "num_layers": self.cfg.num_layers,
             "quantize_config": qc.to_dict(),
+            # per-linear solver losses so a resumed run reports the same
+            # full-model average an unresumed run would
+            "avg_losses": list(losses or []),
         }
         tmp = os.path.join(checkpoint_dir, "state.json.tmp")
         with open(tmp, "w") as f:
             json.dump(state, f)
         os.replace(tmp, os.path.join(checkpoint_dir, "state.json"))
 
-    def _restore_quant_checkpoint(self, checkpoint_dir: str, qc) -> int:
-        """Load completed layers from a quantize checkpoint; return the first
-        unfinished layer index (0 if nothing to resume)."""
+    def _restore_quant_checkpoint(self, checkpoint_dir: str, qc) -> tuple[int, list]:
+        """Load completed layers from a quantize checkpoint; return (first
+        unfinished layer index, per-linear losses recorded so far)."""
         state_path = os.path.join(checkpoint_dir, "state.json")
         if not os.path.isfile(state_path):
-            return 0
+            return 0, []
         with open(state_path) as f:
             state = json.load(f)
         saved_qc = state.get("quantize_config", {})
@@ -394,10 +408,11 @@ class GPTQModel:
         next_layer = int(state["next_layer"])
         from safetensors import safe_open
 
+        losses = [float(x) for x in state.get("avg_losses", [])]
         for li in range(next_layer):
             fpath = os.path.join(checkpoint_dir, f"layer_{li}.safetensors")
             if not os.path.isfile(fpath):
-                return li  # truncated checkpoint: resume from the gap
+                return li, losses  # truncated checkpoint: resume from the gap
             groups: dict[str, dict] = {}
             with safe_open(fpath, framework="np") as f:
                 for name in f.keys():
@@ -421,7 +436,7 @@ class GPTQModel:
                 self.packed_layers[f"{li}.{path}"] = pk
                 params_lib.set_in_block(block, path, qlin.from_packed(pk))
             self.params["layers"][li] = block
-        return next_layer
+        return next_layer, losses
 
     @staticmethod
     def _has_path(block: dict, path: str) -> bool:

@@ -1305,11 +1305,19 @@ def _minicpm3_arch(c: dict) -> ArchConfig:
     attn_factor = None
     rs = c.get("rope_scaling") or {}
     if rs.get("type") == "longrope" or "long_factor" in rs:
-        # static choice: short_factor covers contexts up to the original
-        # pretraining length (the common case for PPL/benchmarks)
-        rope_factors = tuple(rs.get("short_factor") or rs.get("long_factor"))
+        # Static factor choice (per full forward, as jit requires): when the
+        # config extends contexts past the original pretraining length
+        # (max_position_embeddings > original), use long_factor — matching
+        # the reference model's dynamic switch for the extended regime;
+        # otherwise short_factor. The reference switches per-sequence-length
+        # at runtime; a static choice per config is the jit-compatible
+        # equivalent (long contexts are exactly why longrope configs exist).
         orig = rs.get("original_max_position_embeddings", c.get("max_position_embeddings", 2048))
         scale = c.get("max_position_embeddings", orig) / orig
+        if scale > 1 and rs.get("long_factor") is not None:
+            rope_factors = tuple(rs["long_factor"])
+        else:
+            rope_factors = tuple(rs.get("short_factor") or rs.get("long_factor"))
         if scale > 1:
             attn_factor = math.sqrt(1 + math.log(scale) / math.log(orig))
     return ArchConfig(

@@ -26,6 +26,62 @@ def _bf16_to_f32(raw: np.ndarray) -> np.ndarray:
     return u32.view(np.float32)
 
 
+def resolve_model_dir(name_or_path: str, revision: str | None = None) -> str:
+    """Resolve a model reference to a local directory.
+
+    The reference's ``from_quantized`` accepts local dirs AND HF Hub repo ids
+    with revisions (modeling/_utils.py:704-770, _base.py:854). Resolution
+    order here:
+
+      1. an existing local directory is returned as-is;
+      2. a ``org/name``-shaped id is looked up in the local HF hub cache
+         (``$HF_HOME/hub/models--org--name/snapshots/<sha>``, revision
+         resolved through ``refs/<revision>``) — works fully offline;
+      3. otherwise ``huggingface_hub.snapshot_download`` is attempted unless
+         ``HF_HUB_OFFLINE`` is set (air-gapped deployments stop at 2).
+    """
+    if os.path.isdir(name_or_path):
+        return name_or_path
+
+    rev = revision or "main"
+    hf_home = os.environ.get("HF_HOME") or os.path.join(
+        os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+        "huggingface",
+    )
+    hub = os.environ.get("HUGGINGFACE_HUB_CACHE") or os.path.join(hf_home, "hub")
+    repo_dir = os.path.join(hub, "models--" + name_or_path.replace("/", "--"))
+    snapshots = os.path.join(repo_dir, "snapshots")
+    if os.path.isdir(snapshots):
+        ref_file = os.path.join(repo_dir, "refs", rev)
+        if os.path.isfile(ref_file):
+            with open(ref_file) as f:
+                sha = f.read().strip()
+            snap = os.path.join(snapshots, sha)
+            if os.path.isdir(snap):
+                return snap
+        if os.path.isdir(os.path.join(snapshots, rev)):  # rev given as a sha
+            return os.path.join(snapshots, rev)
+        # single cached snapshot, no refs metadata
+        subs = sorted(os.listdir(snapshots))
+        if len(subs) == 1 and revision is None:
+            return os.path.join(snapshots, subs[0])
+
+    if not os.environ.get("HF_HUB_OFFLINE"):
+        try:
+            from huggingface_hub import snapshot_download
+
+            return snapshot_download(name_or_path, revision=revision)
+        except Exception as e:  # noqa: BLE001 — surface a unified error below
+            raise FileNotFoundError(
+                f"{name_or_path!r} is not a local directory, not in the HF "
+                f"cache at {hub}, and downloading failed: {e}"
+            ) from e
+    raise FileNotFoundError(
+        f"{name_or_path!r} is not a local directory and not in the HF cache "
+        f"at {hub} (HF_HUB_OFFLINE is set, so no download was attempted)"
+    )
+
+
 def find_checkpoint_files(model_dir: str, basename: str | None = None) -> list[str]:
     """Resolve checkpoint file(s) in a local dir: single safetensors, sharded
     safetensors via index.json, or torch .bin (single/sharded)."""
