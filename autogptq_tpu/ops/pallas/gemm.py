@@ -251,6 +251,136 @@ def _matmul_kpair(
     return y[:, :out_features]
 
 
+def _kernel_kpair_t(g_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype):
+    """Transpose kernel for the backward pass: dx = dy @ dequant(W)^T.
+
+    The TPU analog of the reference's trainable Triton backward
+    (triton_utils/kernels.py:248-339 transpose_quant_matmul_248): weights
+    cross HBM once at packed width, are decoded with the same kpair bitcast,
+    dequantized ONCE per tile (training M is large, so the prefill regime is
+    always right), and contracted against dy with the N axes as the
+    contracting dims (an NT-gemm on the MXU).
+
+    Grid: (mi, ki, nj); nj innermost accumulates into the same out block.
+    g_ref:  [BM, BN]   upstream cotangent dy
+    wp_ref: [BK/2, BN] K-pair packed nibbles
+    s_ref:  [R, 1, BN] per-group scales; z_ref the integer zero-points
+    out_ref:[BM, BK]   f32 dx accumulator
+    """
+    nj = pl.program_id(2)
+
+    @pl.when(nj == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    gv = g_ref[...].astype(dot_dtype)
+    t = wp_ref[...].astype(jnp.int32)
+    word = jnp.int32(0x3F803F80) | (t & 15) | ((t >> 4) << 16)
+    wb = pltpu.bitcast(word, jnp.bfloat16)          # [BK, BN] = 1 + v/128
+    bn = wb.shape[1]
+    sg = s_ref[...].reshape(rows_per_blk, 1, bn)
+    s128 = sg * 128.0
+    zadj = s128 + sg * (
+        z_ref[...].reshape(rows_per_blk, 1, bn).astype(jnp.int32).astype(jnp.float32)
+    )
+    w3 = wb.astype(jnp.float32).reshape(rows_per_blk, gs_blk, bn)
+    wd = (w3 * s128 - zadj).reshape(rows_per_blk * gs_blk, bn)
+    out_ref[...] += jax.lax.dot_general(
+        gv,
+        wd.astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "bm", "bn", "dot_dtype")
+)
+def _matmul_kpair_t(
+    g2d,                      # [M, n_pad] cotangent (already padded to n_pad)
+    wp,
+    scales3,
+    sz3,
+    *,
+    group_size,
+    interpret,
+    bm,
+    bn,
+    dot_dtype,
+):
+    m, n_pad = g2d.shape
+    k = wp.shape[0] * 2
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, kpair=True)
+    assert bk is not None, "unsupported shape for kpair transpose kernel"
+    bn = min(bn, n_pad)
+
+    if bk % gs == 0:
+        rows_per_blk = bk // gs
+        scale_idx = lambda mi, ki, nj: (ki, 0, nj)
+    else:  # gs % bk == 0
+        rows_per_blk = 1
+        scale_idx = lambda mi, ki, nj: ((ki * bk) // gs, 0, nj)
+    gs_blk = min(gs, bk)
+
+    grid = (_cdiv(m, bm), k // bk, _cdiv(n_pad, bn))
+    kernel = functools.partial(
+        _kernel_kpair_t, rows_per_blk=rows_per_blk, gs_blk=gs_blk,
+        dot_dtype=dot_dtype,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size + m * n_pad * g2d.dtype.itemsize + m * k * 4
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mi, ki, nj: (mi, nj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda mi, ki, nj: (ki, nj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bk), lambda mi, ki, nj: (mi, ki), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(g2d, wp, scales3, sz3)
+
+
+def matmul_t_pallas(
+    g: jnp.ndarray,
+    ql: QuantLinear,
+    *,
+    interpret: bool = False,
+    bm: int = 256,
+    bnh: int = 1024,
+    dot_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Backward fused matmul: ``g`` [..., N] -> ``g @ W^T`` [..., K_stored]
+    (K in the runtime layout's row order, incl. load-time padding; callers
+    undo kperm / slice padding — see quantlinear.matmul's custom VJP)."""
+    batch_shape = g.shape[:-1]
+    g2d = g.reshape(-1, g.shape[-1])
+    n_loc = ql.wp.shape[1]
+    if g2d.shape[-1] != n_loc:  # forward sliced lane padding off; restore it
+        g2d = jnp.pad(g2d, ((0, 0), (0, n_loc - g2d.shape[-1])))
+    m = g2d.shape[0]
+    bm = min(bm, max(8, m))
+    dx = _matmul_kpair_t(
+        g2d, ql.wp, ql.scales, ql.zeros,
+        group_size=ql.group_size, interpret=interpret, bm=bm, bn=bnh,
+        dot_dtype=dot_dtype,
+    ).astype(g.dtype)
+    return dx.reshape(*batch_shape, dx.shape[-1])
+
+
 @functools.partial(
     jax.jit, static_argnames=("bits", "group_size", "n_pad", "out_features", "interpret", "bm", "bnh", "dot_dtype")
 )
@@ -396,4 +526,4 @@ def matmul_pallas(
     return y.reshape(*batch_shape, ql.out_features)
 
 
-__all__ = ["matmul_pallas", "supported"]
+__all__ = ["matmul_pallas", "matmul_t_pallas", "supported"]

@@ -46,6 +46,7 @@ two execution paths:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -214,6 +215,15 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
             k_pad = _round_up(k, 1024)
             if (_pick_bk(k_pad, packed.group_size, kpair=True) or 0) >= 512:
                 w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
+                if kperm is not None:
+                    # Keep kperm the same length as the padded K so a
+                    # row-parallel K shard of wp pairs with the SAME shard of
+                    # kperm (parallel/sharding.py). The padded entries gather
+                    # arbitrary x values, which is safe: they land in padded
+                    # groups whose scales are zero (desc_act implies
+                    # group_size != -1, so whole zero-scale groups are added
+                    # below), contributing exactly 0 to the output.
+                    kperm = np.pad(kperm, (0, k_pad - k))
                 if packed.group_size != -1:
                     # whole new groups; padded scale rows are zero (gs == -1
                     # keeps its single group — zero-padded x already makes
@@ -289,6 +299,22 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.astype(dtype)
 
 
+def logical_weight(ql: QuantLinear, dtype=jnp.float32) -> jnp.ndarray:
+    """Dense ``[in_features, out_features]`` weight in LOGICAL row/column
+    order: kperm (desc_act load-time sort) undone, load-time K padding and
+    lane padding sliced off. Used where the weight matrix itself is needed
+    (e.g. the MLA absorbed-attention trick folds kv_b_proj into the q/out
+    einsums — models/arch.py) rather than a matmul against activations."""
+    w = dequantize_xla(ql, dtype)                   # [K_stored, n_loc]
+    if ql.kperm is not None:
+        # stored row i is logical row kperm[i]; padded rows (duplicate index
+        # 0 from kperm padding) carry zero-scale rows, so scatter-ADD leaves
+        # logical row 0 intact
+        out = jnp.zeros((ql.in_features, w.shape[1]), w.dtype)
+        w = out.at[ql.kperm].add(w)
+    return w[: ql.in_features, : ql.out_features]
+
+
 def matmul_xla(x: jnp.ndarray, ql: QuantLinear) -> jnp.ndarray:
     """Dequant-then-dot fallback: correct everywhere, lets XLA fuse what it
     can. ``x``: [..., K]. Returns [..., N]."""
@@ -314,21 +340,110 @@ def matmul_xla(x: jnp.ndarray, ql: QuantLinear) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarray:
-    """Quantized matmul ``y = x @ dequant(W) + b``.
-
-    backend: "auto" | "pallas" | "xla". "auto" uses the fused Pallas kernel
-    on TPU when the shape constraints hold, else the XLA fallback.
-    """
+def _matmul_impl(x: jnp.ndarray, ql: QuantLinear, backend: str) -> jnp.ndarray:
     if backend == "xla":
         return matmul_xla(x, ql)
     from .pallas import gemm as pallas_gemm  # lazy: keeps CPU-only paths light
 
     if backend == "pallas":
         return pallas_gemm.matmul_pallas(x, ql)
+    if backend == "pallas_interpret":
+        return pallas_gemm.matmul_pallas(x, ql, interpret=True)
     if pallas_gemm.supported(ql):
         return pallas_gemm.matmul_pallas(x, ql)
     return matmul_xla(x, ql)
+
+
+def matmul_t(g: jnp.ndarray, ql: QuantLinear, k_out: int, backend: str = "auto") -> jnp.ndarray:
+    """Cotangent propagation for ``y = matmul(x, ql)``: returns
+    ``dx = dy @ dequant(W)^T`` shaped [..., k_out], undoing the forward's
+    kperm gather and load-time K padding. The fused transpose kernel (kpair
+    layout) is the TPU analog of the reference's trainable Triton backward
+    (triton_utils/kernels.py:248-339)."""
+    # Restore lane padding the forward sliced off.
+    from .pallas import gemm as pallas_gemm
+
+    use_pallas = (
+        ql.layout == "kpair"
+        and backend != "xla"
+        and (
+            backend == "pallas_interpret"
+            or backend == "pallas"
+            or pallas_gemm.supported(ql)
+        )
+    )
+    if use_pallas:
+        dxp = pallas_gemm.matmul_t_pallas(
+            g, ql, interpret=(backend == "pallas_interpret")
+        )
+    else:
+        n_loc = ql.wp.shape[1] if ql.layout == "kpair" else ql.n_pad
+        if g.shape[-1] != n_loc:
+            pad = [(0, 0)] * (g.ndim - 1) + [(0, n_loc - g.shape[-1])]
+            g = jnp.pad(g, pad)
+        w = dequantize_xla(ql, dtype=g.dtype)                  # [K_stored, n_loc]
+        dxp = jax.lax.dot_general(
+            g, w,
+            dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(g.dtype)
+    if ql.kperm is not None:
+        # forward gathered x[..., kperm]; transpose is a scatter-add (kperm
+        # may carry duplicate padding indices whose dxp entries are 0 —
+        # padded groups have zero scales)
+        dx = jnp.zeros((*g.shape[:-1], k_out), dxp.dtype)
+        return dx.at[..., ql.kperm].add(dxp)
+    return dxp[..., :k_out]
+
+
+def _zero_cotangent(leaf):
+    if leaf is None:
+        return None
+    if jnp.issubdtype(leaf.dtype, jnp.floating):
+        return jnp.zeros_like(leaf)
+    # integer leaves (wp / zeros / kperm): float0 per JAX convention
+    return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _matmul_vjp(x: jnp.ndarray, ql: QuantLinear, backend: str) -> jnp.ndarray:
+    return _matmul_impl(x, ql, backend)
+
+
+def _matmul_vjp_fwd(x, ql, backend):
+    # zero-element token whose SHAPE carries x's (possibly shard-local) K
+    # width into bwd — residual leaves must be arrays, and shapes of traced
+    # residuals are static
+    k_token = jnp.zeros((x.shape[-1], 0), jnp.float32)
+    return _matmul_impl(x, ql, backend), (k_token, ql)
+
+
+def _matmul_vjp_bwd(backend, res, g):
+    k_token, ql = res
+    dx = matmul_t(g, ql, k_token.shape[0], backend)
+    # quantized weights are frozen (the reference's trainable mode likewise
+    # never differentiates qweight, kernels.py:408-426); scales/zeros/bias
+    # get zero cotangents
+    return dx, jax.tree_util.tree_map(_zero_cotangent, ql)
+
+
+_matmul_vjp.defvjp(_matmul_vjp_fwd, _matmul_vjp_bwd)
+
+
+def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarray:
+    """Quantized matmul ``y = x @ dequant(W) + b``.
+
+    backend: "auto" | "pallas" | "pallas_interpret" | "xla". "auto" uses the
+    fused Pallas kernel on TPU when the shape constraints hold, else the XLA
+    fallback. "pallas_interpret" runs the kernel in Pallas interpret mode —
+    the way CPU-mesh tests exercise the REAL kernel path (incl. its
+    shard_map-local block-width behavior) without TPU hardware.
+
+    Differentiable w.r.t. ``x`` on EVERY backend via a custom VJP whose
+    backward runs the fused transpose kernel (so LoRA/AdaLoRA training keeps
+    the 4x kernel advantage instead of dropping to the XLA dequant path).
+    """
+    return _matmul_vjp(x, ql, backend)
 
 
 def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
@@ -385,6 +500,49 @@ def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
         n_pad=n_pad,
         layout=first.layout,
     )
+
+
+def split_qls(ql: QuantLinear, widths: list[int]) -> list[QuantLinear]:
+    """Inverse of :func:`concat_qls`: split a fused QuantLinear back into
+    parts of the given logical output widths (host-side, one-time).
+
+    Used by the explicit-TP path (parallel/tp.py): a fused [q|k|v] (or
+    [gate|up]) node cannot be column-sharded directly — each rank would get a
+    contiguous chunk of the GLOBAL concat instead of [q_loc|k_loc|v_loc] —
+    so TP preparation unfuses first and shards the parts independently."""
+    if ql.layout != "kpair":
+        raise ValueError("split_qls implemented for the kpair layout only")
+    if ql.kperm is not None:
+        raise ValueError("split_qls requires trivial kperm (no desc_act)")
+    if sum(widths) != ql.out_features:
+        raise ValueError(f"widths {widths} must sum to {ql.out_features}")
+    w_int = kpair_unpack_np(np.asarray(ql.wp))
+    scales = np.asarray(ql.scales)
+    zeros = np.asarray(ql.zeros)
+    bias = None if ql.bias is None else np.asarray(ql.bias)
+    outs, off = [], 0
+    for w in widths:
+        sl = slice(off, off + w)
+        n_pad = _round_up(w, 128)
+        wi = w_int[:, sl]
+        sc = scales[:, :, sl]
+        zr = zeros[:, :, sl]
+        if n_pad != w:
+            wi = np.pad(wi, ((0, 0), (0, n_pad - w)))
+            sc = np.pad(sc, ((0, 0), (0, 0), (0, n_pad - w)))
+            zr = np.pad(zr, ((0, 0), (0, 0), (0, n_pad - w)))
+        outs.append(QuantLinear(
+            wp=jnp.asarray(_kpair_pack(wi)),
+            scales=jnp.asarray(sc),
+            zeros=jnp.asarray(zr),
+            kperm=None,
+            bias=None if bias is None else jnp.asarray(bias[sl]),
+            bits=ql.bits, group_size=ql.group_size,
+            in_features=ql.in_features, out_features=w, n_pad=n_pad,
+            layout=ql.layout,
+        ))
+        off += w
+    return outs
 
 
 # ---------------------------------------------------------------------------
@@ -502,6 +660,7 @@ def pack_from_solver(
 __all__ = [
     "PackedQuantLinear",
     "concat_qls",
+    "split_qls",
     "QuantLinear",
     "from_packed",
     "pack_from_solver",

@@ -37,9 +37,11 @@ def select_backend(
     trainable: bool = False,
 ) -> str:
     """The backend "auto" would choose for a layer with these properties."""
-    if trainable:
-        # backward through the fused kernel is not implemented yet; autodiff
-        # uses the XLA fallback (which is differentiable end-to-end).
+    # trainable mode no longer forces the fallback: matmul() carries a custom
+    # VJP whose backward runs the fused transpose kernel (the Triton-v1 role,
+    # reference triton_utils/kernels.py:248-339) — LoRA/AdaLoRA training keeps
+    # the Pallas path. 2/8-bit (planar) backward falls back to XLA dequant.
+    if trainable and bits not in (3, 4):
         return "xla"
     if not pallas_available():
         return "xla"
