@@ -144,6 +144,19 @@ def apply_linear(p: Any, x: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     return y
 
 
+def _row_parallel_input(x: jnp.ndarray, node: Any, cfg: "ArchConfig") -> jnp.ndarray:
+    """desc_act + explicit TP: a row-parallel layer's K permutation (kperm)
+    is GLOBAL — each rank's K shard draws activation elements from ALL heads
+    (or the full intermediate width), not just its local slice. All-gather
+    the local shard into the full vector first; the node's (sharded) kperm
+    then selects exactly this rank's rows of the sorted order. The gather is
+    tiny next to the weight HBM traffic (decode: [B,1,K] bf16 over ICI) and
+    only fires for desc_act checkpoints."""
+    if cfg.tp_axis is not None and getattr(node, "kperm", None) is not None:
+        return jax.lax.all_gather(x, cfg.tp_axis, axis=x.ndim - 1, tiled=True)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # Normalization
 # ---------------------------------------------------------------------------
@@ -233,12 +246,28 @@ def apply_rope(q, k, positions, cfg: ArchConfig):
 # ---------------------------------------------------------------------------
 
 
+def cache_shapes(cfg: "ArchConfig", batch: int, max_len: int):
+    """(k_shape, v_shape) of the KV cache arrays.
+
+    MLA stores the LATENT per token — k holds the shared rope tail
+    ``[.., 1, qk_rope_head_dim]``, v the compressed kv ``[.., 1,
+    kv_lora_rank]`` (DeepSeek-V2 §2.1 / reference modeling/minicpm3.py
+    semantics) — cutting cache bytes/token by ~2·H·d / (rkv + dr) (≈27x for
+    MiniCPM3-4B) instead of materializing per-head K/V."""
+    if cfg.attn_variant == "mla" and cfg.kv_lora_rank is not None:
+        base = (cfg.num_layers, batch, max_len, 1)
+        return base + (cfg.qk_rope_head_dim,), base + (cfg.kv_lora_rank,)
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return shape, shape
+
+
 @struct.dataclass
 class KVCache:
     """KV cache. ``quantized=True`` at create time stores K/V as int8 with a
     per-(position, head) fp32 scale — halves cache HBM traffic for
     long-context decode at ~0.4% dequant error (net-new vs the reference,
-    which has no KV machinery at all — HF generate owns its cache there)."""
+    which has no KV machinery at all — HF generate owns its cache there).
+    For MLA models the arrays hold the latent (see :func:`cache_shapes`)."""
 
     k: jnp.ndarray        # [L, B, S, Hkv, D]  (bf16/f32 or int8)
     v: jnp.ndarray        # [L, B, S, Hkv, D]
@@ -249,17 +278,16 @@ class KVCache:
     @classmethod
     def create(cls, cfg: ArchConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
                quantized: bool = False):
-        shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        kshape, vshape = cache_shapes(cfg, batch, max_len)
         if quantized:
-            sshape = shape[:-1] + (1,)
             return cls(
-                k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+                k=jnp.zeros(kshape, jnp.int8), v=jnp.zeros(vshape, jnp.int8),
                 length=jnp.zeros((), jnp.int32),
-                k_scale=jnp.zeros(sshape, jnp.float32),
-                v_scale=jnp.zeros(sshape, jnp.float32),
+                k_scale=jnp.zeros(kshape[:-1] + (1,), jnp.float32),
+                v_scale=jnp.zeros(vshape[:-1] + (1,), jnp.float32),
             )
         return cls(
-            k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+            k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype),
             length=jnp.zeros((), jnp.int32),
         )
 
@@ -286,17 +314,16 @@ def _mla_interleave_to_halves(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, dr // 2, 2).swapaxes(-1, -2).reshape(*lead, dr)
 
 
-def _mla_qkv(bp, x, positions, cfg: ArchConfig, backend, capture):
-    """Multi-head latent attention q/k/v (minicpm3, reference
-    modeling/minicpm3.py:8-15; module structure follows the official
-    MiniCPM3Attention): low-rank q (q_a -> norm -> q_b) and kv
-    (kv_a_proj_with_mqa -> [latent | shared k_pe], norm -> kv_b), rope only
-    on the qk_rope_head_dim tail, per-head K = [k_nope | k_pe]. Returns
-    (q [B,T,H,d], k [B,T,H,d], v [B,T,H,d] zero-padded from v_head_dim),
-    d = qk_nope_head_dim + qk_rope_head_dim = cfg.head_dim."""
+def _mla_common(bp, x, positions, cfg: ArchConfig, backend, capture):
+    """Shared MLA front half (minicpm3, reference modeling/minicpm3.py:8-15;
+    module structure follows the official MiniCPM3Attention): low-rank q
+    (q_a -> norm -> q_b) and kv (kv_a_proj_with_mqa -> [latent | shared
+    k_pe], norm), rope (interleaved-storage pre-permutation + neox rotate)
+    only on the qk_rope_head_dim tail. Returns (q_nope [B,T,H,dn],
+    q_pe [B,T,H,dr] roped, kv_lat [B,T,rkv] post-norm, k_pe [B,T,dr] roped)."""
     b, t, _ = x.shape
     h = cfg.num_heads
-    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
     d = dn + dr
     rkv = cfg.kv_lora_rank
 
@@ -311,28 +338,136 @@ def _mla_qkv(bp, x, positions, cfg: ArchConfig, backend, capture):
     kva = apply_linear(bp["kv_a_proj"], x, backend)          # [B,T,rkv+dr]
     kv_lat, k_pe = kva[..., :rkv], kva[..., rkv:]
     kv_lat = rms_norm(kv_lat, bp["kv_a_norm"]["weight"], cfg.norm_eps)
+
+    # rope on the pe tails (checkpoint stores them interleaved)
+    q_pe = _mla_interleave_to_halves(q[..., dn:])            # [B,T,H,dr]
+    k_pe = _mla_interleave_to_halves(k_pe)                   # [B,T,dr]
+    cos, sin = _rope_freqs(cfg, positions, dr)               # [B,T,dr/2]
+
+    def rot(xr, cs, sn):
+        x1, x2 = xr[..., : dr // 2], xr[..., dr // 2:]
+        return jnp.concatenate([x1 * cs - x2 * sn, x2 * cs + x1 * sn], -1)
+
+    q_pe = rot(q_pe.astype(jnp.float32),
+               cos[:, :, None, :], sin[:, :, None, :]).astype(x.dtype)
+    k_pe = rot(k_pe.astype(jnp.float32), cos, sin).astype(x.dtype)
+    return q[..., :dn], q_pe, kv_lat, k_pe
+
+
+def _mla_qkv(bp, x, positions, cfg: ArchConfig, backend, capture):
+    """Materialized MLA q/k/v for the cache-less path (calibration /
+    scoring): per-head K = [k_nope | k_pe]. Returns (q [B,T,H,d],
+    k [B,T,H,d], v [B,T,H,d] zero-padded from v_head_dim),
+    d = qk_nope_head_dim + qk_rope_head_dim = cfg.head_dim."""
+    b, t, _ = x.shape
+    h = cfg.num_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    d = dn + dr
+
+    q_nope, q_pe, kv_lat, k_pe = _mla_common(bp, x, positions, cfg, backend, capture)
     if capture is not None:
         capture["kv_b_proj"] = kv_lat
     kv = apply_linear(bp["kv_b_proj"], kv_lat, backend).reshape(b, t, h, dn + dv)
     k_nope, v = kv[..., :dn], kv[..., dn:]
 
-    # rope on the pe tails (checkpoint stores them interleaved)
-    q_pe = _mla_interleave_to_halves(q[..., dn:])            # [B,T,H,dr]
-    k_pe = _mla_interleave_to_halves(k_pe)[:, :, None, :]    # [B,T,1,dr]
-    cos, sin = _rope_freqs(cfg, positions, dr)               # [B,T,dr/2]
-    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
-
-    def rot(xr):
-        x1, x2 = xr[..., : dr // 2], xr[..., dr // 2:]
-        return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
-
-    q_pe = rot(q_pe.astype(jnp.float32)).astype(x.dtype)
-    k_pe = rot(k_pe.astype(jnp.float32)).astype(x.dtype)
-
-    q = jnp.concatenate([q[..., :dn], q_pe], axis=-1)
-    k = jnp.concatenate([k_nope, jnp.broadcast_to(k_pe, (b, t, h, dr))], -1)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe[:, :, None, :], (b, t, h, dr))], -1
+    )
     v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d - dv)))
     return q, k, v
+
+
+def _mla_attention_cached(
+    bp, x, layer_idx, cache: KVCache, positions, cfg: ArchConfig, backend,
+    attn_mask,
+):
+    """Cached MLA attention over the LATENT cache (VERDICT r1 item 6).
+
+    The cache stores per token only ``k_pe`` (shared rope tail, dr dims) and
+    the post-norm compressed kv latent (rkv dims) — see :func:`cache_shapes`.
+    Per-head K/V are never materialized for past tokens; instead kv_b_proj
+    is absorbed into the attention einsums (the DeepSeek-V2 "absorption"
+    identity, matching the reference minicpm3 semantics exactly):
+
+        q_h . k_h = (W_h^K.T q_nope_h) . lat  +  q_pe_h . k_pe
+        out_h     = W_h^V (sum_s probs_s lat_s)
+
+    so decode reads (rkv + dr) instead of 2*H*d values per cached token
+    (~27x less cache HBM traffic for MiniCPM3-4B)."""
+    b, t, _ = x.shape
+    h = cfg.num_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    rkv = cfg.kv_lora_rank
+    d = dn + dr
+
+    q_nope, q_pe, kv_lat, k_pe = _mla_common(bp, x, positions, cfg, backend, None)
+
+    k_new = k_pe[:, :, None, :]                              # [B,T,1,dr]
+    v_new = kv_lat[:, :, None, :]                            # [B,T,1,rkv]
+    kv_int8 = cache.k.dtype == jnp.int8
+    if kv_int8:
+        kq, ks = _kv_quantize(k_new)
+        vq, vs = _kv_quantize(v_new)
+    else:
+        kq, vq = k_new.astype(cache.k.dtype), v_new.astype(cache.v.dtype)
+        ks = vs = None
+    cks = cvs = None
+    start = cache.length
+    if start.ndim == 1:  # continuous batching: per-slot cursors (T == 1)
+        rows = jnp.arange(b)
+        ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0])
+        cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0])
+        if kv_int8:
+            cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0])
+            cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0])
+        s = ck.shape[1]
+        mask = jnp.arange(s)[None, None, :] <= start[:, None, None]  # [B,1,S]
+    else:
+        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq, (0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq, (0, start, 0, 0))
+        if kv_int8:
+            cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks, (0, start, 0, 0))
+            cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs, (0, start, 0, 0))
+        s = ck.shape[1]
+        q_slot = (start + jnp.arange(t))[None, :, None]
+        mask = jnp.arange(s)[None, None, :] <= q_slot        # [1,T,S]
+    mask = jnp.broadcast_to(mask, (b, t, s))
+    if attn_mask is not None:
+        mask = mask & attn_mask[:, None, :].astype(bool)
+
+    pe_s = ck[:, :, 0, :].astype(jnp.float32)                # [B,S,dr]
+    lat_s = cv[:, :, 0, :].astype(jnp.float32)               # [B,S,rkv]
+    if kv_int8:  # latent is ~27x smaller than per-head K/V: a f32 dequant
+        pe_s = pe_s * cks[:, :, 0, :]        # copy here is still far below
+        lat_s = lat_s * cvs[:, :, 0, :]      # the bf16 materialized cache
+
+    # absorbed kv_b (dequantized once per call; rkv x H x (dn+dv) is small)
+    node = bp["kv_b_proj"]
+    if isinstance(node, qlin.QuantLinear):
+        w_kb = qlin.logical_weight(node, jnp.float32)
+    else:  # dense [K, N] kernel (unquantized load / LoRA-free fine-tune)
+        w_kb = node.kernel.astype(jnp.float32)
+    w_kb = w_kb.reshape(rkv, h, dn + dv)
+    w_k, w_v = w_kb[..., :dn], w_kb[..., dn:]
+
+    scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+    q_eff = jnp.einsum("bthd,rhd->bthr", q_nope.astype(jnp.float32), w_k)
+    logits = (
+        jnp.einsum("bthr,bsr->bhts", q_eff, lat_s)
+        + jnp.einsum("bthd,bsd->bhts", q_pe.astype(jnp.float32), pe_s)
+    ) * scale
+    logits = jnp.where(mask[:, None, :, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhts,bsr->bthr", probs, lat_s)
+    out = jnp.einsum("bthr,rhd->bthd", ctx, w_v)             # [B,T,H,dv]
+    out = out.reshape(b, t, h * dv).astype(x.dtype)
+    out = apply_linear(bp["o_proj"], _row_parallel_input(out, bp["o_proj"], cfg), backend)
+    if cfg.tp_axis is not None:
+        out = jax.lax.psum(out, cfg.tp_axis)
+    if kv_int8:
+        return out, (ck, cv, cks, cvs)
+    return out, (ck, cv)
 
 
 def attention(
@@ -352,9 +487,16 @@ def attention(
     if cfg.num_kv_heads_per_layer is not None:
         hkv = cfg.num_kv_heads_per_layer[layer_idx]
 
+    if cfg.attn_variant == "mla" and cache is not None:
+        # latent cache + absorbed kv_b: per-head K/V never materialized for
+        # cached tokens (capture never coexists with a cache — calibration
+        # forwards are cache-less)
+        return _mla_attention_cached(
+            bp, x, layer_idx, cache, positions, cfg, backend, attn_mask,
+        )
     if cfg.attn_variant == "mla":
         q, k, v = _mla_qkv(bp, x, positions, cfg, backend, capture)
-        hkv = h  # MLA materializes per-head K/V (latent-cache is future work)
+        hkv = h  # cache-less path materializes per-head K/V
     else:
         if capture is not None:
             capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
@@ -407,17 +549,24 @@ def attention(
             kv_slot = jnp.arange(s)[None, :]               # [1, S]
             q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
             mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
-        if kv_int8:
-            keys = ck.astype(jnp.float32) * cks
-            values = cv.astype(jnp.float32) * cvs
-        else:
-            keys, values = ck, cv
+        # int8 cache: keys/values stay int8 here; the per-(token, head)
+        # scales are folded into the attention dots below (logits *= k_scale
+        # after the QK dot, probs *= v_scale before the PV dot) — exact
+        # same math, but no [B,S,Hkv,D] dequantized copy is ever written,
+        # so the HBM traffic win of the int8 cache is preserved.
+        keys, values = ck, cv
+        key_sc = cks if kv_int8 else None    # f32 [B, S, Hkv, 1]
+        val_sc = cvs if kv_int8 else None
         if keys.shape[2] != hkv:  # variable-GQA cache sized for max kv heads
             keys = keys[:, :, :hkv, :]
             values = values[:, :, :hkv, :]
+            if kv_int8:
+                key_sc = key_sc[:, :, :hkv, :]
+                val_sc = val_sc[:, :, :hkv, :]
         mask = jnp.broadcast_to(mask, (b, t, s))
     else:
         keys, values = k, v
+        key_sc = val_sc = None
         s = t
         q_slot = jnp.arange(t)[None, :, None]
         mask = jnp.broadcast_to(jnp.tril(jnp.ones((t, s), bool))[None], (b, t, s))
@@ -481,7 +630,7 @@ def attention(
             of = of.reshape(b, t, h * cfg.v_head_dim).astype(x.dtype)
         else:
             of = of.reshape(b, t, h * d).astype(x.dtype)
-        out = apply_linear(bp["o_proj"], of, backend)
+        out = apply_linear(bp["o_proj"], _row_parallel_input(of, bp["o_proj"], cfg), backend)
         if cfg.tp_axis is not None:
             out = jax.lax.psum(out, cfg.tp_axis)
         if cache is not None:
@@ -496,6 +645,8 @@ def attention(
     logits = jnp.einsum(
         "bthrd,bshd->bhrts", qh.astype(jnp.float32), keys.astype(jnp.float32)
     ) * scale                                               # [B, Hkv, rep, T, S]
+    if key_sc is not None:  # int8 cache: per-(position, head) scale post-dot
+        logits = logits * key_sc[..., 0].transpose(0, 2, 1)[:, :, None, None, :]
     if cfg.attn_softcap is not None:
         logits = cfg.attn_softcap * jnp.tanh(logits / cfg.attn_softcap)
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
@@ -509,6 +660,8 @@ def attention(
         logits = logits + slopes * (kv_slot_a - q_slot_a)
 
     probs = jax.nn.softmax(logits, axis=-1)
+    if val_sc is not None:  # int8 cache: fold v_scale into the probabilities
+        probs = probs * val_sc[..., 0].transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bhrts,bshd->bthrd", probs, values.astype(jnp.float32))
     if "adaption" in bp and cfg.attn_variant != "mla":
         # LLaMA-Adapter adaption prompt (peft AdaptedAttention semantics):
@@ -534,7 +687,7 @@ def attention(
         out = out.reshape(b, t, h * d).astype(x.dtype)
     if capture is not None:
         capture["o_proj"] = out
-    out = apply_linear(bp["o_proj"], out, backend)
+    out = apply_linear(bp["o_proj"], _row_parallel_input(out, bp["o_proj"], cfg), backend)
     if cfg.tp_axis is not None:  # row-parallel partial sum (megatron pattern)
         out = jax.lax.psum(out, cfg.tp_axis)
 
@@ -587,7 +740,7 @@ def mlp(
         h = act(gate) * up
         if capture is not None:
             capture["down_proj"] = h
-        y = apply_linear(bp["down_proj"], h, backend)
+        y = apply_linear(bp["down_proj"], _row_parallel_input(h, bp["down_proj"], cfg), backend)
         if cfg.tp_axis is not None:
             y = jax.lax.psum(y, cfg.tp_axis)
         return y
@@ -602,7 +755,7 @@ def mlp(
         raise ValueError(f"unknown activation {cfg.mlp_act}")
     if capture is not None:
         capture["down_proj"] = h
-    y = apply_linear(bp["down_proj"], h, backend)
+    y = apply_linear(bp["down_proj"], _row_parallel_input(h, bp["down_proj"], cfg), backend)
     if cfg.tp_axis is not None:
         y = jax.lax.psum(y, cfg.tp_axis)
     return y
@@ -812,6 +965,7 @@ __all__ = [
     "ArchConfig",
     "DenseLinear",
     "KVCache",
+    "cache_shapes",
     "apply_linear",
     "apply_norm",
     "attention",

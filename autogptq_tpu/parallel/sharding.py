@@ -63,19 +63,35 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
             layout=node.layout,
         )
     # row-parallel: K and the group axis shard together only when every
-    # shard boundary lands on a group boundary.
-    shard_k = (k % tp_size == 0) and ((k // tp_size) % gs == 0) and node.kperm is None
+    # shard boundary lands on a group boundary. desc_act is INCLUDED: after
+    # the load-time kperm sort, K rows are group-sequential (the exllama
+    # make_sequential idea, q4_matrix.cu:63-150), so whole-group K shards are
+    # valid — each shard also takes ITS slice of kperm (global indices into
+    # the full activation vector; arch.* all-gathers the row-parallel input
+    # first under explicit TP).
+    k_store = node.wp.shape[0]                      # stored rows (kpair: K/2)
+    k_eff = k_store * 2 if node.layout == "kpair" else k_store
+    g = node.scales.shape[0]
+    shard_k = (
+        k_store % tp_size == 0
+        and (k_eff // tp_size) % gs == 0
+        and g % tp_size == 0
+        # kperm must cover the (possibly load-time-padded) stored K so its
+        # shards pair with wp's shards
+        and (node.kperm is None or node.kperm.shape[0] == k_eff)
+    )
     if not shard_k:
-        # replicate (correct but unsharded) — desc_act row-parallel layers
-        # keep weights replicated in round 1.
+        # replicate (correct but unsharded)
         kspec, gspec = P(None, None), P(None, None, None)
+        kperm_spec = None if node.kperm is None else P(None)
     else:
         kspec, gspec = P(tp, None), P(tp, None, None)
+        kperm_spec = None if node.kperm is None else P(tp)
     return QuantLinear(
         wp=kspec,
         scales=gspec,
         zeros=gspec,
-        kperm=None if node.kperm is None else P(None),
+        kperm=kperm_spec,
         bias=None if node.bias is None else P(None),
         bits=node.bits, group_size=node.group_size,
         in_features=k, out_features=node.out_features, n_pad=node.n_pad,

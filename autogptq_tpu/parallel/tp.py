@@ -55,6 +55,78 @@ def local_cfg(cfg: ArchConfig, tp_size: int, axis: str = "tp") -> ArchConfig:
     )
 
 
+def _unfuse_blocks(params: dict, cfg: ArchConfig) -> dict:
+    """Split statically fused qkv_proj / gateup_proj nodes back into their
+    parts. A fused node is a column-level concat of the GLOBAL [q|k|v] (or
+    [gate|up]); column-sharding it hands each rank a contiguous chunk of that
+    global concat, while attention()/mlp() slice the local result at LOCAL
+    widths — silently corrupting outputs. Unfusing restores per-projection
+    sharding (fusion is perf-neutral on TPU anyway: kernel launches inside a
+    jitted graph carry no dispatch cost)."""
+    from ..ops.quantlinear import split_qls
+
+    d = cfg.head_dim
+    needs = any(
+        "qkv_proj" in b.get("attn", {}) or "gateup_proj" in b.get("mlp", {})
+        for b in params["layers"]
+    )
+    if not needs:
+        return params
+
+    out = dict(params)
+    new_layers = []
+    for block in params["layers"]:
+        block = dict(block)
+        attn = dict(block.get("attn", {}))
+        if "qkv_proj" in attn:
+            q, k, v = split_qls(
+                attn.pop("qkv_proj"),
+                [cfg.num_heads * d, cfg.num_kv_heads * d, cfg.num_kv_heads * d],
+            )
+            attn.update(q_proj=q, k_proj=k, v_proj=v)
+            block["attn"] = attn
+        mlp = dict(block.get("mlp", {}))
+        if "gateup_proj" in mlp:
+            gate, up = split_qls(
+                mlp.pop("gateup_proj"),
+                [cfg.intermediate_size, cfg.intermediate_size],
+            )
+            mlp.update(gate_proj=gate, up_proj=up)
+            block["mlp"] = mlp
+        new_layers.append(block)
+    out["layers"] = new_layers
+    return out
+
+
+def _validate_column_parallel(params: dict, tp_size: int) -> None:
+    """Column-parallel shards must carry only LOGICAL columns: lane padding
+    (n_pad > out_features) lands wholly on the last shard and breaks the
+    local head/width reshape with an opaque error. Catch it here instead."""
+    from .sharding import _COLUMN
+
+    def check(path: str, node) -> None:
+        if isinstance(node, QuantLinear):
+            if node.n_pad != node.out_features or node.out_features % tp_size:
+                raise ValueError(
+                    f"{path}: out_features={node.out_features} (lane-padded "
+                    f"to {node.n_pad}) cannot column-shard over tp={tp_size}; "
+                    f"explicit TP needs out_features % (128*tp) == 0 — use "
+                    f"the GSPMD path or a tp that divides the padded width"
+                )
+        elif hasattr(node, "kernel"):
+            if node.kernel.shape[1] % tp_size:
+                raise ValueError(
+                    f"{path}: width {node.kernel.shape[1]} not divisible by "
+                    f"tp={tp_size}"
+                )
+
+    for li, block in enumerate(params["layers"]):
+        for sec in ("attn", "mlp"):
+            for name, node in block.get(sec, {}).items():
+                if _COLUMN.get(name):
+                    check(f"layer {li} {sec}.{name}", node)
+
+
 def _scale_row_parallel_biases(params: dict, tp_size: int) -> dict:
     """Row-parallel layers keep their (replicated) bias on every shard; the
     psum would then add it tp times. Pre-divide so it lands exactly once."""
@@ -74,24 +146,26 @@ def _scale_row_parallel_biases(params: dict, tp_size: int) -> dict:
     return out
 
 
-def make_tp_forward(
+def prepare_tp_params(
     params: dict,
     cfg: ArchConfig,
     mesh: Mesh,
     axis: str = "tp",
-    backend: str = "auto",
-    dtype=jnp.bfloat16,
 ):
-    """Build a shard_map'd forward. Returns (prepared_params, forward_fn);
-    forward_fn(prepared_params, tokens) -> logits [B, T, V] (replicated)."""
+    """Shared TP preparation: unfuse fused projections, validate shardability,
+    pre-scale row-parallel biases, and build the PartitionSpec tree.
+
+    Returns (prepared_params, specs, local_cfg)."""
     tp_size = mesh.shape[axis]
     lcfg = local_cfg(cfg, tp_size, axis)
-    prepared = _scale_row_parallel_biases(params, tp_size)
+    prepared = _unfuse_blocks(params, cfg)
+    _validate_column_parallel(prepared, tp_size)
+    prepared = _scale_row_parallel_biases(prepared, tp_size)
 
     specs = param_pspecs(prepared, cfg, mesh, tp_axis=axis)
     # the unconditional psum after row-parallel layers requires their K axis
     # to actually be sharded; param_pspecs falls back to replication when a
-    # group-aligned split is impossible (e.g. desc_act kperm)
+    # group-aligned split is impossible
     for li, bs in enumerate(specs["layers"]):
         for sec, name in (("attn", "o_proj"), ("mlp", "down_proj")):
             node_spec = bs.get(sec, {}).get(name)
@@ -101,7 +175,7 @@ def make_tp_forward(
             if wspec[0] != axis:
                 raise NotImplementedError(
                     f"layer {li} {sec}.{name}: K axis not shardable over "
-                    f"tp={tp_size} (desc_act or group alignment) — use the "
+                    f"tp={tp_size} (group alignment) — use the "
                     f"GSPMD path for this model"
                 )
     # embed/lm_head replicated in the explicit path (vocab-sharded lookups
@@ -113,6 +187,20 @@ def make_tp_forward(
             lambda _: P(), specs["lm_head"],
             is_leaf=lambda x: isinstance(x, P),
         )
+    return prepared, specs, lcfg
+
+
+def make_tp_forward(
+    params: dict,
+    cfg: ArchConfig,
+    mesh: Mesh,
+    axis: str = "tp",
+    backend: str = "auto",
+    dtype=jnp.bfloat16,
+):
+    """Build a shard_map'd forward. Returns (prepared_params, forward_fn);
+    forward_fn(prepared_params, tokens) -> logits [B, T, V] (replicated)."""
+    prepared, specs, lcfg = prepare_tp_params(params, cfg, mesh, axis)
 
     @functools.partial(
         jax.shard_map,
@@ -128,4 +216,89 @@ def make_tp_forward(
     return prepared, run
 
 
-__all__ = ["make_tp_forward", "local_cfg"]
+class TPModel:
+    """Tensor-parallel inference model: quantized params sharded over a mesh,
+    the full generate loop (prefill + KV-cached decode scan) executed under
+    ``jax.shard_map`` so every device runs the fused Pallas kernel on its
+    LOCAL weight shard (GSPMD cannot partition a ``pallas_call``).
+
+    Sharding layout (megatron pattern): q/k/v/gate/up column-parallel,
+    o/down row-parallel with a psum, KV cache heads on the tp axis (it is
+    created INSIDE the shard_map body with local head counts), activations
+    and sampling replicated — so sharded generate() produces exactly the
+    single-device tokens. Optionally the batch axis shards over "dp".
+
+    Presents the single-chip model interface (.params/.cfg/.backend/.dtype)
+    so ``utils.generation.generate()`` and ``serving.ContinuousBatchEngine``
+    work unchanged. This is the multi-chip decode path the reference lacks
+    entirely (its 2-GPU accelerate placement is SLOWER than 1 GPU —
+    /root/reference/README.md:36-37)."""
+
+    is_tp = True
+
+    def __init__(
+        self,
+        model_or_params,
+        cfg: ArchConfig | None = None,
+        *,
+        mesh: Mesh,
+        axis: str = "tp",
+        dp_axis: str | None = None,
+        backend: str = "auto",
+        dtype=jnp.bfloat16,
+    ):
+        if cfg is None:  # model object (models/base.py) or anything duck-alike
+            params = model_or_params.params
+            cfg = model_or_params.cfg
+            backend = getattr(model_or_params, "backend", backend)
+            dtype = getattr(model_or_params, "dtype", dtype)
+        else:
+            params = model_or_params
+        prepared, specs, lcfg = prepare_tp_params(params, cfg, mesh, axis)
+        self.cfg = cfg
+        self.lcfg = lcfg
+        self.mesh = mesh
+        self.axis = axis
+        self.backend = backend
+        self.dtype = dtype
+        if dp_axis is not None and dp_axis not in mesh.shape:
+            raise ValueError(f"mesh has no axis {dp_axis!r}")
+        self.dp_axis = dp_axis if (dp_axis and mesh.shape[dp_axis] > 1) else None
+        # one-time placement (column/row shards + replicated leaves)
+        from jax.sharding import NamedSharding
+
+        self.specs = specs
+        self.params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), prepared, specs
+        )
+        # compiled sharded-generate entry points, keyed by static options
+        self._gen_cache: dict = {}
+
+    # -- generation ---------------------------------------------------------
+
+    def data_spec(self, ndim: int = 2) -> P:
+        """PartitionSpec for [B, ...] data arrays (batch on dp if enabled)."""
+        return P(self.dp_axis, *([None] * (ndim - 1)))
+
+    def shard_generate(self, fn, n_batch_args: int, n_repl_args: int = 0):
+        """Wrap a generate-core function (params, *batch_arrays,
+        *replicated_arrays) -> [B, ...] in shard_map over this model's mesh.
+
+        ``fn`` must already have all static options bound; inside the body it
+        sees LOCAL params (+ local cfg semantics via self.lcfg) and must
+        return batch-leading arrays."""
+        in_specs = (
+            (self.specs,)
+            + (self.data_spec(),) * n_batch_args
+            + (P(),) * n_repl_args
+        )
+        return jax.shard_map(
+            fn,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=self.data_spec(),
+            check_vma=False,
+        )
+
+
+__all__ = ["make_tp_forward", "prepare_tp_params", "local_cfg", "TPModel"]

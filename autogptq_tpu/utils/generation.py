@@ -238,6 +238,42 @@ def _generate_beam(
     return jnp.take_along_axis(out, best[:, None, None], axis=1)[:, 0, :]
 
 
+def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
+                 eos_token_id, temperature, num_beams, seed, kv_quant):
+    """Sharded generate: the WHOLE generate loop (prefill + decode scan) runs
+    under shard_map on the model's mesh — every device executes the fused
+    quantized matmuls on its local weight shard, the KV cache lives sharded
+    (heads on "tp", created inside the body with local head counts), and
+    sampling is replicated, so the tokens match single-device generate
+    exactly. See parallel/tp.py:TPModel."""
+    key = (num_beams, max_new_tokens, min_new_tokens, eos_token_id,
+           float(temperature or 0.0), kv_quant)
+    run = model._gen_cache.get(key)
+    if run is None:
+        lcfg = model.lcfg
+        if num_beams > 1:
+            def core(p, ids_, mask_):
+                return _generate_beam(
+                    p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
+                    eos_token_id, num_beams, model.backend, model.dtype,
+                    kv_quant=kv_quant,
+                )
+            run = jax.jit(model.shard_generate(core, n_batch_args=2))
+        else:
+            def core(p, ids_, mask_, rng):
+                return _generate_greedy(
+                    p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
+                    eos_token_id, float(temperature or 0.0), model.backend,
+                    model.dtype, rng, kv_quant=kv_quant,
+                )
+            run = jax.jit(model.shard_generate(core, n_batch_args=2, n_repl_args=1))
+        model._gen_cache[key] = run
+    if num_beams > 1:
+        return run(model.params, jnp.asarray(ids), jnp.asarray(mask))
+    return run(model.params, jnp.asarray(ids), jnp.asarray(mask),
+               jax.random.PRNGKey(seed))
+
+
 def generate(
     model,
     input_ids,
@@ -251,7 +287,12 @@ def generate(
     kv_quant: bool = False,
 ) -> np.ndarray:
     ids, mask = _prep_inputs(input_ids, pad_token_id)
-    if num_beams > 1:
+    if getattr(model, "is_tp", False):
+        new = _tp_generate(
+            model, ids, mask, max_new_tokens, min_new_tokens, eos_token_id,
+            temperature, num_beams, seed, kv_quant,
+        )
+    elif num_beams > 1:
         new = _generate_beam(
             model.params,
             jnp.asarray(ids),

