@@ -7,15 +7,22 @@ static-shape JAX decode path:
   * a fixed pool of ``max_slots`` sequence slots shares one preallocated KV
     cache ``[L, slots, max_seq_len, Hkv, D]`` with **per-slot write cursors**
     (arch.attention's vector-``length`` path);
-  * incoming requests are prefilled one at a time into a bucket-padded
-    prefill cache (bounded number of compilations) and scatter-copied into a
-    free slot;
-  * every engine step runs ONE jitted decode for all slots; finished
-    sequences (EOS / max tokens) free their slot immediately and a queued
-    request takes it over — no head-of-line blocking on long generations.
+  * short prompts are prefilled into a bucket-padded prefill cache (bounded
+    number of compilations) and scatter-copied into a free slot; prompts
+    longer than ``prefill_chunk`` are prefilled as **cache-continuation
+    chunks** (the ``fresh_prefill=False`` path) directly into the slot's
+    cache, ONE chunk per engine step, interleaved with decode — so running
+    generations never stall behind a long prompt;
+  * every engine step runs ONE jitted decode for all slots with **per-request
+    sampling** (temperature / top-p / top-k, per-request seed, EOS masked
+    in-graph until ``min_new_tokens``); finished sequences (EOS / max tokens)
+    free their slot immediately and a queued request takes it over — no
+    head-of-line blocking on long generations.
 
-Works with quantized or dense params, single-chip or GSPMD-sharded (shard
-the cache batch axis on "dp" / heads on "tp").
+Works with quantized or dense params; multi-chip via ``parallel.tp.TPModel``
+(weights column/row-sharded, engine cache heads sharded on the tp axis, every
+prefill/decode step executed under ``jax.shard_map`` so the fused Pallas
+kernel runs on local shards).
 """
 
 from __future__ import annotations
@@ -31,6 +38,8 @@ import numpy as np
 from .models import arch
 from .models.arch import KVCache
 
+NEG_INF = -1e30
+
 
 @dataclasses.dataclass
 class Request:
@@ -38,12 +47,21 @@ class Request:
     prompt: np.ndarray
     max_new_tokens: int = 128
     eos_token_id: Optional[int] = None
+    # sampling (HF generate semantics): temperature 0 => greedy;
+    # top_p/top_k filter the proposal distribution when temperature > 0
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = 0
+    seed: int = 0
+    min_new_tokens: int = 0
 
 
 @dataclasses.dataclass
 class _SlotState:
     req: Optional[Request] = None
     generated: list = dataclasses.field(default_factory=list)
+    pf_pos: int = 0          # chunked prefill: prompt tokens consumed so far
+    prefilling: bool = False
 
 
 def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
@@ -51,6 +69,58 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
         if n <= b:
             return b
     return -(-n // 2048) * 2048
+
+
+def _sample_tokens(logits, temps, top_ps, top_ks, seeds, steps, eos_ids, min_left):
+    """Per-row sampling [B, V] -> [B] int32.
+
+    Greedy rows (temperature == 0) take argmax; sampling rows draw from the
+    temperature-scaled distribution restricted to the top-p nucleus and/or
+    top-k set (computed in the sorted domain, so no unsort scatter is
+    needed). EOS is masked to -inf while the row still owes min_new_tokens.
+    Keys derive from (per-request seed, tokens generated so far), so a
+    request's stream is reproducible regardless of co-scheduled traffic."""
+    b, v = logits.shape
+    logits = logits.astype(jnp.float32)
+    # EOS suppression until min_new_tokens (reference benchmark protocol:
+    # MinNewTokensLengthLogitsProcessor)
+    suppress = (min_left > 0)[:, None] & (
+        jnp.arange(v)[None, :] == eos_ids[:, None]
+    )
+    logits = jnp.where(suppress, NEG_INF, logits)
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    order = jnp.argsort(-scaled, axis=-1)
+    sl = jnp.take_along_axis(scaled, order, axis=-1)
+    probs = jax.nn.softmax(sl, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # nucleus: keep the smallest prefix whose mass reaches top_p (the first
+    # token crossing the threshold stays in)
+    keep = (cum - probs) < top_ps[:, None]
+    k_eff = jnp.where(top_ks > 0, top_ks, v)
+    keep &= jnp.arange(v)[None, :] < k_eff[:, None]
+    slf = jnp.where(keep, sl, NEG_INF)
+
+    def draw(seed, step, row):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+        return jax.random.categorical(key, row)
+
+    sampled_pos = jax.vmap(draw)(seeds, steps, slf)
+    sampled = jnp.take_along_axis(
+        order, sampled_pos[:, None], axis=-1
+    )[:, 0].astype(jnp.int32)
+    return jnp.where(temps > 0.0, sampled, greedy)
+
+
+def _greedy_tokens(logits, eos_ids, min_left):
+    v = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    suppress = (min_left > 0)[:, None] & (
+        jnp.arange(v)[None, :] == eos_ids[:, None]
+    )
+    return jnp.argmax(jnp.where(suppress, NEG_INF, logits), axis=-1).astype(jnp.int32)
 
 
 class ContinuousBatchEngine:
@@ -61,27 +131,55 @@ class ContinuousBatchEngine:
         max_seq_len: int = 1024,
         cache_dtype=None,
         kv_quant: bool = False,
+        prefill_chunk: Optional[int] = 512,
     ):
         self.model = model
         self.cfg = model.cfg
+        # TPModel (parallel/tp.py): run prefill/decode under shard_map with
+        # the local cfg; engine cache lives as GLOBAL arrays with kv heads
+        # sharded on the tp axis.
+        self.is_tp = bool(getattr(model, "is_tp", False))
+        self._fwd_cfg = model.lcfg if self.is_tp else model.cfg
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.kv_quant = kv_quant
+        self.prefill_chunk = prefill_chunk
         self.cache_dtype = jnp.int8 if kv_quant else (cache_dtype or model.dtype)
         cfg = self.cfg
-        shape = (cfg.num_layers, max_slots, max_seq_len, cfg.num_kv_heads, cfg.head_dim)
-        self.cache_k = jnp.zeros(shape, self.cache_dtype)
-        self.cache_v = jnp.zeros(shape, self.cache_dtype)
-        sshape = shape[:-1] + (1,)
-        self.cache_ks = jnp.zeros(sshape, jnp.float32) if kv_quant else None
-        self.cache_vs = jnp.zeros(sshape, jnp.float32) if kv_quant else None
+        kshape, vshape = arch.cache_shapes(cfg, max_slots, max_seq_len)
+        self.cache_k = jnp.zeros(kshape, self.cache_dtype)
+        self.cache_v = jnp.zeros(vshape, self.cache_dtype)
+        self.cache_ks = jnp.zeros(kshape[:-1] + (1,), jnp.float32) if kv_quant else None
+        self.cache_vs = jnp.zeros(vshape[:-1] + (1,), jnp.float32) if kv_quant else None
+        if self.is_tp:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._hspec = P(None, None, None, model.axis, None)
+
+            def put(arr):
+                return (
+                    None if arr is None
+                    else jax.device_put(arr, NamedSharding(model.mesh, self._hspec))
+                )
+
+            self.cache_k, self.cache_v = put(self.cache_k), put(self.cache_v)
+            self.cache_ks, self.cache_vs = put(self.cache_ks), put(self.cache_vs)
         self.lengths = jnp.zeros((max_slots,), jnp.int32)
         self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        # per-slot sampling state (numpy host-side; shipped to the decode fn)
+        self._temps = np.zeros((max_slots,), np.float32)
+        self._top_ps = np.ones((max_slots,), np.float32)
+        self._top_ks = np.zeros((max_slots,), np.int32)
+        self._seeds = np.zeros((max_slots,), np.int32)
+        self._eos = np.full((max_slots,), -1, np.int32)
+        self._min_new = np.zeros((max_slots,), np.int32)
         self.slots = [_SlotState() for _ in range(max_slots)]
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
         self._prefill_fns: dict[int, object] = {}
-        self._decode_fn = None
+        self._decode_fns: dict[bool, object] = {}
+        self._chunk_fn = None
+        self._pf_rr = 0  # round-robin over mid-prefill slots
 
     # ------------------------------------------------------------------
 
@@ -101,38 +199,88 @@ class ContinuousBatchEngine:
             tokens = jnp.zeros((1, _bucket(b)), jnp.int32)
             mask = tokens.at[0, :2].set(1)
             fn(self.model.params, tokens, mask)
-        step = self._decode_step_fn()
+        step = self._decode_step_fn(sampling=False)
         step(self.model.params, self.cache_k, self.cache_v,
-             self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens)
+             self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
+             jnp.asarray(self._eos), jnp.zeros((self.max_slots,), jnp.int32))
+
+    # -- whole-prompt (bucketed) prefill --------------------------------
 
     def _get_prefill_fn(self, bucket: int):
         fn = self._prefill_fns.get(bucket)
         if fn is None:
             model = self.model
+            fcfg = self._fwd_cfg
 
-            @jax.jit
             def prefill(params, tokens, mask):
                 cache = KVCache.create(
-                    self.cfg, 1, bucket, dtype=self.cache_dtype,
+                    fcfg, 1, bucket, dtype=self.cache_dtype,
                     quantized=self.kv_quant,
                 )
                 logits, cache = arch.forward(
-                    params, tokens, self.cfg, cache=cache,
+                    params, tokens, fcfg, cache=cache,
                     backend=model.backend, attn_mask=mask, dtype=model.dtype,
                     positions=jnp.maximum(jnp.cumsum(mask, -1) - 1, 0),
                     fresh_prefill=True,
                 )
-                # next token = argmax at the last valid position
+                # logits at the last valid position (sampling happens host
+                # side with the request's own params)
                 last = jnp.sum(mask, -1) - 1
-                nxt = jnp.argmax(logits[jnp.arange(1), last], axis=-1)
+                lrow = logits[jnp.arange(1), last]
                 scales = (
                     (cache.k_scale[:, 0], cache.v_scale[:, 0])
                     if self.kv_quant else ()
                 )
-                return cache.k[:, 0], cache.v[:, 0], nxt.astype(jnp.int32), scales
+                return cache.k[:, 0], cache.v[:, 0], lrow, scales
 
-            self._prefill_fns[bucket] = fn = prefill
+            if self.is_tp:
+                from jax.sharding import PartitionSpec as P
+
+                m = self.model
+                kv_spec = P(None, None, m.axis, None)  # [L, S, Hkv, D]
+                fn = jax.jit(jax.shard_map(
+                    prefill, mesh=m.mesh,
+                    in_specs=(m.specs, P(), P()),
+                    out_specs=(
+                        kv_spec, kv_spec, P(),
+                        (kv_spec, kv_spec) if self.kv_quant else (),
+                    ),
+                    check_vma=False,
+                ))
+            else:
+                fn = jax.jit(prefill)
+            self._prefill_fns[bucket] = fn
         return fn
+
+    def _first_token(self, req: Request, logits_row) -> int:
+        """Sample the first generated token from the prefill logits with the
+        request's sampling params (token index 0 keys the rng stream)."""
+        tok = _sample_tokens(
+            jnp.reshape(logits_row, (1, -1)),
+            jnp.asarray([req.temperature], jnp.float32),
+            jnp.asarray([req.top_p], jnp.float32),
+            jnp.asarray([req.top_k], jnp.int32),
+            jnp.asarray([req.seed], jnp.int32),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([-1 if req.eos_token_id is None else req.eos_token_id],
+                        jnp.int32),
+            jnp.asarray([req.min_new_tokens], jnp.int32),
+        )
+        return int(tok[0])
+
+    def _bind_slot(self, slot: int, req: Request, first_tok: int, length: int) -> None:
+        self.lengths = self.lengths.at[slot].set(length)
+        self.cur_tokens = self.cur_tokens.at[slot].set(first_tok)
+        self._temps[slot] = req.temperature
+        self._top_ps[slot] = req.top_p
+        self._top_ks[slot] = req.top_k
+        self._seeds[slot] = req.seed
+        self._eos[slot] = -1 if req.eos_token_id is None else req.eos_token_id
+        self._min_new[slot] = req.min_new_tokens
+        st = self.slots[slot]
+        st.req = req
+        st.generated = [first_tok]
+        st.prefilling = False
 
     def _prefill(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
@@ -145,7 +293,7 @@ class ContinuousBatchEngine:
         mask = np.zeros((1, bucket), np.int32)
         tokens[0, :p] = req.prompt  # RIGHT padding: slot cache is contiguous
         mask[0, :p] = 1
-        k, v, nxt, scales = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
+        k, v, lrow, scales = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
         # copy the valid prefix into the engine cache at this slot
         self.cache_k = jax.lax.dynamic_update_slice(
             self.cache_k, k[:, None, :, :, :].astype(self.cache_dtype), (0, slot, 0, 0, 0)
@@ -159,56 +307,233 @@ class ContinuousBatchEngine:
                 self.cache_ks, ks[:, None], (0, slot, 0, 0, 0))
             self.cache_vs = jax.lax.dynamic_update_slice(
                 self.cache_vs, vs[:, None], (0, slot, 0, 0, 0))
-        self.lengths = self.lengths.at[slot].set(p)
-        self.cur_tokens = self.cur_tokens.at[slot].set(int(nxt[0]))
+        self._bind_slot(slot, req, self._first_token(req, lrow), p)
+
+    # -- chunked (cache-continuation) prefill ---------------------------
+
+    def _get_chunk_fn(self):
+        """One jitted function, reused for every chunk: forwards a [1, C]
+        token chunk against slot ``slot``'s cache continuation at offset
+        ``start`` (the ``fresh_prefill=False`` path) and writes the new K/V
+        span back into the engine cache."""
+        if self._chunk_fn is None:
+            model = self.model
+            fcfg = self._fwd_cfg
+            C = self.prefill_chunk
+
+            def chunk(params, cache_k, cache_v, cache_ks, cache_vs,
+                      tokens, valid, start, slot):
+                # slice this slot's cache: [L, 1, S, Hkv, D]
+                def take(a):
+                    return None if a is None else jax.lax.dynamic_slice_in_dim(
+                        a, slot, 1, axis=1)
+
+                cache = KVCache(
+                    k=take(cache_k), v=take(cache_v), length=start,
+                    k_scale=take(cache_ks), v_scale=take(cache_vs),
+                )
+                s_tot = cache_k.shape[2]
+                # key-side validity: everything before start+valid is real
+                attn_mask = (
+                    jnp.arange(s_tot)[None, :] < start + valid
+                ).astype(jnp.int32)
+                positions = start + jnp.arange(C, dtype=jnp.int32)[None, :]
+                logits, cache = arch.forward(
+                    params, tokens, fcfg, cache=cache,
+                    backend=model.backend, attn_mask=attn_mask,
+                    dtype=model.dtype, positions=positions,
+                )
+                # write the slot's cache back (padded tail rows hold garbage;
+                # they sit at positions >= start+valid, which are (a)
+                # overwritten by the next chunk / the decode loop before
+                # becoming attendable and (b) masked until then)
+                def put(dst, src):
+                    return jax.lax.dynamic_update_slice(
+                        dst, src, (0, slot, 0, 0, 0))
+
+                cache_k = put(cache_k, cache.k)
+                cache_v = put(cache_v, cache.v)
+                if self.kv_quant:
+                    cache_ks = put(cache_ks, cache.k_scale)
+                    cache_vs = put(cache_vs, cache.v_scale)
+                lrow = logits[0, valid - 1]
+                return cache_k, cache_v, cache_ks, cache_vs, lrow
+
+            if self.is_tp:
+                from jax.sharding import PartitionSpec as P
+
+                m = self.model
+                h = self._hspec
+                sc = h if self.kv_quant else P()
+                self._chunk_fn = jax.jit(jax.shard_map(
+                    chunk, mesh=m.mesh,
+                    in_specs=(m.specs, h, h, sc, sc, P(), P(), P(), P()),
+                    out_specs=(h, h, sc, sc, P()),
+                    check_vma=False,
+                ))
+            else:
+                self._chunk_fn = jax.jit(chunk)
+        return self._chunk_fn
+
+    def _start_chunked(self, slot: int, req: Request) -> None:
+        p = len(req.prompt)
+        if p + req.max_new_tokens > self.max_seq_len - 1:
+            raise ValueError(
+                f"chunked request needs prompt+max_new_tokens <= "
+                f"max_seq_len-1 ({p}+{req.max_new_tokens} > {self.max_seq_len - 1})"
+            )
         st = self.slots[slot]
         st.req = req
-        st.generated = [int(nxt[0])]
+        st.prefilling = True
+        st.pf_pos = 0
+        st.generated = []
+        # park the decode write cursor on the reserved scratch cell: decode
+        # steps taken while this slot is mid-prefill write their garbage
+        # there (masked from attention by every live sequence's causal mask)
+        self.lengths = self.lengths.at[slot].set(self.max_seq_len - 1)
+
+    def _run_chunk(self, slot: int) -> None:
+        st = self.slots[slot]
+        req = st.req
+        C = self.prefill_chunk
+        p = len(req.prompt)
+        chunk = np.zeros((1, C), np.int32)
+        valid = min(C, p - st.pf_pos)
+        chunk[0, :valid] = req.prompt[st.pf_pos:st.pf_pos + valid]
+        fn = self._get_chunk_fn()
+        (self.cache_k, self.cache_v, ks, vs, lrow) = fn(
+            self.model.params, self.cache_k, self.cache_v,
+            self.cache_ks, self.cache_vs,
+            jnp.asarray(chunk), jnp.int32(valid), jnp.int32(st.pf_pos),
+            jnp.int32(slot),
+        )
+        if self.kv_quant:
+            self.cache_ks, self.cache_vs = ks, vs
+        st.pf_pos += valid
+        if st.pf_pos >= p:
+            self._bind_slot(slot, req, self._first_token(req, lrow), p)
 
     def _admit(self) -> None:
         for slot, st in enumerate(self.slots):
             if st.req is None and self.queue:
-                self._prefill(slot, self.queue.popleft())
+                req = self.queue.popleft()
+                if (
+                    self.prefill_chunk is not None
+                    and len(req.prompt) > self.prefill_chunk
+                ):
+                    self._start_chunked(slot, req)
+                else:
+                    self._prefill(slot, req)
 
-    def _decode_step_fn(self):
-        if self._decode_fn is None:
+    # -- decode ---------------------------------------------------------
+
+    def _decode_step_fn(self, sampling: bool):
+        fn = self._decode_fns.get(sampling)
+        if fn is None:
             model = self.model
+            fcfg = self._fwd_cfg
 
-            @jax.jit
-            def step(params, cache_k, cache_v, cache_ks, cache_vs, lengths, cur_tokens):
+            def step(params, cache_k, cache_v, cache_ks, cache_vs, lengths,
+                     cur_tokens, eos_ids, min_left, *samp):
                 cache = KVCache(
                     k=cache_k, v=cache_v, length=lengths,
                     k_scale=cache_ks, v_scale=cache_vs,
                 )
                 logits, cache = arch.forward(
-                    params, cur_tokens[:, None], self.cfg, cache=cache,
+                    params, cur_tokens[:, None], fcfg, cache=cache,
                     backend=model.backend, dtype=model.dtype,
                     positions=lengths[:, None],
                 )
-                nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+                lrow = logits[:, -1, :]
+                if sampling:
+                    temps, top_ps, top_ks, seeds, steps = samp
+                    nxt = _sample_tokens(
+                        lrow, temps, top_ps, top_ks, seeds, steps,
+                        eos_ids, min_left,
+                    )
+                else:
+                    nxt = _greedy_tokens(lrow, eos_ids, min_left)
                 return cache.k, cache.v, cache.k_scale, cache.v_scale, cache.length, nxt
 
-            self._decode_fn = step
-        return self._decode_fn
+            if self.is_tp:
+                from jax.sharding import PartitionSpec as P
+
+                m = self.model
+                h = self._hspec
+                sc = h if self.kv_quant else P()  # None args carry no leaves
+                n_extra = 7 if sampling else 2
+                fn = jax.jit(jax.shard_map(
+                    step, mesh=m.mesh,
+                    in_specs=(m.specs, h, h, sc, sc, P(), P()) + (P(),) * n_extra,
+                    out_specs=(h, h, sc, sc, P(), P()),
+                    check_vma=False,
+                ))
+            else:
+                fn = jax.jit(step)
+            self._decode_fns[sampling] = fn
+        return fn
 
     def step(self) -> list[int]:
-        """Admit queued requests, run one decode step for all active slots,
-        retire finished sequences. Returns req_ids finished this step."""
+        """Admit queued requests, advance at most ONE prefill chunk, run one
+        decode step for all active slots, retire finished sequences. Returns
+        req_ids finished this step."""
         self._admit()
-        if not any(st.req is not None for st in self.slots):
+
+        # one chunk of one mid-prefill slot per step (round-robin), so
+        # decoding slots advance every step even under long-prompt ingest
+        pf_slots = [i for i, st in enumerate(self.slots) if st.prefilling]
+        if pf_slots:
+            slot = pf_slots[self._pf_rr % len(pf_slots)]
+            self._pf_rr += 1
+            self._run_chunk(slot)
+
+        active = [st.req is not None and not st.prefilling for st in self.slots]
+        if not any(active):
+            if pf_slots:
+                return []  # prefill still in flight
             return []
-        step = self._decode_step_fn()
-        (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
-         self.lengths, nxt) = step(
+
+        sampling = any(
+            self._temps[i] > 0.0 for i, a in enumerate(active) if a
+        )
+        step = self._decode_step_fn(sampling)
+        min_left = np.array([
+            max(0, self._min_new[i] - len(st.generated))
+            for i, st in enumerate(self.slots)
+        ], np.int32)
+        args = [
             self.model.params, self.cache_k, self.cache_v,
             self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
-        )
+            jnp.asarray(self._eos), jnp.asarray(min_left),
+        ]
+        if sampling:
+            steps = np.array(
+                [len(st.generated) for st in self.slots], np.int32
+            )
+            args += [
+                jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
+                jnp.asarray(steps),
+            ]
+        (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+         new_lengths, nxt) = step(*args)
         nxt_np = np.asarray(nxt)
-        self.cur_tokens = nxt
+
+        # keep parked cursors parked: mid-prefill slots must not advance
+        lengths_np = np.array(new_lengths)
+        for i, st in enumerate(self.slots):
+            if st.prefilling:
+                lengths_np[i] = self.max_seq_len - 1
+        self.lengths = jnp.asarray(lengths_np)
+        cur_np = np.array(self.cur_tokens)
+        for i, a in enumerate(active):
+            if a:
+                cur_np[i] = nxt_np[i]
+        self.cur_tokens = jnp.asarray(cur_np)
 
         done_ids = []
         for slot, st in enumerate(self.slots):
-            if st.req is None:
+            if st.req is None or st.prefilling:
                 continue
             st.generated.append(int(nxt_np[slot]))
             req = st.req
@@ -223,6 +548,9 @@ class ContinuousBatchEngine:
                 done_ids.append(req.req_id)
                 st.req = None
                 st.generated = []
+                self._temps[slot] = 0.0
+                self._eos[slot] = -1
+                self._min_new[slot] = 0
                 self.lengths = self.lengths.at[slot].set(0)
         return done_ids
 

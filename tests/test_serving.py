@@ -91,7 +91,7 @@ def test_warmup_precompiles_and_preserves_state(rng):
     eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128)
     eng.warmup(buckets=(32, 64))
     assert 32 in eng._prefill_fns and 64 in eng._prefill_fns
-    assert eng._decode_fn is not None
+    assert False in eng._decode_fns  # greedy decode step compiled
     assert all(st.req is None for st in eng.slots)
     assert int(eng.lengths.sum()) == 0
     # engine still works normally after warmup
