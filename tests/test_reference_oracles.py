@@ -1,0 +1,253 @@
+"""Reference-code oracles (VERDICT r1 item 4):
+
+(a) AWQ unpack vs the REFERENCE ``unpack_awq`` (modeling/_utils.py:525-617),
+    run on CPU with ``.cuda()`` patched out, on raw random packed words —
+    non-circular (our packer is not used to generate the input).
+(b) PPL parity: quantize the tiny llama with the REFERENCE GPTQ solver +
+    REFERENCE pack (qlinear_cuda_old, torch CPU), save the checkpoint in
+    reference layout, and assert OUR load+PPL is within 0.05 of the PPL of
+    the reference QuantLinear fallback path on the same token stream.
+"""
+
+import ast
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from autogptq_tpu.ops import packing  # noqa: E402
+
+
+def _load_reference_fns(path, names, extra_ns=None):
+    """Extract selected top-level functions from a reference source file by
+    AST (avoids importing the module's heavy deps), exec them with torch."""
+    torch = pytest.importorskip("torch")
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    body = [
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name in names
+    ]
+    assert len(body) == len(names), f"missing functions in {path}"
+    ns = {"torch": torch}
+    ns.update(extra_ns or {})
+    exec(compile(ast.Module(body=body, type_ignores=[]), path, "exec"), ns)
+    return ns
+
+
+@requires_reference
+def test_unpack_awq_matches_reference(rng, monkeypatch):
+    torch = pytest.importorskip("torch")
+    # the reference fn calls .cuda() on tensors; run it on CPU
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    ns = _load_reference_fns(
+        os.path.join(REFERENCE_ROOT, "auto_gptq", "modeling", "_utils.py"),
+        ["awq_reverse_reorder_int_tensor", "unpack_awq"],
+    )
+    ref_unpack = ns["unpack_awq"]
+
+    k, n, gs = 64, 96, 32
+    g = k // gs
+    # RAW random packed words — any bit pattern is a valid AWQ array
+    qweight = rng.integers(np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                           size=(k, n // 8), dtype=np.int64).astype(np.int32)
+    qzeros = rng.integers(np.iinfo(np.int32).min, np.iinfo(np.int32).max,
+                          size=(g, n // 8), dtype=np.int64).astype(np.int32)
+    scales = (rng.random((g, n)) * 0.02 + 0.005).astype(np.float16)
+
+    ref_w, ref_zeros = ref_unpack(
+        torch.from_numpy(qweight), torch.from_numpy(qzeros),
+        torch.from_numpy(scales), 4, gs,
+    )
+    our_int, our_zeros = packing.unpack_awq(qweight, qzeros, bits=4)
+
+    np.testing.assert_array_equal(
+        our_zeros.astype(np.int64), ref_zeros.numpy().astype(np.int64)
+    )
+    g_idx = np.arange(k) // gs
+    our_dequant = (
+        our_int.astype(np.float32) * scales[g_idx].astype(np.float32)
+        - (our_zeros.astype(np.float32) * scales.astype(np.float32))[g_idx]
+    )
+    # reference computes scale_zeros in fp16; fp16-size tolerance
+    np.testing.assert_allclose(
+        our_dequant, ref_w.float().numpy().T, rtol=1e-2, atol=1e-2
+    )
+
+
+# ---------------------------------------------------------------------------
+# (b) PPL parity vs a reference-quantized checkpoint
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_module(relpath, modname):
+    spec = importlib.util.spec_from_file_location(
+        modname, os.path.join(REFERENCE_ROOT, relpath)
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_reference_gptq_pkg():
+    pkg_dir = os.path.join(REFERENCE_ROOT, "auto_gptq", "quantization")
+    pkg = types.ModuleType("ref_quant_pkg")
+    pkg.__path__ = [pkg_dir]
+    sys.modules["ref_quant_pkg"] = pkg
+    q = _load_ref_module("auto_gptq/quantization/quantizer.py", "ref_quant_pkg.quantizer")
+    g = _load_ref_module("auto_gptq/quantization/gptq.py", "ref_quant_pkg.gptq")
+    return q, g
+
+
+@requires_reference
+def test_ppl_parity_vs_reference_quantized_checkpoint(tmp_path, rng, monkeypatch):
+    """Reference-GPTQ-quantize tiny llama -> reference pack -> (a) reference
+    QuantLinear torch-fallback PPL, (b) our from_quantized + Perplexity —
+    |delta| < 0.05 (the BASELINE PPL-parity gate, air-gapped edition)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    from autogptq_tpu import AutoGPTQForCausalLM
+    from autogptq_tpu.utils.perplexity import Perplexity
+    from tests.test_models import save_tiny_llama
+
+    fp_dir = tmp_path / "fp"
+    hf_model = save_tiny_llama(fp_dir)
+    hf_model = hf_model.float().eval()
+
+    _, ref_gptq_mod = _load_reference_gptq_pkg()
+    # reference fasterquant calls torch.cuda.synchronize() unconditionally
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+    qlin_old = _load_ref_module(
+        "auto_gptq/nn_modules/qlinear/qlinear_cuda_old.py", "ref_qlinear_cuda_old"
+    )
+
+    bits, gs = 4, 32
+    calib = torch.from_numpy(
+        rng.integers(0, 256, size=(4, 32)).astype(np.int64)
+    )
+
+    # --- reference quantize loop (sequential layers, hook-captured inputs,
+    # fasterquant writes fake-quantized weights in place) -----------------
+    packed = {}
+    with torch.no_grad():
+        for li, layer in enumerate(hf_model.model.layers):
+            linears = {
+                "self_attn.q_proj": layer.self_attn.q_proj,
+                "self_attn.k_proj": layer.self_attn.k_proj,
+                "self_attn.v_proj": layer.self_attn.v_proj,
+                "self_attn.o_proj": layer.self_attn.o_proj,
+                "mlp.gate_proj": layer.mlp.gate_proj,
+                "mlp.up_proj": layer.mlp.up_proj,
+                "mlp.down_proj": layer.mlp.down_proj,
+            }
+            solvers = {name: ref_gptq_mod.GPTQ(mod) for name, mod in linears.items()}
+            for s in solvers.values():
+                s.quantizer.configure(bits, perchannel=True, sym=True, mse=False)
+            hooks = [
+                mod.register_forward_hook(
+                    lambda m, inp, out, n=name: solvers[n].add_batch(
+                        inp[0].detach(), out.detach()
+                    )
+                )
+                for name, mod in linears.items()
+            ]
+            for row in calib:
+                hf_model(row[None])
+            for h in hooks:
+                h.remove()
+            for name, solver in solvers.items():
+                scale, zero, g_idx = solver.fasterquant(
+                    blocksize=128, percdamp=0.01, group_size=gs,
+                    actorder=False, static_groups=False,
+                )
+                mod = linears[name]
+                ql = qlin_old.QuantLinear(
+                    bits, gs, mod.in_features, mod.out_features,
+                    bias=mod.bias is not None,
+                )
+                ql.pack(mod.to("cpu"), scale.cpu(), zero.cpu(), g_idx.cpu())
+                packed[f"model.layers.{li}.{name}"] = ql
+                solver.free()
+
+    # --- write the checkpoint in reference layout ------------------------
+    tensors = {}
+    for prefix, ql in packed.items():
+        tensors[f"{prefix}.qweight"] = ql.qweight.numpy()
+        tensors[f"{prefix}.qzeros"] = ql.qzeros.numpy()
+        tensors[f"{prefix}.scales"] = ql.scales.numpy()
+        tensors[f"{prefix}.g_idx"] = ql.g_idx.numpy()
+    sd = hf_model.state_dict()
+    for name, t in sd.items():
+        if not any(name.startswith(p + ".") for p in packed):
+            tensors[name] = t.to(torch.float16).numpy()
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    from autogptq_tpu.utils import hf_io
+
+    hf_io.save_safetensors(tensors, str(qdir / "model.safetensors"))
+    with open(fp_dir / "config.json") as f:
+        cfg_json = json.load(f)
+    with open(qdir / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+    with open(qdir / "quantize_config.json", "w") as f:
+        json.dump({"bits": bits, "group_size": gs, "desc_act": False,
+                   "sym": True}, f)
+
+    # --- token stream + both PPLs ----------------------------------------
+    stream = rng.integers(0, 256, size=(4 * 64,)).astype(np.int32)
+    n_ctx = 64
+
+    # reference side: swap the packed QuantLinears into the torch model and
+    # run its fallback forward (CUDA ext absent -> pure-torch dequant path)
+    # align the aux (non-packed) weights with the fp16 rounding our loader
+    # sees in the checkpoint, so the comparison isolates the QUANT path
+    with torch.no_grad():
+        for p in hf_model.parameters():
+            p.data = p.data.half().float()
+    for prefix, ql in packed.items():
+        parts = prefix.split(".")
+        parent = hf_model
+        for p in parts[:-1]:
+            parent = getattr(parent, p) if not p.isdigit() else parent[int(p)]
+        setattr(parent, parts[-1], ql)
+
+    def ref_ppl():
+        nll, count = 0.0, 0
+        start_j = min(512, n_ctx // 2)
+        with torch.no_grad():
+            for i in range(len(stream) // n_ctx):
+                chunk = stream[i * n_ctx:(i + 1) * n_ctx].copy()
+                bos = cfg_json.get("bos_token_id", 1)
+                chunk[0] = bos
+                ids = torch.from_numpy(chunk.astype(np.int64))[None]
+                logits = hf_model(ids).logits[0].float()
+                lp = torch.log_softmax(logits, dim=-1)
+                tgt = torch.from_numpy(
+                    stream[i * n_ctx + 1:(i + 1) * n_ctx].astype(np.int64)
+                )
+                sel = lp[:-1].gather(1, tgt[:, None])[start_j:n_ctx - 1, 0]
+                nll += float(-sel.sum())
+                count += sel.numel()
+        return float(np.exp(nll / count))
+
+    ref = ref_ppl()
+
+    ours_model = AutoGPTQForCausalLM.from_quantized(str(qdir), dtype=jnp.float32)
+    ppl = Perplexity(
+        ours_model, tokens=stream, bos_token_id=cfg_json.get("bos_token_id", 1)
+    )
+    ours = ppl.calculate_perplexity(n_ctx=n_ctx)[-1]
+
+    assert abs(ours - ref) < 0.05, f"PPL parity broken: ours={ours} ref={ref}"
