@@ -82,11 +82,20 @@ def _kernel(x_ref, wp_ref, scales_ref, z_ref, out_ref, *, planes, sbits, rows_pe
         out_ref[:, p, :] += acc
 
 
-def _pick_bk(k: int, group_size: int, kpair: bool = False) -> int | None:
+def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False) -> int | None:
     """K-tile size: a multiple or divisor of the group size so each K block
     maps to a whole number of (or a single) group row. kpair additionally
-    needs the packed row count bk/2 sublane-aligned (%8)."""
+    needs the packed row count bk/2 sublane-aligned (%8); kquad needs bk/4
+    sublane-aligned AND whole groups per block (the per-group half-split
+    layout decodes group-relative)."""
     gs = group_size if group_size != -1 else k
+    if kquad:
+        for bk in (1024, 512, 256, 128):
+            if k % bk == 0 and bk % gs == 0 and bk % 32 == 0:
+                return bk
+        if k % 32 == 0 and k % gs == 0:   # tiny-K fallback (tests)
+            return k
+        return None
     sizes = (1024, 512, 256, 128) if kpair else (512, 256, 128)
     for bk in sizes:
         if k % bk:
@@ -103,15 +112,23 @@ def _pick_bk(k: int, group_size: int, kpair: bool = False) -> int | None:
 def supported(ql: QuantLinear) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    kpair = ql.layout == "kpair"
-    k_eff = ql.wp.shape[0] * 2 if kpair else ql.in_features
-    if _pick_bk(k_eff, ql.group_size, kpair=kpair) is None:
+    if ql.layout == "kpair":
+        bk = _pick_bk(ql.wp.shape[0] * 2, ql.group_size, kpair=True)
+    elif ql.layout == "kquad":
+        bk = _pick_bk(ql.wp.shape[0] * 4, ql.group_size, kquad=True)
+    elif ql.layout == "koct":
+        # virtual rows: 2 per byte; groups double in virtual-row space
+        gs_v = ql.group_size * 2 if ql.group_size != -1 else -1
+        bk = _pick_bk(ql.wp.shape[0] * 2, gs_v, kpair=True)
+    else:
+        bk = _pick_bk(ql.in_features, ql.group_size)
+    if bk is None:
         return False
     c = ql.n_pad // ql.planes
     return c % 128 == 0
 
 
-def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype, prefill):
+def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk, dot_dtype, prefill, variant="kpair"):
     """K-pair bitcast kernel — HBM speed-of-light decode path (~810 GB/s
     effective on v5e vs ~450 for the planar shift/mask kernel).
 
@@ -130,7 +147,14 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
         x @ (1 + v/128) = xs_g + (x @ v)/128
         out += (128*s) * B_g - (128*s + s*z) * xs_g
     so the per-element work is ~2.5 integer VPU ops per weight with zero
-    int->float conversions (the planar kernel's bottleneck)."""
+    int->float conversions (the planar kernel's bottleneck).
+
+    ``variant="koct"`` runs the SAME kernel for 8-bit: wp holds one byte per
+    logical weight; the word packs (1 + (v&127)/128) in the low half and
+    (1 + (v>>7)/128) in the high half, the caller interleaves activations as
+    virtual rows (x, 128x), and the algebra works out to an identical
+    factored correction with the zero-point scaled by 1/129 (each virtual
+    group sums to 129x the logical activation sum)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -141,10 +165,15 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
     # the zero-point term amplifies the rounding mismatch.
     xv = x_ref[...].astype(dot_dtype)
     t = wp_ref[...].astype(jnp.int32)
-    # (t >> 4) << 16 == t << 12 except it would smear the lo nibble into
-    # bits 12-15 (the low bf16's exponent), hence the explicit mask-free
-    # shift pair on the hi side and a single mask on the lo side.
-    word = jnp.int32(0x3F803F80) | (t & 15) | ((t >> 4) << 16)
+    if variant == "koct":
+        word = jnp.int32(0x3F803F80) | (t & 127) | ((t >> 7) << 16)
+        zscale = 1.0 / 129.0
+    else:
+        # (t >> 4) << 16 == t << 12 except it would smear the lo nibble into
+        # bits 12-15 (the low bf16's exponent), hence the explicit mask-free
+        # shift pair on the hi side and a single mask on the lo side.
+        word = jnp.int32(0x3F803F80) | (t & 15) | ((t >> 4) << 16)
+        zscale = 1.0
     wb = pltpu.bitcast(word, jnp.bfloat16)  # [BK, BN] = 1 + v/128, K order
     if prefill:
         # Large-M regime (the reference's reconstruct+GEMM idea,
@@ -154,7 +183,7 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
         bn = wb.shape[1]
         sg = s_ref[...].reshape(rows_per_blk, 1, bn)
         s128 = sg * 128.0
-        zadj = s128 + sg * (
+        zadj = s128 + (sg * zscale) * (
             z_ref[...].reshape(rows_per_blk, 1, bn).astype(jnp.int32).astype(jnp.float32)
         )
         w3 = wb.astype(jnp.float32).reshape(rows_per_blk, gs_blk, bn)
@@ -181,12 +210,12 @@ def _kernel_kpair(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs_blk,
         s = s_ref[r, 0, :]
         s128 = s * 128.0
         # u8 -> i32 -> f32 (Mosaic has no direct u8 -> float cast)
-        zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        zadj = s128 + (s * zscale) * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
         out_ref[...] += acc * s128[None, :] - xs * zadj[None, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype", "variant")
 )
 def _matmul_kpair(
     x2d,
@@ -201,6 +230,7 @@ def _matmul_kpair(
     bm,
     bn,
     dot_dtype,
+    variant="kpair",
 ):
     m, k = x2d.shape
     gs = group_size if group_size != -1 else k
@@ -220,7 +250,7 @@ def _matmul_kpair(
 
     kernel = functools.partial(
         _kernel_kpair, rows_per_blk=rows_per_blk, gs_blk=gs_blk,
-        dot_dtype=dot_dtype, prefill=m >= 32,
+        dot_dtype=dot_dtype, prefill=m >= 32, variant=variant,
     )
 
     flops = 2 * m * k * n_pad
@@ -234,6 +264,133 @@ def _matmul_kpair(
             pl.BlockSpec((bk // 2, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((rows_per_blk, 1, bn), scale_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x2d, wp, scales3, sz3)
+
+    return y[:, :out_features]
+
+
+def _kernel_kquad(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill):
+    """2-bit K-quad bitcast kernel — true 2 bits/weight HBM traffic with the
+    kpair-class decode (VERDICT r1 item 7; replaces the ~2x-slower planar
+    shift/mask path for 2-bit).
+
+    Grid: (mi, j, ki); ki innermost accumulates into the same out block.
+    x_ref:  [BM, BK]             activations
+    wp_ref: [BK/4, BN] uint8     K-quad packed (per-GROUP half-split, see
+                                 quantlinear._kquad_pack)
+    s_ref:  [R, 1, BN] f32       per-group scales (R whole groups per block)
+    z_ref:  [R, 1, BN] u8        per-group integer zero-points
+    out_ref:[BM, BN] f32         accumulator
+
+    Each byte holds 4 codes; TWO i32 words build bf16 patterns 0x3F80|v
+    (= 1 + v/128, v in [0,3]) for codes (c0,c1) and (c2,c3); two bitcasts
+    row-interleave them. Because the host packed codes per group as
+    [first-half rows | second-half rows], bitcast #1's rows for group r are
+    exactly the group's first gs/2 K rows and bitcast #2's its second gs/2 —
+    so the kernel contracts each half against the matching x slice (no
+    in-register reshuffle; Mosaic rejects lane-splitting reshapes). Dequant
+    stays the exact factored per-group correction of the kpair kernel."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xv = x_ref[...].astype(dot_dtype)
+    t = wp_ref[...].astype(jnp.int32)
+    w1 = jnp.int32(0x3F803F80) | (t & 3) | (((t >> 2) & 3) << 16)
+    w2 = jnp.int32(0x3F803F80) | ((t >> 4) & 3) | (((t >> 6) & 3) << 16)
+    wb1 = pltpu.bitcast(w1, jnp.bfloat16)        # [BK/2, BN] first halves
+    wb2 = pltpu.bitcast(w2, jnp.bfloat16)        # [BK/2, BN] second halves
+    half = gs // 2
+    for r in range(rows_per_blk):
+        x0 = xv[:, r * gs: r * gs + half]
+        x1 = xv[:, r * gs + half: (r + 1) * gs]
+        rows = slice(r * half, (r + 1) * half)
+        s = s_ref[r, 0, :]
+        s128 = s * 128.0
+        # u8 -> i32 -> f32 (Mosaic has no direct u8 -> float cast)
+        zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        if prefill:
+            # reconstruct+GEMM regime: dequantize each half once, dot full
+            wd1 = wb1[rows].astype(jnp.float32) * s128[None, :] - zadj[None, :]
+            wd2 = wb2[rows].astype(jnp.float32) * s128[None, :] - zadj[None, :]
+            out_ref[...] += jax.lax.dot_general(
+                x0, wd1.astype(dot_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                x1, wd2.astype(dot_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc = jax.lax.dot_general(
+                x0, wb1[rows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                x1, wb2[rows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xs = jnp.sum(x0.astype(jnp.float32), axis=1, keepdims=True) + \
+                jnp.sum(x1.astype(jnp.float32), axis=1, keepdims=True)
+            out_ref[...] += acc * s128[None, :] - xs * zadj[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+)
+def _matmul_kquad(
+    x2d,
+    wp,
+    scales3,
+    sz3,
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bm,
+    bn,
+    dot_dtype,
+):
+    m, k = x2d.shape
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, kquad=True)
+    assert bk is not None, "unsupported shape for kquad pallas kernel"
+    bn = min(bn, n_pad)
+    rows_per_blk = bk // gs          # whole groups per block by construction
+
+    grid = (_cdiv(m, bm), _cdiv(n_pad, bn), k // bk)
+    kernel = functools.partial(
+        _kernel_kquad, rows_per_blk=rows_per_blk, gs=gs,
+        dot_dtype=dot_dtype, prefill=m >= 32,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 4, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
@@ -479,6 +636,57 @@ def matmul_pallas(
     x2d = x.reshape(-1, x.shape[-1])
     m = x2d.shape[0]
     bm = min(bm, max(8, m))
+
+    if ql.layout == "koct":
+        # 8-bit: one byte per weight; run the kpair kernel over VIRTUAL rows
+        # (x, 128x) per logical row — see _kernel_kpair's koct notes.
+        k_pad = ql.wp.shape[0]
+        if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        xq = jnp.stack([x2d, x2d * 128.0], axis=-1).reshape(x2d.shape[0], -1)
+        n_loc = ql.wp.shape[1]
+        gs_v = ql.group_size * 2 if ql.group_size != -1 else -1
+        y = _matmul_kpair(
+            xq,
+            ql.wp,
+            ql.scales,
+            ql.zeros,
+            group_size=gs_v,
+            n_pad=n_loc,
+            out_features=min(ql.out_features, n_loc),
+            interpret=interpret,
+            bm=bm,
+            bn=bnh,
+            dot_dtype=dot_dtype,
+            variant="koct",
+        )
+        y = y.astype(x.dtype)
+        if ql.bias is not None:
+            y = y + ql.bias.astype(y.dtype)
+        return y.reshape(*batch_shape, y.shape[-1])
+
+    if ql.layout == "kquad":
+        k_pad = ql.wp.shape[0] * 4
+        if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        n_loc = ql.wp.shape[1]
+        y = _matmul_kquad(
+            x2d,
+            ql.wp,
+            ql.scales,
+            ql.zeros,
+            group_size=ql.group_size,
+            n_pad=n_loc,
+            out_features=min(ql.out_features, n_loc),
+            interpret=interpret,
+            bm=bm,
+            bn=bnh,
+            dot_dtype=dot_dtype,
+        )
+        y = y.astype(x.dtype)
+        if ql.bias is not None:
+            y = y + ql.bias.astype(y.dtype)
+        return y.reshape(*batch_shape, y.shape[-1])
 
     if ql.layout == "kpair":
         k_pad = ql.wp.shape[0] * 2

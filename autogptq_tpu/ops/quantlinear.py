@@ -114,7 +114,7 @@ class QuantLinear:
 
     @property
     def planes(self) -> int:
-        return 1 if self.layout == "kpair" else _planes(self.bits)
+        return 1 if self.layout in ("kpair", "kquad") else _planes(self.bits)
 
     @property
     def groups(self) -> int:
@@ -163,6 +163,38 @@ def kpair_unpack_np(wp: np.ndarray) -> np.ndarray:
     return out
 
 
+def _kquad_pack(values: np.ndarray, gs: int) -> np.ndarray:
+    """Pack 2-bit weights [K, n_pad] (values < 4) into K-quad bytes, split
+    per GROUP of ``gs`` rows so the kernel's two-bitcast decode lands rows in
+    contiguous half-group order (see pallas/gemm._kernel_kquad):
+
+        byte[g, j, n] = v[g*gs + 2j] | v[g*gs + 2j+1] << 2
+                      | v[g*gs + gs/2 + 2j] << 4 | v[g*gs + gs/2 + 2j+1] << 6
+
+    Per-group (not per-K-tile) splitting keeps the layout independent of the
+    kernel's block size, so group-aligned row-parallel shards stay valid."""
+    k, n = values.shape
+    assert gs % 4 == 0 and k % gs == 0
+    v = values.reshape(k // gs, gs, n).astype(np.uint8)
+    a, b = v[:, : gs // 2], v[:, gs // 2:]
+    out = a[:, 0::2] | (a[:, 1::2] << 2) | (b[:, 0::2] << 4) | (b[:, 1::2] << 6)
+    return out.reshape(k // 4, n)
+
+
+def kquad_unpack_np(wp: np.ndarray, gs: int) -> np.ndarray:
+    """Inverse of `_kquad_pack` (NumPy, for tests)."""
+    k4, n = wp.shape
+    k = k4 * 4
+    b4 = wp.reshape(k // gs, gs // 4, n)
+    first = np.empty((k // gs, gs // 2, n), np.uint8)
+    second = np.empty_like(first)
+    first[:, 0::2] = b4 & np.uint8(3)
+    first[:, 1::2] = (b4 >> np.uint8(2)) & np.uint8(3)
+    second[:, 0::2] = (b4 >> np.uint8(4)) & np.uint8(3)
+    second[:, 1::2] = b4 >> np.uint8(6)
+    return np.concatenate([first, second], axis=1).reshape(k, n)
+
+
 def from_packed(packed: PackedQuantLinear) -> QuantLinear:
     """Build the TPU runtime layout from reference-format tensors (host-side,
     one-time at load)."""
@@ -194,8 +226,16 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
 
     # Pad N to a lane-friendly multiple. Padded columns get scale=0 so they
     # contribute nothing and dequantize to 0.
-    layout = "kpair" if (_storage_bits(bits) == 4 and k % 2 == 0) else "planar"
-    planes = 1 if layout == "kpair" else _planes(bits)
+    gs_eff = packed.group_size if packed.group_size != -1 else k
+    if _storage_bits(bits) == 4 and k % 2 == 0:
+        layout = "kpair"
+    elif bits == 2 and gs_eff % 4 == 0 and k % gs_eff == 0:
+        layout = "kquad"  # true 2 bits/weight with the bitcast decode
+    elif bits == 8:
+        layout = "koct"   # byte-per-weight, kpair kernel over virtual rows
+    else:
+        layout = "planar"
+    planes = 1 if layout in ("kpair", "kquad", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
     if n_pad != n:
         w_int = np.pad(w_int, ((0, 0), (0, n_pad - n)))
@@ -236,6 +276,42 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
         wp = native.repack_kint4(w_int.astype(np.uint32), None)
         if wp is None:
             wp = _kpair_pack(w_int.astype(np.uint8))
+    elif layout == "kquad":
+        # Pad K to enable a large K tile, whole zero-scale groups only
+        # (mirrors the kpair rule above; zero-padded x keeps it exact).
+        from .pallas.gemm import _pick_bk
+
+        bk = _pick_bk(k, packed.group_size, kquad=True)
+        if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
+            k_pad = _round_up(k, 1024)
+            if (_pick_bk(k_pad, packed.group_size, kquad=True) or 0) >= 512:
+                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
+                if kperm is not None:
+                    kperm = np.pad(kperm, (0, k_pad - k))
+                g_pad = _cdiv(k_pad, packed.group_size)
+                if g_pad > g:
+                    scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
+                    zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
+                    g = g_pad
+        wp = _kquad_pack(w_int.astype(np.uint8), min(gs_eff, w_int.shape[0]))
+    elif layout == "koct":
+        # K padding for a large virtual-row tile (bk >= 512 over 2K rows)
+        from .pallas.gemm import _pick_bk
+
+        gs_v = packed.group_size * 2 if packed.group_size != -1 else -1
+        bk = _pick_bk(2 * k, gs_v, kpair=True)
+        if k >= 1024 and (bk is None or bk < 512) and packed.group_size != -1:
+            k_pad = _round_up(k, 512)
+            if (_pick_bk(2 * k_pad, gs_v, kpair=True) or 0) >= 512:
+                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
+                if kperm is not None:
+                    kperm = np.pad(kperm, (0, k_pad - k))
+                g_pad = _cdiv(k_pad, packed.group_size)
+                if g_pad > g:
+                    scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
+                    zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
+                    g = g_pad
+        wp = w_int.astype(np.uint8)           # [K, n_pad], one byte/weight
     else:
         wp = _plane_pack(w_int, bits, n_pad)
     c = n_pad // planes
@@ -274,6 +350,15 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
         # static metadata — under explicit TP the node carries GLOBAL
         # in/out_features but holds only its shard
         w_int = jnp.stack([lo, hi], axis=1).reshape(-1, ql.wp.shape[1]).astype(jnp.float32)
+    elif ql.layout == "koct":
+        w_int = ql.wp.astype(jnp.float32)              # [K, n_loc] bytes
+    elif ql.layout == "kquad":
+        n_loc = ql.wp.shape[1]
+        gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 4
+        b4 = ql.wp.reshape(-1, gs // 4, n_loc).astype(jnp.int32)
+        first = jnp.stack([b4 & 3, (b4 >> 2) & 3], axis=2).reshape(-1, gs // 2, n_loc)
+        second = jnp.stack([(b4 >> 4) & 3, b4 >> 6], axis=2).reshape(-1, gs // 2, n_loc)
+        w_int = jnp.concatenate([first, second], axis=1).reshape(-1, n_loc).astype(jnp.float32)
     else:
         sbits = _storage_bits(ql.bits)
         mask = np.uint8((1 << sbits) - 1)

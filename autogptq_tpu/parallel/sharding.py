@@ -69,8 +69,8 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
     # valid — each shard also takes ITS slice of kperm (global indices into
     # the full activation vector; arch.* all-gathers the row-parallel input
     # first under explicit TP).
-    k_store = node.wp.shape[0]                      # stored rows (kpair: K/2)
-    k_eff = k_store * 2 if node.layout == "kpair" else k_store
+    k_store = node.wp.shape[0]              # stored rows (kpair K/2, kquad K/4)
+    k_eff = k_store * {"kpair": 2, "kquad": 4}.get(node.layout, 1)
     g = node.scales.shape[0]
     shard_k = (
         k_store % tp_size == 0
