@@ -557,9 +557,14 @@ class GPTQModel:
         min_new_tokens: int = 0,
         seed: int = 0,
         kv_quant: bool = False,
+        length_penalty: float = 1.0,
+        early_stopping: bool = False,
+        num_return_sequences: int = 1,
     ):
         """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
-        search. Returns np.ndarray [B, T_in + max_new_tokens]."""
+        search (HF BeamSearchScorer semantics incl. length_penalty /
+        early_stopping / num_return_sequences). Returns np.ndarray
+        [B * num_return_sequences, T_in + max_new_tokens]."""
         from ..utils import generation
 
         return generation.generate(
@@ -572,6 +577,9 @@ class GPTQModel:
             min_new_tokens=min_new_tokens,
             seed=seed,
             kv_quant=kv_quant,
+            length_penalty=length_penalty,
+            early_stopping=early_stopping,
+            num_return_sequences=num_return_sequences,
         )
 
 

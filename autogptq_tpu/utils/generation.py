@@ -124,7 +124,9 @@ def _gather_beams(tree, idx):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams", "backend", "dtype", "kv_quant",
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams",
+        "backend", "dtype", "kv_quant", "length_penalty", "early_stopping",
+        "num_return_sequences",
     ),
 )
 def _generate_beam(
@@ -139,15 +141,25 @@ def _generate_beam(
     backend,
     dtype,
     kv_quant=False,
+    length_penalty=1.0,
+    early_stopping=False,
+    num_return_sequences=1,
 ):
-    """Standard length-normalization-free beam search (HF default alpha=0)."""
+    """Beam search with HF BeamSearchScorer semantics (the reference runs
+    plain HF generate, examples/benchmark/generation_speed.py): 2k candidates
+    per step, EOS-hitting candidates move to a per-row done-hypothesis pool
+    normalized by ``(cur_len ** length_penalty)``, non-EOS candidates
+    continue as the k live beams; rows freeze once the pool is full and
+    (early_stopping, or the best attainable raw score can no longer beat the
+    worst kept hypothesis). Returns [B, num_return_sequences, max_new]."""
     b, t = tokens.shape
     k = num_beams
     bk = b * k
     total = t + max_new_tokens
     vocab = cfg.vocab_size
+    p = float(length_penalty)
+    eos = eos_token_id
 
-    # Expand inputs to beams.
     tokens_e = jnp.repeat(tokens, k, axis=0)
     mask_e = jnp.repeat(mask, k, axis=0)
 
@@ -161,30 +173,46 @@ def _generate_beam(
     logprobs_full = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
 
     def mask_eos(lp, step):
-        if eos_token_id is not None and min_new_tokens > 0:
+        if eos is not None and min_new_tokens > 0:
             return jnp.where(
                 (step < min_new_tokens)
-                & (jnp.arange(vocab)[None, :] == eos_token_id),
+                & (jnp.arange(vocab)[None, :] == eos),
                 NEG_INF,
                 lp,
             )
         return lp
 
     lp0 = mask_eos(logprobs_full, 0).reshape(b, k, vocab)[:, 0, :]  # beams identical
-    top_lp, top_tok = jax.lax.top_k(lp0, k)                         # [B, k]
 
-    beam_scores0 = top_lp                                           # [B, k]
+    # done-hypothesis pool (HF BeamHypotheses, vectorized)
+    done_scores0 = jnp.full((b, k), NEG_INF)            # normalized scores
+    done_tokens0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+    frozen0 = jnp.zeros((b,), bool)
+    # Step 0, HF-style: take 2k candidates; EOS ones enter the pool, the
+    # best k non-EOS become the live beams.
+    s2k0, tok2k0 = jax.lax.top_k(lp0, 2 * k)                        # [B, 2k]
+    if eos is not None:
+        is_eos0 = tok2k0 == eos
+        cand0 = jnp.where(is_eos0, s2k0 / (float(t) ** p), NEG_INF)
+        pool_s0 = jnp.concatenate([done_scores0, cand0], axis=1)
+        pool_t0 = jnp.concatenate(
+            [done_tokens0,
+             jnp.zeros((b, 2 * k, max_new_tokens), jnp.int32).at[:, :, 0].set(eos)],
+            axis=1)
+        done_scores0, di0 = jax.lax.top_k(pool_s0, k)
+        done_tokens0 = jnp.take_along_axis(pool_t0, di0[:, :, None], axis=1)
+        s2k0 = jnp.where(is_eos0, NEG_INF, s2k0)
+    beam_scores0, sel0 = jax.lax.top_k(s2k0, k)                     # [B, k]
+    top_tok = jnp.take_along_axis(tok2k0, sel0, axis=1)
+
     out0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
     out0 = out0.at[:, :, 0].set(top_tok)
     cur_tok0 = top_tok.reshape(bk)
     next_pos = positions[:, -1] + 1
-    finished0 = (
-        (cur_tok0.reshape(b, k) == eos_token_id) if eos_token_id is not None
-        else jnp.zeros((b, k), bool)
-    )
 
     def step_fn(state, step):
-        cache, validity, cur_tok, cur_pos, scores, finished, out = state
+        (cache, validity, cur_tok, cur_pos, scores, out,
+         done_scores, done_tokens, frozen) = state
         validity = jax.lax.dynamic_update_slice(
             validity, jnp.ones((bk, 1), jnp.int32), (0, cache.length)
         )
@@ -195,16 +223,48 @@ def _generate_beam(
         lp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
         lp = mask_eos(lp, step).reshape(b, k, vocab)
 
-        # Finished beams only propose EOS at score 0 delta.
-        if eos_token_id is not None:
-            frozen = jnp.full((vocab,), NEG_INF).at[eos_token_id].set(0.0)
-            lp = jnp.where(finished[:, :, None], frozen[None, None, :], lp)
-
         cand = scores[:, :, None] + lp                              # [B, k, V]
         flat = cand.reshape(b, k * vocab)
-        new_scores, flat_idx = jax.lax.top_k(flat, k)               # [B, k]
-        beam_idx = flat_idx // vocab                                # [B, k]
-        tok_idx = (flat_idx % vocab).astype(jnp.int32)
+        k2 = 2 * k                                                  # HF: 2k cands
+        s2k, flat_idx = jax.lax.top_k(flat, k2)                     # [B, 2k]
+        beam2k = flat_idx // vocab
+        tok2k = (flat_idx % vocab).astype(jnp.int32)
+
+        if eos is not None:
+            is_eos = tok2k == eos                                   # [B, 2k]
+            cur_len = float(t) + step                               # HF: len(input_ids)
+            cand_norm = jnp.where(
+                is_eos & ~frozen[:, None], s2k / (cur_len ** p), NEG_INF
+            )
+            # hypothesis tokens: parent beam's output + eos at this step
+            cand_tok = jnp.take_along_axis(
+                out, beam2k[:, :, None], axis=1)                    # [B, 2k, M]
+            cand_tok = jax.lax.dynamic_update_slice(
+                cand_tok,
+                jnp.full((b, k2, 1), eos, jnp.int32),
+                (0, 0, step),
+            )
+            pool_s = jnp.concatenate([done_scores, cand_norm], axis=1)
+            pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
+            done_scores, di = jax.lax.top_k(pool_s, k)
+            done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
+            # live beams: best k NON-eos of the 2k (HF takes them in order)
+            s2k = jnp.where(is_eos, NEG_INF, s2k)
+            # row freeze (BeamHypotheses.is_done): pool full AND either
+            # early_stopping or no live beam can still beat the worst kept
+            pool_full = done_scores[:, -1] > NEG_INF / 2
+            if early_stopping:
+                newly_done = pool_full
+            else:
+                best_possible = jnp.max(s2k, axis=1) / (
+                    (float(t) + step + 1.0) ** p if p > 0 else 1.0
+                )
+                newly_done = pool_full & (done_scores[:, -1] >= best_possible)
+            frozen = frozen | newly_done
+
+        new_scores, sel = jax.lax.top_k(s2k, k)                     # [B, k]
+        beam_idx = jnp.take_along_axis(beam2k, sel, axis=1)
+        tok_idx = jnp.take_along_axis(tok2k, sel, axis=1)
 
         gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(bk)
         # Physically reordering the KV cache costs ~2 x cache-size of HBM
@@ -226,20 +286,30 @@ def _generate_beam(
         out = jax.lax.dynamic_update_slice(
             out, tok_idx[:, :, None], (0, 0, step)
         )
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
-        if eos_token_id is not None:
-            finished = finished | (tok_idx == eos_token_id)
-        return (cache, validity, tok_idx.reshape(bk), cur_pos + 1, new_scores, finished, out), None
+        return (cache, validity, tok_idx.reshape(bk), cur_pos + 1, new_scores,
+                out, done_scores, done_tokens, frozen), None
 
-    state = (cache, validity, cur_tok0, next_pos, beam_scores0, finished0, out0)
+    state = (cache, validity, cur_tok0, next_pos, beam_scores0, out0,
+             done_scores0, done_tokens0, frozen0)
     state, _ = jax.lax.scan(step_fn, state, jnp.arange(1, max_new_tokens))
-    out, scores = state[6], state[4]
-    best = jnp.argmax(scores, axis=1)
-    return jnp.take_along_axis(out, best[:, None, None], axis=1)[:, 0, :]
+    scores, out = state[4], state[5]
+    done_scores, done_tokens, frozen = state[6], state[7], state[8]
+
+    # HF finalize: rows whose pool is not yet full add their live beams,
+    # normalized at the final length.
+    final_norm = scores / (float(total) ** p)
+    pool_full = done_scores[:, -1] > NEG_INF / 2
+    live_norm = jnp.where(pool_full[:, None], NEG_INF, final_norm)
+    pool_s = jnp.concatenate([done_scores, live_norm], axis=1)
+    pool_t = jnp.concatenate([done_tokens, out], axis=1)
+    top_s, ti = jax.lax.top_k(pool_s, num_return_sequences)
+    return jnp.take_along_axis(pool_t, ti[:, :, None], axis=1)  # [B, R, M]
 
 
 def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
-                 eos_token_id, temperature, num_beams, seed, kv_quant):
+                 eos_token_id, temperature, num_beams, seed, kv_quant,
+                 length_penalty=1.0, early_stopping=False,
+                 num_return_sequences=1):
     """Sharded generate: the WHOLE generate loop (prefill + decode scan) runs
     under shard_map on the model's mesh — every device executes the fused
     quantized matmuls on its local weight shard, the KV cache lives sharded
@@ -247,7 +317,8 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
     sampling is replicated, so the tokens match single-device generate
     exactly. See parallel/tp.py:TPModel."""
     key = (num_beams, max_new_tokens, min_new_tokens, eos_token_id,
-           float(temperature or 0.0), kv_quant)
+           float(temperature or 0.0), kv_quant, float(length_penalty),
+           bool(early_stopping), num_return_sequences)
     run = model._gen_cache.get(key)
     if run is None:
         lcfg = model.lcfg
@@ -256,7 +327,9 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                 return _generate_beam(
                     p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
                     eos_token_id, num_beams, model.backend, model.dtype,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, length_penalty=float(length_penalty),
+                    early_stopping=bool(early_stopping),
+                    num_return_sequences=num_return_sequences,
                 )
             run = jax.jit(model.shard_generate(core, n_batch_args=2))
         else:
@@ -285,12 +358,20 @@ def generate(
     seed: int = 0,
     pad_token_id: int = 0,
     kv_quant: bool = False,
+    length_penalty: float = 1.0,
+    early_stopping: bool = False,
+    num_return_sequences: int = 1,
 ) -> np.ndarray:
+    """HF-generate-protocol decoding. With ``num_return_sequences`` R > 1
+    (beam search only), returns [B*R, T+new] HF-style."""
+    if num_return_sequences > 1 and num_beams < num_return_sequences:
+        raise ValueError("num_return_sequences must be <= num_beams")
     ids, mask = _prep_inputs(input_ids, pad_token_id)
     if getattr(model, "is_tp", False):
         new = _tp_generate(
             model, ids, mask, max_new_tokens, min_new_tokens, eos_token_id,
             temperature, num_beams, seed, kv_quant,
+            length_penalty, early_stopping, num_return_sequences,
         )
     elif num_beams > 1:
         new = _generate_beam(
@@ -305,6 +386,9 @@ def generate(
             model.backend,
             model.dtype,
             kv_quant=kv_quant,
+            length_penalty=float(length_penalty),
+            early_stopping=bool(early_stopping),
+            num_return_sequences=num_return_sequences,
         )
     else:
         new = _generate_greedy(
@@ -321,7 +405,13 @@ def generate(
             jax.random.PRNGKey(seed),
             kv_quant=kv_quant,
         )
-    return np.concatenate([ids, np.asarray(new)], axis=1)
+    new = np.asarray(new)
+    if num_beams > 1:
+        # _generate_beam returns [B, R, M]; flatten HF-style to [B*R, M]
+        b, r, m = new.shape
+        ids = np.repeat(ids, r, axis=0)
+        new = new.reshape(b * r, m)
+    return np.concatenate([ids, new], axis=1)
 
 
 __all__ = ["generate"]

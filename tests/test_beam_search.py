@@ -65,3 +65,65 @@ def test_beam_kv_quant_runs(rng):
     prompt = rng.integers(0, cfg.vocab_size, size=(5,)).astype(np.int32)
     out = generation.generate(model, prompt[None], max_new_tokens=5, num_beams=3, kv_quant=True)
     assert out.shape == (1, 10)
+
+
+# ---------------------------------------------------------------------------
+# HF generate() parity: length_penalty / early_stopping / num_return_sequences
+# (the reference benchmark runs plain HF generate; BeamSearchScorer is the
+# semantics bar). Same tiny fp checkpoint driven through torch HF generate
+# and through our beam decode; tokens must match exactly.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hf_pair(tmp_path_factory):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from autogptq_tpu import AutoGPTQForCausalLM
+    from tests.test_models import save_tiny_llama
+
+    d = tmp_path_factory.mktemp("beamfp")
+    hf = save_tiny_llama(d).float().eval()
+    # align: our loader reads the f16-rounded checkpoint
+    with torch.no_grad():
+        for p in hf.parameters():
+            p.data = p.data.half().float()
+    ours = AutoGPTQForCausalLM.from_pretrained(str(d), dtype=jnp.float32)
+    return hf, ours
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(num_beams=3, length_penalty=1.0, early_stopping=False),
+        dict(num_beams=3, length_penalty=2.0, early_stopping=False),
+        dict(num_beams=4, length_penalty=0.5, early_stopping=True),
+        dict(num_beams=4, length_penalty=1.0, early_stopping=False,
+             num_return_sequences=3),
+    ],
+)
+def test_beam_matches_hf_generate(hf_pair, rng, kwargs):
+    torch = pytest.importorskip("torch")
+    hf, ours = hf_pair
+    n = 8
+    prompt = rng.integers(2, 250, size=(1, 6)).astype(np.int64)
+    eos = 1
+
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.from_numpy(prompt),
+            max_new_tokens=n, min_new_tokens=2, eos_token_id=eos,
+            pad_token_id=0, do_sample=False, **kwargs,
+        ).numpy()
+    got = ours.generate(
+        prompt.astype(np.int32), max_new_tokens=n, min_new_tokens=2,
+        eos_token_id=eos, **kwargs,
+    )
+    assert got.shape[0] == ref.shape[0]
+    for i in range(ref.shape[0]):
+        r = ref[i, prompt.shape[1]:]
+        g = got[i, prompt.shape[1]:]
+        # HF pads after EOS; compare up to and including the EOS
+        rl = list(r)
+        end = rl.index(eos) + 1 if eos in rl else len(rl)
+        np.testing.assert_array_equal(g[:end], r[:end])
