@@ -195,9 +195,15 @@ def kquad_unpack_np(wp: np.ndarray, gs: int) -> np.ndarray:
     return np.concatenate([first, second], axis=1).reshape(k, n)
 
 
-def from_packed(packed: PackedQuantLinear) -> QuantLinear:
+def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> QuantLinear:
     """Build the TPU runtime layout from reference-format tensors (host-side,
-    one-time at load)."""
+    one-time at load).
+
+    ``layout`` overrides the automatic choice (tests/experiments). Defaults:
+    3/4-bit -> kpair, 2-bit -> kquad, 8-bit -> planar. 8-bit measured on
+    v5e: planar 532 GB/s (one cast per weight) vs the koct virtual-row
+    kernel 438 GB/s (the doubled dot width costs more than the cast saves),
+    so koct stays opt-in."""
     bits = packed.bits
     k, n = packed.in_features, packed.out_features
     qweight = np.asarray(packed.qweight)
@@ -227,14 +233,13 @@ def from_packed(packed: PackedQuantLinear) -> QuantLinear:
     # Pad N to a lane-friendly multiple. Padded columns get scale=0 so they
     # contribute nothing and dequantize to 0.
     gs_eff = packed.group_size if packed.group_size != -1 else k
-    if _storage_bits(bits) == 4 and k % 2 == 0:
-        layout = "kpair"
-    elif bits == 2 and gs_eff % 4 == 0 and k % gs_eff == 0:
-        layout = "kquad"  # true 2 bits/weight with the bitcast decode
-    elif bits == 8:
-        layout = "koct"   # byte-per-weight, kpair kernel over virtual rows
-    else:
-        layout = "planar"
+    if layout is None:
+        if _storage_bits(bits) == 4 and k % 2 == 0:
+            layout = "kpair"
+        elif bits == 2 and gs_eff % 4 == 0 and k % gs_eff == 0:
+            layout = "kquad"  # true 2 bits/weight with the bitcast decode
+        else:
+            layout = "planar"
     planes = 1 if layout in ("kpair", "kquad", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
     if n_pad != n:

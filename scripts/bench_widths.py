@@ -72,7 +72,7 @@ def make_looped(f):
     return run
 
 
-def slope_time(f, x, n1=10, n2=110, reps=4):
+def slope_time(f, x, n1=50, n2=2050, reps=5):
     run = make_looped(f)
     float(np.asarray(run(x, n1)))
     float(np.asarray(run(x, n2)))

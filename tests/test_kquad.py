@@ -113,14 +113,27 @@ def _make_ql8(rng, k, n, gs, desc_act=False):
         bias=None,
         bits=8, group_size=gs, in_features=k, out_features=n,
     )
-    return quantlinear.from_packed(packed)
+    # koct is opt-in: planar measured faster for 8-bit on v5e (532 vs 438
+    # GB/s — the virtual-row trick doubles dot width per weight)
+    return quantlinear.from_packed(packed, layout="koct")
 
 
-def test_from_packed_selects_koct(rng):
+def test_koct_opt_in_layout(rng):
     ql = _make_ql8(rng, 128, 128, 32)
     assert ql.layout == "koct"
     assert ql.wp.shape == (128, 128) and ql.wp.dtype == jnp.uint8
     assert ql.scales.shape == (4, 1, 128)
+    # default for 8-bit stays planar
+    iw = rng.integers(0, 256, size=(128, 128)).astype(np.uint32)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, 8)),
+        qzeros=jnp.asarray(packing.pack_qzeros(
+            rng.integers(1, 256, size=(4, 128)).astype(np.int64), 8)),
+        scales=jnp.asarray((rng.random((4, 128)) * 0.02).astype(np.float16)),
+        g_idx=jnp.asarray((np.arange(128) // 32).astype(np.int32)),
+        bias=None, bits=8, group_size=32, in_features=128, out_features=128,
+    )
+    assert quantlinear.from_packed(packed).layout == "planar"
 
 
 @pytest.mark.parametrize("gs", [32, 64])
@@ -161,7 +174,7 @@ def test_koct_dequant_matches_reference_unpack(rng):
         bias=None,
         bits=8, group_size=gs, in_features=k, out_features=n,
     )
-    ql = quantlinear.from_packed(packed)
+    ql = quantlinear.from_packed(packed, layout="koct")
     assert ql.layout == "koct"
     w = np.asarray(quantlinear.dequantize_xla(ql, jnp.float32))[:k, :n]
     expect = (iw.astype(np.float32) - zeros[g_idx].astype(np.float32)) \
