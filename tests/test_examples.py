@@ -135,3 +135,12 @@ def test_example_adaption_prompt_training(tiny_model, tiny_data, tmp_path):
                 "--adapter_len", "4", "--adapter_layers", "2",
                 "--block_max_len", "64", "--batch_size", "2"])
     assert "adapter saved" in out
+
+
+def test_example_serving_continuous_batching(tiny_model):
+    out = _run(["examples/serving/continuous_batching.py",
+                "--quantized_model_dir", tiny_model["q"],
+                "--num_random_requests", "3", "--max_new_tokens", "6",
+                "--max_seq_len", "128", "--prefill_chunk", "16",
+                "--temperature", "0.7"])
+    assert "aggregate tok/s" in out
