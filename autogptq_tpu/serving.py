@@ -94,14 +94,17 @@ def _sample_tokens(logits, temps, top_ps, top_ks, seeds, steps, eos_ids, min_lef
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     order = jnp.argsort(-scaled, axis=-1)
     sl = jnp.take_along_axis(scaled, order, axis=-1)
-    probs = jax.nn.softmax(sl, axis=-1)
+    # HF warper order: top-k first, then top-p over the RENORMALIZED
+    # remaining distribution (TopKLogitsWarper -> TopPLogitsWarper)
+    k_eff = jnp.where(top_ks > 0, top_ks, v)
+    keep = jnp.arange(v)[None, :] < k_eff[:, None]
+    sl_k = jnp.where(keep, sl, NEG_INF)
+    probs = jax.nn.softmax(sl_k, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # nucleus: keep the smallest prefix whose mass reaches top_p (the first
     # token crossing the threshold stays in)
-    keep = (cum - probs) < top_ps[:, None]
-    k_eff = jnp.where(top_ks > 0, top_ks, v)
-    keep &= jnp.arange(v)[None, :] < k_eff[:, None]
-    slf = jnp.where(keep, sl, NEG_INF)
+    keep &= (cum - probs) < top_ps[:, None]
+    slf = jnp.where(keep, sl_k, NEG_INF)
 
     def draw(seed, step, row):
         key = jax.random.fold_in(jax.random.PRNGKey(seed), step)

@@ -144,3 +144,34 @@ def test_example_serving_continuous_batching(tiny_model):
                 "--max_seq_len", "128", "--prefill_chunk", "16",
                 "--temperature", "0.7"])
     assert "aggregate tok/s" in out
+
+
+def test_example_multi_chip_generate(tmp_path):
+    """Explicit TP needs unpadded column widths (out % 128*tp == 0), so this
+    example gets its own hidden=256 checkpoint instead of tiny_model."""
+    import torch
+
+    torch.manual_seed(0)
+    fp = tmp_path / "fp"
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    transformers.LlamaForCausalLM(cfg).save_pretrained(fp, safe_serialization=True)
+    qc = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+    m = AutoGPTQForCausalLM.from_pretrained(str(fp), quantize_config=qc, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    m.quantize([{"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)])
+    q = tmp_path / "q"
+    m.save_quantized(str(q))
+
+    env = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    r = subprocess.run(
+        [sys.executable, "examples/inference/multi_chip_generate.py",
+         "--quantized_model_dir", str(q), "--tp", "2", "--dp", "2",
+         "--max_new_tokens", "5", "--verify_vs_single_chip"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
+    assert "verified: sharded tokens == single-device tokens" in r.stdout
