@@ -15,6 +15,7 @@ quantized (Pallas / XLA fallback) at trace time based on pytree node type.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Optional
 
 import jax
@@ -79,6 +80,14 @@ class ArchConfig:
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
     logit_scale: Optional[float] = None
+    # Baichuan2 NormHead: lm_head rows L2-normalized at inference (official
+    # modeling_baichuan.py NormHead.forward; detected by the v2 vocab size)
+    lm_head_normalize: bool = False
+    # qwen-v1 long-context extensions (official modeling_qwen.py): logn
+    # attention scaling (q *= max(1, log_L(pos+1))) and dynamic-NTK rope,
+    # both keyed on the training seq_length
+    logn_attn_seq_len: Optional[int] = None
+    rope_ntk_seq_len: Optional[int] = None
     # --- MLA (multi-head latent attention, minicpm3/deepseek-v2 style) ---
     # head_dim must be qk_nope_head_dim + qk_rope_head_dim; the KV cache
     # stores per-head K at that width and V zero-padded to it.
@@ -197,9 +206,24 @@ def apply_norm(norm_params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarra
 
 
 def _rope_freqs(cfg: ArchConfig, positions: jnp.ndarray, rotary_dim: int):
-    inv_freq = 1.0 / (
-        cfg.rope_theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
-    )
+    if cfg.rope_ntk_seq_len is not None:
+        # qwen-v1 dynamic NTK (official modeling_qwen.py): base scaled by
+        # alpha^(d/(d-2)) with alpha = max(2^ceil(log2(len/L)+1) - 1, 1);
+        # fully traceable from the positions actually being encoded, so the
+        # switch stays inside jit (cached keys keep the alpha of their own
+        # encode step, matching the official incremental behavior).
+        L = float(cfg.rope_ntk_seq_len)
+        seqlen = jnp.max(positions).astype(jnp.float32) + 1.0
+        ctx = jnp.ceil(jnp.log2(jnp.maximum(seqlen / L, 1.0)) + 1.0)
+        alpha = jnp.maximum(2.0 ** ctx - 1.0, 1.0)
+        base = cfg.rope_theta * alpha ** (rotary_dim / (rotary_dim - 2))
+        inv_freq = 1.0 / (
+            base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+        )
+    else:
+        inv_freq = 1.0 / (
+            cfg.rope_theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+        )
     if cfg.rope_factors is not None:  # longrope per-dim divisors
         inv_freq = inv_freq / jnp.asarray(cfg.rope_factors, jnp.float32)
     angles = positions.astype(jnp.float32)[..., None] * inv_freq  # [..., T, rd/2]
@@ -514,6 +538,14 @@ def attention(
 
         if cfg.pos_embedding in ("rope", "rope_gptj"):
             q, k = apply_rope(q, k, positions, cfg)
+        if cfg.logn_attn_seq_len is not None:
+            # qwen-v1 logn scaling: amplify long-position queries by
+            # log_L(pos+1), clamped at 1 inside the training length
+            L = float(cfg.logn_attn_seq_len)
+            logn = jnp.maximum(
+                jnp.log(positions.astype(jnp.float32) + 1.0) / math.log(L), 1.0
+            )
+            q = (q.astype(jnp.float32) * logn[:, :, None, None]).astype(q.dtype)
 
     # Causality is computed in cache-SLOT space (uniform across the batch,
     # works with left padding); logical positions feed only RoPE/learned-pos.
@@ -906,6 +938,13 @@ def unembed(params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
         x = apply_norm(params["final_norm"], x, cfg)
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32), params["embed_tokens"].astype(jnp.float32))
+    elif cfg.lm_head_normalize:
+        # Baichuan2 NormHead: per-vocab-row L2 normalization at inference
+        # (official modeling_baichuan.py). Requires the dense head; the
+        # opt-in quantized lm_head is unsupported for this family.
+        w = params["lm_head"].kernel.astype(jnp.float32)     # [H, V]
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=0, keepdims=True), 1e-12)
+        logits = jnp.einsum("bth,hv->btv", x.astype(jnp.float32), w)
     else:
         logits = apply_linear(params["lm_head"], x, backend="auto").astype(jnp.float32)
     if cfg.logit_scale is not None:

@@ -244,6 +244,9 @@ for _mt in ("mistral", "yi", "internlm", "xverse"):
 
 def _baichuan_arch(c: dict) -> ArchConfig:
     alibi = c["hidden_size"] >= 5120
+    # Baichuan2 (vocab 125696 vs v1's 64000) L2-normalizes lm_head rows at
+    # inference (NormHead, official modeling_baichuan.py); same size split
+    # for rope-vs-alibi as v1.
     return _llama_arch(
         c,
         model_type="baichuan",
@@ -251,6 +254,7 @@ def _baichuan_arch(c: dict) -> ArchConfig:
         max_position_embeddings=c.get(
             "model_max_length", c.get("max_position_embeddings", 4096)
         ),
+        lm_head_normalize=c.get("vocab_size", 0) >= 100000,
     )
 
 
@@ -1211,6 +1215,10 @@ def _qwen_arch(c: dict) -> ArchConfig:
         mlp_act="silu_glu",
         attn_qkv_bias=True,
         tie_word_embeddings=False,
+        # long-context extensions (official modeling_qwen.py): both are
+        # keyed on the training seq_length and inert below it
+        logn_attn_seq_len=(c.get("seq_length") if c.get("use_logn_attn") else None),
+        rope_ntk_seq_len=(c.get("seq_length") if c.get("use_dynamic_ntk") else None),
     )
 
 

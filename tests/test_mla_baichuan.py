@@ -284,6 +284,51 @@ def test_baichuan_forward_oracle(tmp_path, rng):
     assert np.abs(ours - ref).mean() < 2e-3
 
 
+def test_baichuan2_normhead(tmp_path, rng):
+    """Baichuan2 (vocab >= 100k) L2-normalizes lm_head rows at inference
+    (NormHead, official modeling_baichuan.py); detected by vocab size."""
+    c = dict(BCH, vocab_size=100352)
+    h, nh = c["hidden_size"], c["num_attention_heads"]
+    t = {
+        "model.embed_tokens.weight": _w(rng, c["vocab_size"], h),
+        "model.norm.weight": 1 + 0.1 * _w(rng, h),
+        "lm_head.weight": _w(rng, c["vocab_size"], h),
+    }
+    for i in range(c["num_hidden_layers"]):
+        p = f"model.layers.{i}"
+        t[f"{p}.self_attn.W_pack.weight"] = _w(rng, 3 * h, h)
+        t[f"{p}.self_attn.o_proj.weight"] = _w(rng, h, h)
+        t[f"{p}.input_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.post_attention_layernorm.weight"] = 1 + 0.1 * _w(rng, h)
+        t[f"{p}.mlp.gate_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.up_proj.weight"] = _w(rng, c["intermediate_size"], h)
+        t[f"{p}.mlp.down_proj.weight"] = _w(rng, h, c["intermediate_size"])
+    _save_ckpt(str(tmp_path), c, t)
+
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert model.cfg.lm_head_normalize
+
+    ids = rng.integers(0, 1000, size=(1, 7)).astype(np.int32)
+    ours = np.asarray(model.forward(ids))
+
+    # oracle: baichuan body + row-normalized head
+    wh = t["lm_head.weight"].astype(np.float64)
+    wh = wh / np.maximum(np.linalg.norm(wh, axis=1, keepdims=True), 1e-12)
+    t2 = dict(t, **{"lm_head.weight": wh})
+
+    def oracle(tt, ids):
+        saved = {k: BCH[k] for k in ("vocab_size",)}
+        try:
+            BCH.update(vocab_size=c["vocab_size"])
+            return oracle_baichuan(tt, ids)
+        finally:
+            BCH.update(saved)
+
+    ref = oracle(t2, ids)
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(ours - ref).mean() < 2e-3
+
+
 def test_baichuan_13b_alibi_config():
     from autogptq_tpu.models.registry import get_family
 
@@ -471,6 +516,71 @@ def test_qwen_v1_forward_oracle(tmp_path, rng):
     ids = rng.integers(0, 128, size=(2, 9)).astype(np.int32)
     ref = oracle_qwen(t, ids)
     ours = np.asarray(model.forward(ids))
+    np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
+    assert np.abs(ours - ref).mean() < 2e-3
+
+
+def test_qwen_v1_logn_and_dynamic_ntk(tmp_path, rng):
+    """use_logn_attn + use_dynamic_ntk past the training seq_length
+    (official modeling_qwen.py long-context extensions): q scaled by
+    max(1, log_L(pos+1)), rope base scaled by ntk_alpha^(d/(d-2)) with
+    alpha = max(2^ceil(log2(len/L)+1)-1, 1)."""
+    seq_len_train = 8
+    c = dict(QWEN, use_logn_attn=True, use_dynamic_ntk=True,
+             seq_length=seq_len_train)
+    h, nh, L = c["hidden_size"], c["num_attention_heads"], c["num_hidden_layers"]
+    d = h // nh
+    import json as _json
+    import os as _os
+
+    t = make_qwen(rng, str(tmp_path))
+    with open(_os.path.join(str(tmp_path), "config.json"), "w") as f:
+        _json.dump(c, f)
+
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert model.cfg.logn_attn_seq_len == seq_len_train
+    assert model.cfg.rope_ntk_seq_len == seq_len_train
+
+    tt = 14  # > seq_length: both extensions active
+    ids = rng.integers(0, 128, size=(1, tt)).astype(np.int32)
+    ours = np.asarray(model.forward(ids))
+
+    # NumPy oracle with the official formulas
+    import math
+
+    alpha = max(2.0 ** math.ceil(math.log2(tt / seq_len_train) + 1) - 1.0, 1.0)
+    base = c["rotary_emb_base"] * alpha ** (d / (d - 2))
+    b = 1
+    pos = np.broadcast_to(np.arange(tt, dtype=np.float64)[None], (b, tt))
+    logn = np.maximum(np.log(pos + 1) / np.log(seq_len_train), 1.0)
+
+    def rope_base(x, theta):
+        inv = 1.0 / theta ** (np.arange(0, d, 2, dtype=np.float64) / d)
+        ang = pos[..., None] * inv
+        cos, sin = np.cos(ang)[:, :, None, :], np.sin(ang)[:, :, None, :]
+        x1, x2 = x[..., : d // 2], x[..., d // 2:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    x = t["transformer.wte.weight"][ids].astype(np.float64)
+    for i in range(L):
+        p = f"transformer.h.{i}"
+        hh = np_rms(x, t[f"{p}.ln_1.weight"])
+        qkv = hh @ t[f"{p}.attn.c_attn.weight"].T + t[f"{p}.attn.c_attn.bias"]
+        q = qkv[..., :h].reshape(b, tt, nh, d)
+        k = qkv[..., h:2 * h].reshape(b, tt, nh, d)
+        v = qkv[..., 2 * h:].reshape(b, tt, nh, d)
+        q = rope_base(q, base) * logn[..., None, None]
+        k = rope_base(k, base)
+        att = _softmax_causal(np.einsum("bthd,bshd->bhts", q, k) / np.sqrt(d))
+        o = np.einsum("bhts,bshd->bthd", att, v).reshape(b, tt, h)
+        x = x + o @ t[f"{p}.attn.c_proj.weight"].T
+        h2 = np_rms(x, t[f"{p}.ln_2.weight"])
+        up = h2 @ t[f"{p}.mlp.w1.weight"].T
+        gate = h2 @ t[f"{p}.mlp.w2.weight"].T
+        x = x + (gate / (1 + np.exp(-gate)) * up) @ t[f"{p}.mlp.c_proj.weight"].T
+    x = np_rms(x, t["transformer.ln_f.weight"])
+    ref = x @ t["lm_head.weight"].T
+
     np.testing.assert_allclose(ours, ref, rtol=2e-2, atol=2e-2)
     assert np.abs(ours - ref).mean() < 2e-3
 
