@@ -111,6 +111,11 @@ class ArchConfig:
     # this mesh axis. The cfg passed into the shard_map body must already
     # carry LOCAL head/intermediate counts.
     tp_axis: Optional[str] = None
+    # Sequence (context) parallelism (parallel/ring.py): when set and the
+    # forward is cache-less, attention runs the ring schedule over this mesh
+    # axis — the SEQUENCE dim is sharded, K/V blocks rotate via ppermute with
+    # streaming-softmax accumulation. Long-context scoring/calibration path.
+    sp_axis: Optional[str] = None
 
     @property
     def kv_repeat(self) -> int:
@@ -494,6 +499,53 @@ def _mla_attention_cached(
     return out, (ck, cv)
 
 
+def _ring_attention(q, k, v, axis: str, scale: float):
+    """Ring (context-parallel) causal attention under ``jax.shard_map``.
+
+    q/k/v: LOCAL sequence chunks [B, Tc, H, D] (kv heads already repeated to
+    H); the global sequence is n_devices * Tc, laid out in axis-index order.
+    Each of n steps contracts the local queries against the K/V block
+    currently held (starting with our own, then ring-rotated via ppermute),
+    maintaining streaming-softmax accumulators (running max m, denominator
+    l, weighted sum acc) — attention memory stays O(Tc^2) per device
+    instead of O(T_global^2), and the K/V traffic rides the ICI ring.
+    """
+    n = jax.lax.psum(1, axis)
+    r = jax.lax.axis_index(axis)
+    b, tc, h, d = q.shape
+    qf = q.astype(jnp.float32)
+
+    q_pos = r * tc + jnp.arange(tc)                       # global positions
+    m0 = jnp.full((b, h, tc), -1e30)
+    l0 = jnp.zeros((b, h, tc))
+    acc0 = jnp.zeros((b, tc, h, d))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(s, carry):
+        k_cur, v_cur, m, l, acc = carry
+        j = (r - s) % n                                   # block k_cur holds
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", qf, k_cur.astype(jnp.float32)
+        ) * scale                                          # [B,H,Tc,Tc]
+        kv_pos = j * tc + jnp.arange(tc)
+        mask = kv_pos[None, :] <= q_pos[:, None]          # causal, global
+        scores = jnp.where(mask[None, None], scores, -1e30)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1))
+        p = jnp.exp(scores - m_new[..., None])            # [B,H,Tc,Tc]
+        p = jnp.where(mask[None, None], p, 0.0)
+        corr = jnp.exp(m - m_new)                         # [B,H,Tc]
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr.transpose(0, 2, 1)[..., None] + jnp.einsum(
+            "bhts,bshd->bthd", p, v_cur.astype(jnp.float32)
+        )
+        k_cur = jax.lax.ppermute(k_cur, axis, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis, perm)
+        return k_cur, v_cur, m_new, l, acc
+
+    _, _, _, l, acc = jax.lax.fori_loop(0, n, step, (k, v, m0, l0, acc0))
+    return acc / l.transpose(0, 2, 1)[..., None]          # [B,Tc,H,D]
+
+
 def attention(
     bp: dict,
     x: jnp.ndarray,                     # [B, T, H*D?] hidden
@@ -546,6 +598,28 @@ def attention(
                 jnp.log(positions.astype(jnp.float32) + 1.0) / math.log(L), 1.0
             )
             q = (q.astype(jnp.float32) * logn[:, :, None, None]).astype(q.dtype)
+
+    if cfg.sp_axis is not None and cache is None:
+        # Sequence parallelism (context parallel): ring attention over the
+        # sp mesh axis; the T dim here is the LOCAL chunk.
+        if (
+            cfg.attn_variant == "mla" or cfg.pos_embedding == "alibi"
+            or cfg.attn_softcap is not None or cfg.sliding_window is not None
+            or capture is not None or "adaption" in bp
+        ):
+            raise NotImplementedError(
+                "sequence parallelism supports standard causal attention only"
+            )
+        rep = h // hkv
+        kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+        scale_sp = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+        of = _ring_attention(q, kf, vf, cfg.sp_axis, float(scale_sp))
+        of = of.reshape(b, t, h * d).astype(x.dtype)
+        out = apply_linear(bp["o_proj"], _row_parallel_input(of, bp["o_proj"], cfg), backend)
+        if cfg.tp_axis is not None:
+            out = jax.lax.psum(out, cfg.tp_axis)
+        return out, None
 
     # Causality is computed in cache-SLOT space (uniform across the batch,
     # works with left padding); logical positions feed only RoPE/learned-pos.
