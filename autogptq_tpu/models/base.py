@@ -560,13 +560,28 @@ class GPTQModel:
         length_penalty: float = 1.0,
         early_stopping: bool = False,
         num_return_sequences: int = 1,
+        draft_model: Optional["GPTQModel"] = None,
+        speculative_gamma: int = 4,
     ):
         """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
         search (HF BeamSearchScorer semantics incl. length_penalty /
         early_stopping / num_return_sequences). Returns np.ndarray
-        [B * num_return_sequences, T_in + max_new_tokens]."""
+        [B * num_return_sequences, T_in + max_new_tokens].
+
+        ``draft_model`` enables speculative decoding (greedy, batch-1):
+        token-identical to plain greedy, faster when the draft agrees."""
         from ..utils import generation
 
+        if draft_model is not None:
+            if num_beams > 1 or (temperature and temperature > 0):
+                raise ValueError("speculative decoding is greedy-only")
+            from ..utils.speculative import generate_speculative
+
+            return generate_speculative(
+                self, draft_model, input_ids,
+                max_new_tokens=max_new_tokens, gamma=speculative_gamma,
+                eos_token_id=eos_token_id,
+            )
         return generation.generate(
             self,
             input_ids,
