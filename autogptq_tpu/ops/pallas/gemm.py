@@ -82,13 +82,21 @@ def _kernel(x_ref, wp_ref, scales_ref, z_ref, out_ref, *, planes, sbits, rows_pe
         out_ref[:, p, :] += acc
 
 
-def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False) -> int | None:
+def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False, ki32: bool = False) -> int | None:
     """K-tile size: a multiple or divisor of the group size so each K block
     maps to a whole number of (or a single) group row. kpair additionally
     needs the packed row count bk/2 sublane-aligned (%8); kquad needs bk/4
-    sublane-aligned AND whole groups per block (the per-group half-split
-    layout decodes group-relative)."""
+    sublane-aligned AND whole groups per block; ki32 bk/8 sublane-aligned
+    AND whole groups (the per-group quarter-split layout decodes
+    group-relative)."""
     gs = group_size if group_size != -1 else k
+    if ki32:
+        for bk in (1024, 512, 256, 128):
+            if k % bk == 0 and bk % gs == 0 and bk % 64 == 0:
+                return bk
+        if k % 64 == 0 and k % gs == 0:   # tiny-K fallback (tests)
+            return k
+        return None
     if kquad:
         for bk in (1024, 512, 256, 128):
             if k % bk == 0 and bk % gs == 0 and bk % 32 == 0:
@@ -112,7 +120,9 @@ def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False) 
 def supported(ql: QuantLinear) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    if ql.layout == "kpair":
+    if ql.layout == "ki32":
+        bk = _pick_bk(ql.wp.shape[0] * 8, ql.group_size, ki32=True)
+    elif ql.layout == "kpair":
         bk = _pick_bk(ql.wp.shape[0] * 2, ql.group_size, kpair=True)
     elif ql.layout == "kquad":
         bk = _pick_bk(ql.wp.shape[0] * 4, ql.group_size, kquad=True)
@@ -279,6 +289,156 @@ def _matmul_kpair(
     )(x2d, wp, scales3, sz3)
 
     return y[:, :out_features]
+
+
+def _ki32_decode_words(t):
+    """Four masked words + bitcasts: quarter m of every group in row order
+    (see quantlinear._ki32_pack). ~11 integer ops per 8 codes."""
+    mk = jnp.int32(0x000F000F)
+    mg = jnp.int32(0x3F803F80)
+    return (
+        pltpu.bitcast((t & mk) | mg, jnp.bfloat16),
+        pltpu.bitcast(((t >> 4) & mk) | mg, jnp.bfloat16),
+        pltpu.bitcast(((t >> 8) & mk) | mg, jnp.bfloat16),
+        pltpu.bitcast(((t >> 12) & mk) | mg, jnp.bfloat16),
+    )
+
+
+def _kernel_ki32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill):
+    """i32-loaded 4-bit kernel — the fastest decode path (measured 15.7 us
+    vs 19.2 for the byte-loaded kpair at 4096x4096 g128 M=1 on v5e). wp is
+    int32 [BK/8, BN] in the per-group quarter-split layout; decode uses half
+    the integer ops of kpair. Decode regime: per-group 4-part sublane concat
+    + one gs-wide dot + the exact factored correction. Prefill: dequantize
+    every quarter once and contract the full BK in one MXU dot."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xv = x_ref[...].astype(dot_dtype)
+    w0, w1, w2, w3 = _ki32_decode_words(wp_ref[...])
+    q = gs // 4
+    if prefill:
+        parts = []
+        for r in range(rows_per_blk):
+            rows = slice(r * q, (r + 1) * q)
+            s = s_ref[r, 0, :]
+            s128 = s * 128.0
+            zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+            for wm in (w0, w1, w2, w3):
+                parts.append(
+                    wm[rows].astype(jnp.float32) * s128[None, :] - zadj[None, :]
+                )
+        wd = jnp.concatenate(parts, axis=0)                 # [BK, BN]
+        out_ref[...] += jax.lax.dot_general(
+            xv, wd.astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return
+    for r in range(rows_per_blk):
+        rows = slice(r * q, (r + 1) * q)
+        wg = jnp.concatenate([w0[rows], w1[rows], w2[rows], w3[rows]], axis=0)
+        xr = xv[:, r * gs:(r + 1) * gs]
+        acc = jax.lax.dot_general(
+            xr, wg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xs = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        s = s_ref[r, 0, :]
+        s128 = s * 128.0
+        zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        out_ref[...] += acc * s128[None, :] - xs * zadj[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+)
+def _matmul_ki32(
+    x2d,
+    wp,
+    scales3,
+    sz3,
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bm,
+    bn,
+    dot_dtype,
+):
+    m, k = x2d.shape
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, ki32=True)
+    assert bk is not None, "unsupported shape for ki32 pallas kernel"
+    bn = min(bn, n_pad)
+    rows_per_blk = bk // gs          # whole groups per block by construction
+
+    grid = (_cdiv(m, bm), _cdiv(n_pad, bn), k // bk)
+    kernel = functools.partial(
+        _kernel_ki32, rows_per_blk=rows_per_blk, gs=gs,
+        dot_dtype=dot_dtype, prefill=m >= 32,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size * 4 + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x2d, wp, scales3, sz3)
+
+    return y[:, :out_features]
+
+
+def _kernel_ki32_t(g_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype):
+    """Transpose kernel (backward: dx = dy @ dequant(W)^T) for ki32 —
+    same structure as _kernel_kpair_t with the quarter-split decode."""
+    nj = pl.program_id(2)
+
+    @pl.when(nj == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    gv = g_ref[...].astype(dot_dtype)
+    w0, w1, w2, w3 = _ki32_decode_words(wp_ref[...])
+    q = gs // 4
+    parts = []
+    for r in range(rows_per_blk):
+        rows = slice(r * q, (r + 1) * q)
+        s = s_ref[r, 0, :]
+        s128 = s * 128.0
+        zadj = s128 + s * z_ref[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        for wm in (w0, w1, w2, w3):
+            parts.append(
+                wm[rows].astype(jnp.float32) * s128[None, :] - zadj[None, :]
+            )
+    wd = jnp.concatenate(parts, axis=0)                     # [BK, BN]
+    out_ref[...] += jax.lax.dot_general(
+        gv, wd.astype(dot_dtype),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _kernel_kquad(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill):
@@ -511,6 +671,59 @@ def _matmul_kpair_t(
     )(g2d, wp, scales3, sz3)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "interpret", "bm", "bn", "dot_dtype")
+)
+def _matmul_ki32_t(
+    g2d,
+    wp,
+    scales3,
+    sz3,
+    *,
+    group_size,
+    interpret,
+    bm,
+    bn,
+    dot_dtype,
+):
+    m, n_pad = g2d.shape
+    k = wp.shape[0] * 8
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, ki32=True)
+    assert bk is not None, "unsupported shape for ki32 transpose kernel"
+    bn = min(bn, n_pad)
+    rows_per_blk = bk // gs
+
+    grid = (_cdiv(m, bm), k // bk, _cdiv(n_pad, bn))
+    kernel = functools.partial(
+        _kernel_ki32_t, rows_per_blk=rows_per_blk, gs=gs, dot_dtype=dot_dtype,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp.size * 4 + m * n_pad * g2d.dtype.itemsize + m * k * 4
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda mi, ki, nj: (mi, nj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda mi, ki, nj: (ki, nj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, ki, nj: (ki, 0, nj), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, ki, nj: (ki, 0, nj), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bk), lambda mi, ki, nj: (mi, ki), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(g2d, wp, scales3, sz3)
+
+
 def matmul_t_pallas(
     g: jnp.ndarray,
     ql: QuantLinear,
@@ -530,7 +743,8 @@ def matmul_t_pallas(
         g2d = jnp.pad(g2d, ((0, 0), (0, n_loc - g2d.shape[-1])))
     m = g2d.shape[0]
     bm = min(bm, max(8, m))
-    dx = _matmul_kpair_t(
+    fn = _matmul_ki32_t if ql.layout == "ki32" else _matmul_kpair_t
+    dx = fn(
         g2d, ql.wp, ql.scales, ql.zeros,
         group_size=ql.group_size, interpret=interpret, bm=bm, bn=bnh,
         dot_dtype=dot_dtype,
@@ -636,6 +850,29 @@ def matmul_pallas(
     x2d = x.reshape(-1, x.shape[-1])
     m = x2d.shape[0]
     bm = min(bm, max(8, m))
+
+    if ql.layout == "ki32":
+        k_pad = ql.wp.shape[0] * 8
+        if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        n_loc = ql.wp.shape[1]
+        y = _matmul_ki32(
+            x2d,
+            ql.wp,
+            ql.scales,
+            ql.zeros,
+            group_size=ql.group_size,
+            n_pad=n_loc,
+            out_features=min(ql.out_features, n_loc),
+            interpret=interpret,
+            bm=bm,
+            bn=bnh,
+            dot_dtype=dot_dtype,
+        )
+        y = y.astype(x.dtype)
+        if ql.bias is not None:
+            y = y + ql.bias.astype(y.dtype)
+        return y.reshape(*batch_shape, y.shape[-1])
 
     if ql.layout == "koct":
         # 8-bit: one byte per weight; run the kpair kernel over VIRTUAL rows

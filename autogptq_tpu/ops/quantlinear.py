@@ -114,7 +114,9 @@ class QuantLinear:
 
     @property
     def planes(self) -> int:
-        return 1 if self.layout in ("kpair", "kquad") else _planes(self.bits)
+        if self.layout in ("ki32", "kpair", "kquad", "koct"):
+            return 1
+        return _planes(self.bits)
 
     @property
     def groups(self) -> int:
@@ -161,6 +163,49 @@ def kpair_unpack_np(wp: np.ndarray) -> np.ndarray:
     out[0::2] = wp & np.uint8(0xF)
     out[1::2] = wp >> np.uint8(4)
     return out
+
+
+def _ki32_pack(values: np.ndarray, gs: int) -> np.ndarray:
+    """Pack nibble codes (3/4-bit, values < 16) [K, n_pad] into int32
+    [K/8, n_pad], per-GROUP quarter-split layout: the kernel's four masked
+    words + bitcasts each decode one contiguous quarter of every group
+    (~11 integer ops per 8 codes vs 20 for the byte-loaded kpair path —
+    measured 15.7 vs 19.2 us on v5e decode):
+
+        word j of group: byte0 = q0[2j] | q1[2j] << 4
+                         byte1 = q2[2j] | q3[2j] << 4
+                         byte2 = q0[2j+1] | q1[2j+1] << 4
+                         byte3 = q2[2j+1] | q3[2j+1] << 4
+
+    so (t >> 4m) & 0x000F000F | 0x3F803F80 bitcasts to quarter m's rows in
+    order (low 16 bits -> even rows, high -> odd). Per-group (not per-tile)
+    splitting keeps group-aligned row-parallel shards valid."""
+    k, n = values.shape
+    assert gs % 8 == 0 and k % gs == 0
+    v = values.reshape(k // gs, gs, n).astype(np.uint32)
+    q = gs // 4
+    q0, q1 = v[:, 0:q], v[:, q:2 * q]
+    q2, q3 = v[:, 2 * q:3 * q], v[:, 3 * q:]
+    b0 = q0[:, 0::2] | (q1[:, 0::2] << 4)
+    b1 = q2[:, 0::2] | (q3[:, 0::2] << 4)
+    b2 = q0[:, 1::2] | (q1[:, 1::2] << 4)
+    b3 = q2[:, 1::2] | (q3[:, 1::2] << 4)
+    word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+    return word.reshape(k // 8, n).astype(np.int32)
+
+
+def ki32_unpack_np(wp: np.ndarray, gs: int) -> np.ndarray:
+    """Inverse of `_ki32_pack` (NumPy, host-side)."""
+    k8, n = wp.shape
+    k = k8 * 8
+    w = wp.astype(np.uint32).reshape(k // gs, gs // 8, n)
+    q = gs // 4
+    out = np.empty((k // gs, gs, n), np.uint8)
+    for m in range(4):
+        pair = (w >> np.uint32(4 * m))
+        out[:, m * q + 0:(m + 1) * q:2] = (pair & np.uint32(15)).astype(np.uint8)
+        out[:, m * q + 1:(m + 1) * q:2] = ((pair >> np.uint32(16)) & np.uint32(15)).astype(np.uint8)
+    return out.reshape(k, n)
 
 
 def _kquad_pack(values: np.ndarray, gs: int) -> np.ndarray:
@@ -234,20 +279,45 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     # contribute nothing and dequantize to 0.
     gs_eff = packed.group_size if packed.group_size != -1 else k
     if layout is None:
-        if _storage_bits(bits) == 4 and k % 2 == 0:
+        # ki32 quarter slices are gs/4 SUBLANES of a bf16 value (16-sublane
+        # tiles), so gs % 64 == 0 keeps them tile-aligned on hardware;
+        # smaller group sizes stay on the kpair byte path.
+        if (
+            _storage_bits(bits) == 4 and k % 8 == 0
+            and gs_eff % 64 == 0 and k % gs_eff == 0
+        ):
+            layout = "ki32"   # i32-loaded quarter-split: fastest decode
+        elif _storage_bits(bits) == 4 and k % 2 == 0:
             layout = "kpair"
         elif bits == 2 and gs_eff % 4 == 0 and k % gs_eff == 0:
             layout = "kquad"  # true 2 bits/weight with the bitcast decode
         else:
             layout = "planar"
-    planes = 1 if layout in ("kpair", "kquad", "koct") else _planes(bits)
+    planes = 1 if layout in ("ki32", "kpair", "kquad", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
     if n_pad != n:
         w_int = np.pad(w_int, ((0, 0), (0, n_pad - n)))
         scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
-    if layout == "kpair":
+    if layout == "ki32":
+        # Same K-padding rule as kpair below (whole zero-scale groups).
+        from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
+
+        bk = _pick_bk(k, packed.group_size, ki32=True)
+        if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
+            k_pad = _round_up(k, 1024)
+            if (_pick_bk(k_pad, packed.group_size, ki32=True) or 0) >= 512:
+                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
+                if kperm is not None:
+                    kperm = np.pad(kperm, (0, k_pad - k))
+                g_pad = _cdiv(k_pad, packed.group_size)
+                if g_pad > g:
+                    scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
+                    zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
+                    g = g_pad
+        wp = _ki32_pack(w_int, min(gs_eff, w_int.shape[0]))
+    elif layout == "kpair":
         # Pad K so the Pallas kernel can use a large K tile (bk>=512):
         # measured ~490 GB/s at bk>=512 vs ~374 at bk=256 for the
         # down_proj shape (K=11008). Runtime pads x with ZEROS, which makes
@@ -348,7 +418,20 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
 
     Note: rows are in kperm order when desc_act; pair with remapped x.
     """
-    if ql.layout == "kpair":
+    if ql.layout == "ki32":
+        n_loc = ql.wp.shape[1]
+        gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
+        w = ql.wp.view(jnp.uint32).reshape(-1, gs // 8, n_loc)  # [G, gs/8, N]
+        quarters = []
+        for m in range(4):
+            pair = w >> np.uint32(4 * m)
+            even = (pair & np.uint32(15))
+            odd = (pair >> np.uint32(16)) & np.uint32(15)
+            quarters.append(
+                jnp.stack([even, odd], axis=2).reshape(-1, gs // 4, n_loc)
+            )
+        w_int = jnp.concatenate(quarters, axis=1).reshape(-1, n_loc).astype(jnp.float32)
+    elif ql.layout == "kpair":
         lo = ql.wp & np.uint8(0xF)
         hi = ql.wp >> np.uint8(4)
         # widths derive from the (possibly shard_map-local) arrays, NOT the
@@ -454,7 +537,7 @@ def matmul_t(g: jnp.ndarray, ql: QuantLinear, k_out: int, backend: str = "auto")
     from .pallas import gemm as pallas_gemm
 
     use_pallas = (
-        ql.layout == "kpair"
+        ql.layout in ("kpair", "ki32")
         and backend != "xla"
         and (
             backend == "pallas_interpret"
@@ -467,7 +550,7 @@ def matmul_t(g: jnp.ndarray, ql: QuantLinear, k_out: int, backend: str = "auto")
             g, ql, interpret=(backend == "pallas_interpret")
         )
     else:
-        n_loc = ql.wp.shape[1] if ql.layout == "kpair" else ql.n_pad
+        n_loc = ql.wp.shape[1] if ql.layout in ("kpair", "ki32") else ql.n_pad
         if g.shape[-1] != n_loc:
             pad = [(0, 0)] * (g.ndim - 1) + [(0, n_loc - g.shape[-1])]
             g = jnp.pad(g, pad)
@@ -536,6 +619,29 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
     return _matmul_vjp(x, ql, backend)
 
 
+def _ki32_gs(ql: QuantLinear) -> int:
+    return ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
+
+
+def _runtime_unpack_np(ql: QuantLinear) -> np.ndarray:
+    """Host-side: stored wp -> integer codes [K_stored, wp_width]."""
+    if ql.layout == "kpair":
+        return kpair_unpack_np(np.asarray(ql.wp))
+    if ql.layout == "ki32":
+        return ki32_unpack_np(np.asarray(ql.wp), _ki32_gs(ql))
+    raise ValueError(f"unsupported layout {ql.layout!r}")
+
+
+def _runtime_pack_np(w_int: np.ndarray, like: QuantLinear) -> np.ndarray:
+    """Host-side inverse of :func:`_runtime_unpack_np` for ``like``'s layout."""
+    if like.layout == "kpair":
+        return _kpair_pack(w_int.astype(np.uint8))
+    if like.layout == "ki32":
+        gs = like.group_size if like.group_size != -1 else w_int.shape[0]
+        return _ki32_pack(w_int, gs)
+    raise ValueError(f"unsupported layout {like.layout!r}")
+
+
 def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
     """Concatenate QuantLinears along the OUTPUT axis into one fused linear
     (static QKV / gate+up fusion — the load-time analog of the reference's
@@ -551,13 +657,13 @@ def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
             raise ValueError("fusion requires matching K/layout/bits/group")
         if q.kperm is not None:
             raise ValueError("fusion requires trivial kperm (no desc_act)")
-    if first.layout != "kpair":
-        raise ValueError("fusion implemented for the kpair layout only")
+    if first.layout not in ("kpair", "ki32"):
+        raise ValueError("fusion implemented for the kpair/ki32 layouts only")
 
     w_parts, s_parts, z_parts = [], [], []
     for q in qls:
         n = q.out_features
-        w_parts.append(kpair_unpack_np(np.asarray(q.wp))[:, :n])
+        w_parts.append(_runtime_unpack_np(q)[:, :n])
         s_parts.append(np.asarray(q.scales)[:, :, :n])
         z_parts.append(np.asarray(q.zeros)[:, :, :n])
     w_int = np.concatenate(w_parts, axis=-1)
@@ -578,7 +684,7 @@ def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
     else:
         bias = None
     return QuantLinear(
-        wp=jnp.asarray(_kpair_pack(w_int)),
+        wp=jnp.asarray(_runtime_pack_np(w_int, first)),
         scales=jnp.asarray(scales),
         zeros=jnp.asarray(zeros),
         kperm=None,
@@ -600,13 +706,13 @@ def split_qls(ql: QuantLinear, widths: list[int]) -> list[QuantLinear]:
     [gate|up]) node cannot be column-sharded directly — each rank would get a
     contiguous chunk of the GLOBAL concat instead of [q_loc|k_loc|v_loc] —
     so TP preparation unfuses first and shards the parts independently."""
-    if ql.layout != "kpair":
-        raise ValueError("split_qls implemented for the kpair layout only")
+    if ql.layout not in ("kpair", "ki32"):
+        raise ValueError("split_qls implemented for the kpair/ki32 layouts only")
     if ql.kperm is not None:
         raise ValueError("split_qls requires trivial kperm (no desc_act)")
     if sum(widths) != ql.out_features:
         raise ValueError(f"widths {widths} must sum to {ql.out_features}")
-    w_int = kpair_unpack_np(np.asarray(ql.wp))
+    w_int = _runtime_unpack_np(ql)
     scales = np.asarray(ql.scales)
     zeros = np.asarray(ql.zeros)
     bias = None if ql.bias is None else np.asarray(ql.bias)
@@ -622,7 +728,7 @@ def split_qls(ql: QuantLinear, widths: list[int]) -> list[QuantLinear]:
             sc = np.pad(sc, ((0, 0), (0, 0), (0, n_pad - w)))
             zr = np.pad(zr, ((0, 0), (0, 0), (0, n_pad - w)))
         outs.append(QuantLinear(
-            wp=jnp.asarray(_kpair_pack(wi)),
+            wp=jnp.asarray(_runtime_pack_np(wi, ql)),
             scales=jnp.asarray(sc),
             zeros=jnp.asarray(zr),
             kperm=None,

@@ -31,13 +31,16 @@ BASELINE_TOK_S = 25.53
 
 
 def device_quant_linear(key, k, n, bits=4, group_size=128):
-    """Build a runtime-layout QuantLinear directly on device (kpair for
-    4-bit, matching ops/quantlinear.from_packed)."""
+    """Build a runtime-layout QuantLinear directly on device (ki32 for
+    4-bit, matching ops/quantlinear.from_packed; any random int32 bit
+    pattern is a valid code word)."""
     n_pad = -(-n // 128) * 128
     k_pad = k if k % 1024 == 0 else -(-k // 1024) * 1024
     g = k_pad // group_size
     k1, k2, k3 = jax.random.split(key, 3)
-    wp = jax.random.randint(k1, (k_pad // 2, n_pad), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    wp = jax.random.randint(
+        k1, (k_pad // 8, n_pad), jnp.iinfo(jnp.int32).min,
+        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     scales = jax.random.uniform(k2, (g, 1, n_pad), jnp.float32, 0.005, 0.02)
     zeros = jax.random.randint(k3, (g, 1, n_pad), 1, 2**bits, dtype=jnp.int32)
     return QuantLinear(
@@ -51,7 +54,7 @@ def device_quant_linear(key, k, n, bits=4, group_size=128):
         in_features=k,
         out_features=n,
         n_pad=n_pad,
-        layout="kpair",
+        layout="ki32",
     )
 
 

@@ -99,7 +99,7 @@ def main():
     print(f"from_quantized: {load_s:.0f}s (host unpack + kpair repack + upload)",
           file=sys.stderr, flush=True)
     lay = model.params["layers"][0]["attn"]["q_proj"].layout
-    assert lay == "kpair", lay
+    assert lay == "ki32", lay
 
     prompt = (np.arange(16, dtype=np.int32)[None, :] % 1000)
     out = model.generate(prompt, max_new_tokens=new_tokens)  # warmup/compile
