@@ -216,15 +216,25 @@ def _rope_freqs(cfg: ArchConfig, positions: jnp.ndarray, rotary_dim: int):
         # alpha^(d/(d-2)) with alpha = max(2^ceil(log2(len/L)+1) - 1, 1);
         # fully traceable from the positions actually being encoded, so the
         # switch stays inside jit (cached keys keep the alpha of their own
-        # encode step, matching the official incremental behavior).
+        # encode step, matching the official incremental behavior). Alpha is
+        # PER ROW (max over that sequence's own positions) so batched rows
+        # at different lengths — e.g. serving slots — don't share one base.
         L = float(cfg.rope_ntk_seq_len)
-        seqlen = jnp.max(positions).astype(jnp.float32) + 1.0
+        seqlen = jnp.max(positions, axis=-1, keepdims=True).astype(jnp.float32) + 1.0
         ctx = jnp.ceil(jnp.log2(jnp.maximum(seqlen / L, 1.0)) + 1.0)
-        alpha = jnp.maximum(2.0 ** ctx - 1.0, 1.0)
+        alpha = jnp.maximum(2.0 ** ctx - 1.0, 1.0)          # [B, 1]
         base = cfg.rope_theta * alpha ** (rotary_dim / (rotary_dim - 2))
         inv_freq = 1.0 / (
-            base ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
-        )
+            base[..., None]                                  # [B, 1, 1]
+            ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+        )[:, 0, :]                                           # [B, rd/2]
+        inv_freq = inv_freq[:, None, :]                      # [B, 1, rd/2]
+        angles = positions.astype(jnp.float32)[..., None] * inv_freq
+        cos, sin = jnp.cos(angles), jnp.sin(angles)
+        if cfg.rope_attn_factor is not None:
+            cos = cos * cfg.rope_attn_factor
+            sin = sin * cfg.rope_attn_factor
+        return cos, sin
     else:
         inv_freq = 1.0 / (
             cfg.rope_theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
@@ -606,6 +616,9 @@ def attention(
             cfg.attn_variant == "mla" or cfg.pos_embedding == "alibi"
             or cfg.attn_softcap is not None or cfg.sliding_window is not None
             or capture is not None or "adaption" in bp
+            # dynamic NTK derives alpha from the LOCAL chunk's max position;
+            # sp ranks would encode K with inconsistent bases
+            or cfg.rope_ntk_seq_len is not None
         ):
             raise NotImplementedError(
                 "sequence parallelism supports standard causal attention only"

@@ -384,6 +384,16 @@ class GPTQModel:
             # full-model average an unresumed run would
             "avg_losses": list(losses or []),
         }
+        # cumulative per-layer loss counts so a TRUNCATED-checkpoint resume
+        # (missing layer file before next_layer) can slice the restored
+        # losses to exactly the layers it keeps, instead of double-counting
+        # the re-quantized ones
+        prev_counts: list = []
+        sp = os.path.join(checkpoint_dir, "state.json")
+        if os.path.isfile(sp):
+            with open(sp) as f:
+                prev_counts = list(json.load(f).get("loss_counts", []))[:li]
+        state["loss_counts"] = prev_counts + [len(losses or [])]
         tmp = os.path.join(checkpoint_dir, "state.json.tmp")
         with open(tmp, "w") as f:
             json.dump(state, f)
@@ -409,10 +419,21 @@ class GPTQModel:
         from safetensors import safe_open
 
         losses = [float(x) for x in state.get("avg_losses", [])]
+        counts = state.get("loss_counts")
+
+        def upto(nlayers: int) -> list:
+            # slice to the losses of the first nlayers COMPLETED layers so a
+            # truncated resume doesn't double-count re-quantized layers
+            if nlayers <= 0:
+                return []
+            if counts is not None and nlayers <= len(counts):
+                return losses[: counts[nlayers - 1]]
+            return losses
+
         for li in range(next_layer):
             fpath = os.path.join(checkpoint_dir, f"layer_{li}.safetensors")
             if not os.path.isfile(fpath):
-                return li, losses  # truncated checkpoint: resume from the gap
+                return li, upto(li)  # truncated checkpoint: resume from gap
             groups: dict[str, dict] = {}
             with safe_open(fpath, framework="np") as f:
                 for name in f.keys():
@@ -436,7 +457,7 @@ class GPTQModel:
                 self.packed_layers[f"{li}.{path}"] = pk
                 params_lib.set_in_block(block, path, qlin.from_packed(pk))
             self.params["layers"][li] = block
-        return next_layer, losses
+        return next_layer, upto(next_layer)
 
     @staticmethod
     def _has_path(block: dict, path: str) -> bool:
@@ -575,6 +596,11 @@ class GPTQModel:
         if draft_model is not None:
             if num_beams > 1 or (temperature and temperature > 0):
                 raise ValueError("speculative decoding is greedy-only")
+            if min_new_tokens or kv_quant or num_return_sequences > 1:
+                raise ValueError(
+                    "speculative decoding does not support min_new_tokens, "
+                    "kv_quant, or num_return_sequences"
+                )
             from ..utils.speculative import generate_speculative
 
             return generate_speculative(

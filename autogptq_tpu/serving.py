@@ -189,12 +189,13 @@ class ContinuousBatchEngine:
     def submit(self, req: Request) -> None:
         self.queue.append(req)
 
-    def warmup(self, buckets=(32, 64, 128)) -> None:
-        """Pre-compile the decode step and the given prefill buckets (the
-        reference's triton ``warmup()`` role, qlinear_triton.py:168-215 —
-        there it pre-autotunes over M; here it pre-triggers XLA compiles so
-        the first real request pays no compilation latency). Engine state is
-        untouched: the jitted functions are pure and results are discarded."""
+    def warmup(self, buckets=(32, 64, 128), sampling: bool = True) -> None:
+        """Pre-compile the decode steps (greedy + sampling), the chunked-
+        prefill fn, and the given prefill buckets (the reference's triton
+        ``warmup()`` role, qlinear_triton.py:168-215 — there it pre-autotunes
+        over M; here it pre-triggers XLA compiles so the first real request
+        pays no compilation latency). Engine state is untouched: the jitted
+        functions are pure and results are discarded."""
         for b in buckets:
             if b > self.max_seq_len:
                 continue
@@ -202,10 +203,23 @@ class ContinuousBatchEngine:
             tokens = jnp.zeros((1, _bucket(b)), jnp.int32)
             mask = tokens.at[0, :2].set(1)
             fn(self.model.params, tokens, mask)
-        step = self._decode_step_fn(sampling=False)
-        step(self.model.params, self.cache_k, self.cache_v,
-             self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
-             jnp.asarray(self._eos), jnp.zeros((self.max_slots,), jnp.int32))
+        if self.prefill_chunk is not None and self.prefill_chunk < self.max_seq_len:
+            cfn = self._get_chunk_fn()
+            cfn(self.model.params, self.cache_k, self.cache_v,
+                self.cache_ks, self.cache_vs,
+                jnp.zeros((1, self.prefill_chunk), jnp.int32),
+                jnp.int32(self.prefill_chunk), jnp.int32(0), jnp.int32(0))
+        variants = (False, True) if sampling else (False,)
+        for s in variants:
+            step = self._decode_step_fn(sampling=s)
+            args = [self.model.params, self.cache_k, self.cache_v,
+                    self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
+                    jnp.asarray(self._eos), jnp.zeros((self.max_slots,), jnp.int32)]
+            if s:
+                args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                         jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
+                         jnp.zeros((self.max_slots,), jnp.int32)]
+            step(*args)
 
     # -- whole-prompt (bucketed) prefill --------------------------------
 
@@ -400,19 +414,26 @@ class ContinuousBatchEngine:
         req = st.req
         C = self.prefill_chunk
         p = len(req.prompt)
+        # Ragged final chunk: REALIGN backward to [p-C, p) instead of
+        # zero-padding past p — a padded write span start+C could exceed
+        # max_seq_len, and dynamic_update_slice would CLAMP the start,
+        # silently shifting the chunk over valid earlier entries. The
+        # overlapping region re-computes identical K/V (same tokens, same
+        # positions, same cache prefix), so the rewrite is a no-op.
+        start = st.pf_pos if p - st.pf_pos >= C else max(p - C, 0)
+        valid = min(C, p - start)
         chunk = np.zeros((1, C), np.int32)
-        valid = min(C, p - st.pf_pos)
-        chunk[0, :valid] = req.prompt[st.pf_pos:st.pf_pos + valid]
+        chunk[0, :valid] = req.prompt[start:start + valid]
         fn = self._get_chunk_fn()
         (self.cache_k, self.cache_v, ks, vs, lrow) = fn(
             self.model.params, self.cache_k, self.cache_v,
             self.cache_ks, self.cache_vs,
-            jnp.asarray(chunk), jnp.int32(valid), jnp.int32(st.pf_pos),
+            jnp.asarray(chunk), jnp.int32(valid), jnp.int32(start),
             jnp.int32(slot),
         )
         if self.kv_quant:
             self.cache_ks, self.cache_vs = ks, vs
-        st.pf_pos += valid
+        st.pf_pos = start + valid
         if st.pf_pos >= p:
             self._bind_slot(slot, req, self._first_token(req, lrow), p)
 

@@ -248,17 +248,18 @@ def _generate_beam(
             pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
             done_scores, di = jax.lax.top_k(pool_s, k)
             done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
+            # HF is_done uses the best raw candidate INCLUDING eos ones,
+            # normalized by cur_len ** p for every p (BeamHypotheses.is_done)
+            best_raw = jnp.max(s2k, axis=1)
             # live beams: best k NON-eos of the 2k (HF takes them in order)
             s2k = jnp.where(is_eos, NEG_INF, s2k)
             # row freeze (BeamHypotheses.is_done): pool full AND either
-            # early_stopping or no live beam can still beat the worst kept
+            # early_stopping or no candidate can still beat the worst kept
             pool_full = done_scores[:, -1] > NEG_INF / 2
             if early_stopping:
                 newly_done = pool_full
             else:
-                best_possible = jnp.max(s2k, axis=1) / (
-                    (float(t) + step + 1.0) ** p if p > 0 else 1.0
-                )
+                best_possible = best_raw / ((float(t) + step + 1.0) ** p)
                 newly_done = pool_full & (done_scores[:, -1] >= best_possible)
             frozen = frozen | newly_done
 
@@ -295,11 +296,11 @@ def _generate_beam(
     scores, out = state[4], state[5]
     done_scores, done_tokens, frozen = state[6], state[7], state[8]
 
-    # HF finalize: rows whose pool is not yet full add their live beams,
-    # normalized at the final length.
+    # HF finalize: every row that did NOT stop early (is_done/frozen) adds
+    # its live beams to the pool, normalized at the final length (add()
+    # replaces worse kept hypotheses even when the pool is full).
     final_norm = scores / (float(total) ** p)
-    pool_full = done_scores[:, -1] > NEG_INF / 2
-    live_norm = jnp.where(pool_full[:, None], NEG_INF, final_norm)
+    live_norm = jnp.where(frozen[:, None], NEG_INF, final_norm)
     pool_s = jnp.concatenate([done_scores, live_norm], axis=1)
     pool_t = jnp.concatenate([done_tokens, out], axis=1)
     top_s, ti = jax.lax.top_k(pool_s, num_return_sequences)

@@ -66,7 +66,11 @@ def resolve_model_dir(name_or_path: str, revision: str | None = None) -> str:
         if len(subs) == 1 and revision is None:
             return os.path.join(snapshots, subs[0])
 
-    if not os.environ.get("HF_HUB_OFFLINE"):
+    # huggingface_hub truthiness convention: "0"/""/"false" mean ONLINE
+    offline = os.environ.get("HF_HUB_OFFLINE", "").upper() in (
+        "1", "ON", "YES", "TRUE",
+    )
+    if not offline:
         try:
             from huggingface_hub import snapshot_download
 

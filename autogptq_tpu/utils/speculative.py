@@ -74,6 +74,10 @@ def _spec_generate(
         t_cache, d_cache, cur, pos, out, produced = s
 
         # --- draft gamma tokens greedily --------------------------------
+        # gamma+1 steps: the last one's OUTPUT token is discarded (the
+        # target provides the bonus/correction), but its forward writes
+        # d_gamma's K/V — on full acceptance the draft history advances to
+        # pos+gamma+1, and without this step that row would be stale.
         def d_step(carry, _):
             dc, tok, p = carry
             lg, dc = arch.forward(
@@ -84,9 +88,9 @@ def _spec_generate(
             return (dc, nxt, p + 1), nxt
 
         (d_cache, _, _), drafts = jax.lax.scan(
-            d_step, (d_cache, cur, pos), None, length=gamma
+            d_step, (d_cache, cur, pos), None, length=gamma + 1
         )
-        drafts = drafts[:, 0]                                  # [gamma]
+        drafts = drafts[:gamma, 0]                             # [gamma]
 
         # --- one target forward over [cur, d_1..d_gamma] ----------------
         window = jnp.concatenate([cur, drafts])[None, :]       # [1, g1]

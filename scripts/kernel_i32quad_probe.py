@@ -18,6 +18,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from scripts.bench_util import slope_time  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -129,31 +131,6 @@ xb = jnp.asarray(x, dtype=jnp.bfloat16)
 y_ref = x @ w_ref
 
 
-def make_looped(f):
-    @partial(jax.jit, static_argnames=("n",))
-    def run(x, n):
-        def body(i, x):
-            y = f(x)
-            return jnp.where(y[0, 0] > 1e30, x + 1, x)
-
-        return jax.lax.fori_loop(0, n, body, x)[0, 0]
-
-    return run
-
-
-def slope_time(f, x, n1=50, n2=2050, reps=5):
-    run = make_looped(f)
-    float(np.asarray(run(x, n1)))
-    float(np.asarray(run(x, n2)))
-
-    def once(n):
-        t0 = time.perf_counter()
-        float(np.asarray(run(x, n)))
-        return time.perf_counter() - t0
-
-    t1 = min(once(n1) for _ in range(reps))
-    t2 = min(once(n2) for _ in range(reps))
-    return (t2 - t1) / (n2 - n1)
 
 
 # forced-prefill variant: reuse _matmul_kpair internals with prefill=True by

@@ -16,6 +16,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from scripts.bench_util import slope_time  # noqa: E402
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -114,31 +116,6 @@ def matmul_w4a8(x2d, ql, bn=512):
     )(xe, xo, xs.astype(jnp.float32), ql.wp, ql.scales, ql.zeros)
 
 
-def make_looped(f):
-    @partial(jax.jit, static_argnames=("n",))
-    def run(x, n):
-        def body(i, x):
-            y = f(x)
-            return jnp.where(y[0, 0] > 1e30, x + 1, x)
-
-        return jax.lax.fori_loop(0, n, body, x)[0, 0]
-
-    return run
-
-
-def slope_time(f, x, n1=5, n2=105, reps=5):
-    run = make_looped(f)
-    float(np.asarray(run(x, n1)))
-    float(np.asarray(run(x, n2)))
-
-    def once(n):
-        t0 = time.perf_counter()
-        float(np.asarray(run(x, n)))
-        return time.perf_counter() - t0
-
-    t1 = min(once(n1) for _ in range(reps))
-    t2 = min(once(n2) for _ in range(reps))
-    return (t2 - t1) / (n2 - n1)
 
 
 xb = jnp.asarray(x)
@@ -149,6 +126,6 @@ for name, f in [
 ]:
     y = np.asarray(jax.jit(f)(xb), dtype=np.float32)
     rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
-    t = slope_time(f, xb)
+    t = slope_time(f, xb, n1=5, n2=105)
     print(f"{name:14s} relerr={rel:.3e}  {t*1e6:9.1f} us   "
           f"{2*M*K*N/t/1e12:6.2f} TFLOP/s", flush=True)

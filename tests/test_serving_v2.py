@@ -149,6 +149,20 @@ def test_min_new_tokens_suppresses_eos(model, rng):
     assert len(long[0]) >= 5
 
 
+def test_chunked_prefill_nondividing_chunk(model, rng):
+    """Regression: when prefill_chunk does not divide the prompt (or
+    max_seq_len), the final chunk REALIGNS backward to [p-C, p) instead of
+    writing a padded span past p — a padded write start+C > max_seq_len
+    would be CLAMPED by dynamic_update_slice, silently shifting the chunk
+    over valid earlier cache entries."""
+    engine = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=128, prefill_chunk=48,
+    )
+    p = rng.integers(0, model.cfg.vocab_size, size=(100,)).astype(np.int32)
+    out = engine.run([Request(0, p, max_new_tokens=6)])
+    np.testing.assert_array_equal(out[0], sequential_greedy(model, p, 6))
+
+
 def test_chunked_prefill_kv_quant(model, rng):
     from autogptq_tpu.utils import generation
 
