@@ -100,6 +100,10 @@ def hf_pair(tmp_path_factory):
         dict(num_beams=4, length_penalty=0.5, early_stopping=True),
         dict(num_beams=4, length_penalty=1.0, early_stopping=False,
              num_return_sequences=3),
+        # finalize corner: small beam count, long horizon, penalty favoring
+        # pooled-early hypotheses — exercises the frozen-vs-pool-full gate
+        dict(num_beams=2, length_penalty=1.5, early_stopping=False),
+        dict(num_beams=2, length_penalty=0.0, early_stopping=True),
     ],
 )
 def test_beam_matches_hf_generate(hf_pair, rng, kwargs):
