@@ -70,7 +70,7 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
     # the full activation vector; arch.* all-gathers the row-parallel input
     # first under explicit TP).
     k_store = node.wp.shape[0]              # stored rows (kpair K/2, kquad K/4)
-    k_eff = k_store * {"kpair": 2, "kquad": 4, "ki32": 8}.get(node.layout, 1)
+    k_eff = k_store * {"kpair": 2, "kquad": 4, "ki32": 8, "k2i32": 16}.get(node.layout, 1)
     g = node.scales.shape[0]
     shard_k = (
         k_store % tp_size == 0

@@ -205,3 +205,120 @@ def test_kquad_e2e_quantize_roundtrip(tmp_path, rng):
         np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
         rtol=2e-3, atol=2e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# k2i32 (2-bit i32-loaded eighth-split — the fastest 2-bit decode)
+# ---------------------------------------------------------------------------
+
+
+def _make_ql2(rng, k, n, gs, desc_act=False):
+    iw = rng.integers(0, 4, size=(k, n)).astype(np.uint32)
+    g = k // gs if gs != -1 else 1
+    scales = (rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)
+    zeros = rng.integers(1, 4, size=(g, n)).astype(np.int64)
+    g_idx = (np.arange(k) // (gs if gs != -1 else k)).astype(np.int32)
+    if desc_act:
+        g_idx = rng.permutation(g_idx)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, 2)),
+        qzeros=jnp.asarray(packing.pack_qzeros(zeros, 2)),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(g_idx),
+        bias=None,
+        bits=2, group_size=gs, in_features=k, out_features=n,
+    )
+    return quantlinear.from_packed(packed)
+
+
+def test_k2i32_pack_roundtrip(rng):
+    for gs, k in ((128, 256), (256, 512)):
+        w = rng.integers(0, 4, size=(k, 128)).astype(np.uint32)
+        wp = quantlinear._k2i32_pack(w, gs)
+        assert wp.shape == (k // 16, 128) and wp.dtype == np.int32
+        np.testing.assert_array_equal(quantlinear.k2i32_unpack_np(wp, gs), w)
+
+
+def test_from_packed_selects_k2i32(rng):
+    ql = _make_ql2(rng, 256, 128, 128)
+    assert ql.layout == "k2i32"
+    assert ql.wp.shape == (16, 128) and ql.wp.dtype == jnp.int32
+    # gs below 128 stays kquad (eighths must be >= 16 sublanes)
+    assert _make_ql2(rng, 256, 128, 64).layout == "kquad"
+    # gs=-1 with k % 128 == 0 -> single-group k2i32
+    assert _make_ql2(rng, 256, 128, -1).layout == "k2i32"
+
+
+@pytest.mark.parametrize("gs", [128, -1])
+@pytest.mark.parametrize("m", [1, 64])
+def test_k2i32_kernel_matches_xla(rng, gs, m):
+    ql = _make_ql2(rng, 256, 128, gs)
+    assert ql.layout == "k2i32"
+    x = (rng.standard_normal((m, 256)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), ql, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_k2i32_kernel_desc_act(rng):
+    ql = _make_ql2(rng, 256, 128, 128, desc_act=True)
+    assert ql.layout == "k2i32" and ql.kperm is not None
+    x = (rng.standard_normal((1, 256)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), ql, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_k2i32_dequant_matches_reference_unpack(rng):
+    k, n, gs = 256, 128, 128
+    iw = rng.integers(0, 4, size=(k, n)).astype(np.uint32)
+    g = k // gs
+    scales = (rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)
+    zeros = rng.integers(1, 4, size=(g, n)).astype(np.int64)
+    g_idx = (np.arange(k) // gs).astype(np.int32)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, 2)),
+        qzeros=jnp.asarray(packing.pack_qzeros(zeros, 2)),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(g_idx),
+        bias=None,
+        bits=2, group_size=gs, in_features=k, out_features=n,
+    )
+    ql = quantlinear.from_packed(packed)
+    assert ql.layout == "k2i32"
+    w = np.asarray(quantlinear.dequantize_xla(ql, jnp.float32))[:k, :n]
+    expect = (iw.astype(np.float32) - zeros[g_idx].astype(np.float32)) \
+        * scales[g_idx].astype(np.float32)
+    np.testing.assert_allclose(w, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_k2i32_e2e_quantize_roundtrip(tmp_path, rng):
+    pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    import torch
+    import transformers
+
+    from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=256, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    transformers.LlamaForCausalLM(cfg).save_pretrained(
+        tmp_path / "fp", safe_serialization=True)
+    qc = BaseQuantizeConfig(bits=2, group_size=128, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    model.quantize([{"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)])
+    model.save_quantized(str(tmp_path / "q"))
+    reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    assert reloaded.params["layers"][0]["attn"]["q_proj"].layout == "k2i32"
+    ids = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
+        rtol=2e-3, atol=2e-3,
+    )
