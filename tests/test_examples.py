@@ -175,3 +175,11 @@ def test_example_multi_chip_generate(tmp_path):
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-3000:]}"
     assert "verified: sharded tokens == single-device tokens" in r.stdout
+
+
+def test_example_speculative_decoding(tiny_model):
+    out = _run(["examples/inference/speculative_decoding.py",
+                "--quantized_model_dir", tiny_model["q"],
+                "--draft_model_dir", tiny_model["q"],
+                "--max_new_tokens", "6", "--gamma", "3", "--verify"])
+    assert "verified: speculative tokens == plain greedy tokens" in out
