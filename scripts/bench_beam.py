@@ -12,12 +12,13 @@ params, cfg = bench.build_model()
 model = bench._Shim(params, cfg)
 prompt = (np.arange(16, dtype=np.int32)[None, :] % 1000)
 new_tokens = 512
-out = generation.generate(model, prompt, max_new_tokens=new_tokens, num_beams=4)
+KV = bool(int(__import__("os").environ.get("BENCH_KV_QUANT", "0")))
+out = generation.generate(model, prompt, max_new_tokens=new_tokens, num_beams=4, kv_quant=KV)
 assert out.shape[1] == 16 + new_tokens
 times = []
 for _ in range(2):
     t0 = time.perf_counter()
-    generation.generate(model, prompt, max_new_tokens=new_tokens, num_beams=4)
+    generation.generate(model, prompt, max_new_tokens=new_tokens, num_beams=4, kv_quant=KV)
     times.append(time.perf_counter() - t0)
 dt = min(times)
 print(f"beam=4: {new_tokens/dt:.2f} seq-tok/s honest; "
