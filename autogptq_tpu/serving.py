@@ -135,7 +135,11 @@ class ContinuousBatchEngine:
         cache_dtype=None,
         kv_quant: bool = False,
         prefill_chunk: Optional[int] = 512,
+        on_token=None,
     ):
+        # on_token(req_id, token_id): streaming callback, invoked for every
+        # generated token as soon as its engine step retires (host-side)
+        self.on_token = on_token
         self.model = model
         self.cfg = model.cfg
         # TPModel (parallel/tp.py): run prefill/decode under shard_map with
@@ -187,7 +191,43 @@ class ContinuousBatchEngine:
     # ------------------------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        # prompt + generation must fit the slot cache: out-of-bounds cache
+        # scatters are silently DROPPED by JAX, so an oversized request
+        # would corrupt its own attention rather than error
+        need = len(req.prompt) + req.max_new_tokens
+        limit = self.max_seq_len - (
+            1 if (self.prefill_chunk is not None
+                  and len(req.prompt) > self.prefill_chunk) else 0
+        )
+        if need > limit:
+            raise ValueError(
+                f"request {req.req_id}: prompt ({len(req.prompt)}) + "
+                f"max_new_tokens ({req.max_new_tokens}) exceeds "
+                f"max_seq_len {self.max_seq_len}"
+            )
         self.queue.append(req)
+
+    def cancel(self, req_id: int) -> bool:
+        """Cancel a queued or running request. Running requests free their
+        slot immediately (partial output is recorded in ``finished``).
+        Returns True if the request was found."""
+        for i, r in enumerate(self.queue):
+            if r.req_id == req_id:
+                del self.queue[i]
+                self.finished[req_id] = np.zeros((0,), np.int32)
+                return True
+        for slot, st in enumerate(self.slots):
+            if st.req is not None and st.req.req_id == req_id:
+                self.finished[req_id] = np.asarray(st.generated, np.int32)
+                st.req = None
+                st.generated = []
+                st.prefilling = False
+                self._temps[slot] = 0.0
+                self._eos[slot] = -1
+                self._min_new[slot] = 0
+                self.lengths = self.lengths.at[slot].set(0)
+                return True
+        return False
 
     def warmup(self, buckets=(32, 64, 128), sampling: bool = True) -> None:
         """Pre-compile the decode steps (greedy + sampling), the chunked-
@@ -298,6 +338,8 @@ class ContinuousBatchEngine:
         st.req = req
         st.generated = [first_tok]
         st.prefilling = False
+        if self.on_token is not None:
+            self.on_token(req.req_id, first_tok)
 
     def _prefill(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
@@ -561,6 +603,8 @@ class ContinuousBatchEngine:
                 continue
             st.generated.append(int(nxt_np[slot]))
             req = st.req
+            if self.on_token is not None and len(st.generated) - 1 < req.max_new_tokens:
+                self.on_token(req.req_id, int(nxt_np[slot]))
             hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
             # note: generated[-1] is the token JUST sampled from the previous
             # token's logits; stop once we have max_new_tokens outputs.

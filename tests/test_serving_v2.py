@@ -173,3 +173,37 @@ def test_chunked_prefill_kv_quant(model, rng):
     out = engine.run([Request(0, p, max_new_tokens=6)])
     ref = generation.generate(model, p[None], max_new_tokens=6, kv_quant=True)
     np.testing.assert_array_equal(out[0], np.asarray(ref)[0, len(p):])
+
+
+def test_oversized_request_rejected(model):
+    eng = ContinuousBatchEngine(model, max_slots=1, max_seq_len=32)
+    with pytest.raises(ValueError, match="exceeds"):
+        eng.submit(Request(0, np.arange(20, dtype=np.int32), max_new_tokens=20))
+
+
+def test_cancel_queued_and_running(model, rng):
+    eng = ContinuousBatchEngine(model, max_slots=1, max_seq_len=64)
+    p = rng.integers(0, model.cfg.vocab_size, size=(5,)).astype(np.int32)
+    eng.submit(Request(0, p, max_new_tokens=30))
+    eng.submit(Request(1, p, max_new_tokens=5))   # queued behind req 0
+    eng.step()
+    eng.step()
+    assert eng.cancel(0)                          # running: free the slot
+    assert len(eng.finished[0]) >= 1              # partial output recorded
+    assert not eng.cancel(99)
+    while eng.queue or any(st.req is not None for st in eng.slots):
+        eng.step()
+    np.testing.assert_array_equal(
+        eng.finished[1], sequential_greedy(model, p, 5))
+
+
+def test_streaming_callback(model, rng):
+    streamed = []
+    eng = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=64,
+        on_token=lambda rid, tok: streamed.append((rid, tok)),
+    )
+    p = rng.integers(0, model.cfg.vocab_size, size=(6,)).astype(np.int32)
+    out = eng.run([Request(0, p, max_new_tokens=5)])
+    got_stream = [t for rid, t in streamed if rid == 0]
+    np.testing.assert_array_equal(np.asarray(got_stream, np.int32), out[0])
