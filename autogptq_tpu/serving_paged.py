@@ -1,0 +1,432 @@
+"""Paged-KV continuous batching (vLLM-style block paging, TPU-native).
+
+The slot engine in serving.py preallocates ``max_slots x max_seq_len`` cache
+rows per slot — at 8 slots x 4k context on a 7B model that is ~17 GB of
+bf16 cache, more than a v5e's HBM. This engine shares ONE page pool across
+all slots: each sequence owns a page table into
+``[L, Hkv, total_pages, page_size, D]`` pools, pages are allocated
+on demand as a sequence grows and freed the moment it retires, so cache
+memory scales with the TOKENS ACTUALLY RESIDENT rather than
+slots x max_seq_len.
+
+Decode attention over the paged pools runs the stock Pallas paged-attention
+kernel on TPU (jax.experimental.pallas.ops.tpu.paged_attention — the
+TPU analog of vLLM's PagedAttention CUDA kernel); everywhere else (CPU
+tests) an exact jnp reference gathers the pages. Both paths produce the
+same tokens as the contiguous-cache engine.
+
+Scope: standard decoder families (rope/GQA, no alibi/softcap/sliding-window
+/MLA); quantized or dense weights; greedy + the same per-request sampling as
+serving.py. Prompts are prefilled through the ordinary contiguous path and
+scatter-copied into pages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import arch
+from .models.arch import KVCache
+from .serving import Request, _bucket, _greedy_tokens, _sample_tokens
+
+
+def _check_cfg(cfg) -> None:
+    if (
+        cfg.attn_variant != "mha" or cfg.pos_embedding not in ("rope", "rope_gptj")
+        or cfg.attn_softcap is not None or cfg.sliding_window is not None
+        or cfg.num_kv_heads_per_layer is not None or cfg.parallel_block
+        or cfg.residual_scale is not None
+        or getattr(cfg, "moe_num_experts", None)
+    ):
+        raise NotImplementedError(
+            "paged serving supports standard rope/GQA decoder families"
+        )
+
+
+def _paged_attention_jnp(q, k_pages, v_pages, lengths, page_indices, scale):
+    """Exact reference: gather each sequence's pages and run masked
+    attention. q [B, H, D]; pages [Hkv, P, page, D]; page_indices
+    [B, pages_per_seq]. Returns [B, H, D]."""
+    b, h, d = q.shape
+    hkv = k_pages.shape[0]
+    page = k_pages.shape[2]
+    pps = page_indices.shape[1]
+    s = pps * page
+
+    # [B, Hkv, pages_per_seq, page, D] -> [B, S, Hkv, D]
+    def gather(pages):
+        g = jnp.take(pages, page_indices, axis=1)      # [Hkv, B, pps, page, D]
+        return g.transpose(1, 2, 3, 0, 4).reshape(b, s, hkv, d)
+
+    keys = gather(k_pages)
+    values = gather(v_pages)
+    rep = h // hkv
+    qh = q.reshape(b, hkv, rep, d)
+    logits = jnp.einsum(
+        "bhrd,bshd->bhrs", qh.astype(jnp.float32), keys.astype(jnp.float32)
+    ) * scale
+    mask = jnp.arange(s)[None, :] < lengths[:, None]   # [B, S]
+    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhrs,bshd->bhrd", probs, values.astype(jnp.float32))
+    return out.reshape(b, h, d)
+
+
+@dataclasses.dataclass
+class _PagedSlot:
+    req: Optional[Request] = None
+    generated: list = dataclasses.field(default_factory=list)
+
+
+class PagedContinuousBatchEngine:
+    """Continuous batching over a shared page pool (see module docstring).
+
+    ``total_pages`` bounds RESIDENT tokens (total_pages * page_size), not
+    per-slot length — admission waits until enough pages are free."""
+
+    def __init__(
+        self,
+        model,
+        max_slots: int = 4,
+        total_pages: int = 64,
+        page_size: int = 16,
+        pages_per_seq: int = 32,
+        use_kernel: Optional[bool] = None,
+        on_token=None,
+    ):
+        _check_cfg(model.cfg)
+        if "q_proj" not in model.params["layers"][0].get("attn", {}):
+            raise NotImplementedError(
+                "paged serving requires unfused q/k/v projections"
+            )
+        self.model = model
+        self.cfg = cfg = model.cfg
+        self.max_slots = max_slots
+        self.page_size = page_size
+        self.total_pages = total_pages
+        self.pages_per_seq = pages_per_seq
+        self.on_token = on_token
+        # kernel only on real TPU; jnp reference elsewhere (tests/CPU)
+        self.use_kernel = (
+            use_kernel if use_kernel is not None
+            else jax.default_backend() == "tpu"
+        )
+        shape = (cfg.num_layers, cfg.num_kv_heads, total_pages, page_size,
+                 cfg.head_dim)
+        self.k_pages = jnp.zeros(shape, model.dtype)
+        self.v_pages = jnp.zeros(shape, model.dtype)
+        # page 0 is a reserved NULL page: unused table entries point at it
+        self._free = list(range(total_pages - 1, 0, -1))
+        self.tables = np.zeros((max_slots, pages_per_seq), np.int32)
+        self.lengths = jnp.zeros((max_slots,), jnp.int32)
+        self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        self._temps = np.zeros((max_slots,), np.float32)
+        self._top_ps = np.ones((max_slots,), np.float32)
+        self._top_ks = np.zeros((max_slots,), np.int32)
+        self._seeds = np.zeros((max_slots,), np.int32)
+        self._eos = np.full((max_slots,), -1, np.int32)
+        self._min_new = np.zeros((max_slots,), np.int32)
+        self.slots = [_PagedSlot() for _ in range(max_slots)]
+        self.queue: deque[Request] = deque()
+        self.finished: dict[int, np.ndarray] = {}
+        self._prefill_fns: dict[int, object] = {}
+        self._scatter_fn = None
+        self._decode_fns: dict[bool, object] = {}
+
+    # -- page accounting -------------------------------------------------
+
+    def pages_in_use(self) -> int:
+        return (self.total_pages - 1) - len(self._free)
+
+    def _alloc(self, n: int) -> list[int]:
+        assert len(self._free) >= n
+        return [self._free.pop() for _ in range(n)]
+
+    def _free_slot_pages(self, slot: int) -> None:
+        used = self.tables[slot][self.tables[slot] != 0]
+        self._free.extend(int(p) for p in used)
+        self.tables[slot] = 0
+
+    # -- admission / prefill --------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        need = len(req.prompt) + req.max_new_tokens
+        if need > self.pages_per_seq * self.page_size:
+            raise ValueError(
+                f"request {req.req_id}: {need} tokens exceed pages_per_seq "
+                f"* page_size = {self.pages_per_seq * self.page_size}"
+            )
+        self.queue.append(req)
+
+    def _pages_needed(self, tokens: int) -> int:
+        return -(-tokens // self.page_size)
+
+    def _get_prefill_fn(self, bucket: int):
+        fn = self._prefill_fns.get(bucket)
+        if fn is None:
+            model = self.model
+            cfg = self.cfg
+
+            def prefill(params, tokens, mask):
+                cache = KVCache.create(cfg, 1, bucket, dtype=model.dtype)
+                logits, cache = arch.forward(
+                    params, tokens, cfg, cache=cache,
+                    backend=model.backend, attn_mask=mask, dtype=model.dtype,
+                    positions=jnp.maximum(jnp.cumsum(mask, -1) - 1, 0),
+                    fresh_prefill=True,
+                )
+                last = jnp.sum(mask, -1) - 1
+                return cache.k[:, 0], cache.v[:, 0], logits[jnp.arange(1), last]
+
+            self._prefill_fns[bucket] = fn = jax.jit(prefill)
+        return fn
+
+    def _get_scatter_fn(self):
+        """Copy one page worth of prefill K/V ([L, page, Hkv, D]) into page
+        ``pid`` of the pools (stored [L, Hkv, P, page, D])."""
+        if self._scatter_fn is None:
+            @jax.jit
+            def scatter(pool_k, pool_v, k_seg, v_seg, pid):
+                ks = k_seg.transpose(0, 2, 1, 3)[:, :, None]  # [L,Hkv,1,pg,D]
+                vs = v_seg.transpose(0, 2, 1, 3)[:, :, None]
+                pool_k = jax.lax.dynamic_update_slice(
+                    pool_k, ks.astype(pool_k.dtype), (0, 0, pid, 0, 0))
+                pool_v = jax.lax.dynamic_update_slice(
+                    pool_v, vs.astype(pool_v.dtype), (0, 0, pid, 0, 0))
+                return pool_k, pool_v
+
+            self._scatter_fn = scatter
+        return self._scatter_fn
+
+    def _admit(self) -> None:
+        while self.queue:
+            free_slots = [i for i, st in enumerate(self.slots) if st.req is None]
+            if not free_slots:
+                return
+            req = self.queue[0]
+            p = len(req.prompt)
+            if self._pages_needed(p + 1) > len(self._free):
+                return                       # wait for pages to free up
+            self.queue.popleft()
+            slot = free_slots[0]
+            bucket = _bucket(p)
+            fn = self._get_prefill_fn(bucket)
+            tokens = np.zeros((1, bucket), np.int32)
+            mask = np.zeros((1, bucket), np.int32)
+            tokens[0, :p] = req.prompt
+            mask[0, :p] = 1
+            k, v, lrow = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
+
+            pages = self._alloc(self._pages_needed(p + 1))
+            scatter = self._get_scatter_fn()
+            pg = self.page_size
+            for j, pid in enumerate(pages):
+                # page j covers prompt tokens [j*pg, (j+1)*pg); tails past p
+                # carry garbage from the bucket pad — masked by `lengths`.
+                # A page fully past the bucket (the +1 write headroom) gets
+                # its content from the decode-step scatter instead.
+                if j * pg >= k.shape[1]:
+                    break
+                seg_k = jax.lax.dynamic_slice_in_dim(k, j * pg, pg, axis=1)
+                seg_v = jax.lax.dynamic_slice_in_dim(v, j * pg, pg, axis=1)
+                self.k_pages, self.v_pages = scatter(
+                    self.k_pages, self.v_pages, seg_k, seg_v, jnp.int32(pid))
+            self.tables[slot] = 0
+            self.tables[slot, : len(pages)] = pages
+
+            tok = int(np.asarray(_sample_tokens(
+                jnp.reshape(lrow, (1, -1)),
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_p], jnp.float32),
+                jnp.asarray([req.top_k], jnp.int32),
+                jnp.asarray([req.seed], jnp.int32),
+                jnp.asarray([0], jnp.int32),
+                jnp.asarray([-1 if req.eos_token_id is None else req.eos_token_id], jnp.int32),
+                jnp.asarray([req.min_new_tokens], jnp.int32),
+            ))[0])
+            self.lengths = self.lengths.at[slot].set(p)
+            self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+            self._temps[slot] = req.temperature
+            self._top_ps[slot] = req.top_p
+            self._top_ks[slot] = req.top_k
+            self._seeds[slot] = req.seed
+            self._eos[slot] = -1 if req.eos_token_id is None else req.eos_token_id
+            self._min_new[slot] = req.min_new_tokens
+            st = self.slots[slot]
+            st.req = req
+            st.generated = [tok]
+            if self.on_token is not None:
+                self.on_token(req.req_id, tok)
+
+    # -- decode ----------------------------------------------------------
+
+    def _attend(self, q, kp, vp, lengths, tables, scale):
+        if self.use_kernel:
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                paged_attention,
+            )
+
+            # the stock kernel does not scale qk internally — pre-scale q
+            return paged_attention(
+                (q.astype(jnp.float32) * scale).astype(q.dtype),
+                kp, vp, lengths, tables,
+                pages_per_compute_block=min(4, self.pages_per_seq),
+            )
+        return _paged_attention_jnp(q, kp, vp, lengths, tables, scale)
+
+    def _decode_step_fn(self, sampling: bool):
+        fn = self._decode_fns.get(sampling)
+        if fn is None:
+            model = self.model
+            cfg = self.cfg
+            pg = self.page_size
+            b = self.max_slots
+            h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+
+            def step(params, k_pages, v_pages, tables, lengths, cur_tokens,
+                     eos_ids, min_left, *samp):
+                x = arch.embed(params, cur_tokens[:, None], lengths[:, None],
+                               cfg, model.dtype)
+                rows = jnp.arange(b)
+                page_of = tables[rows, lengths // pg]      # [B]
+                off = lengths % pg
+                for idx, bp in enumerate(params["layers"]):
+                    hidden = arch.apply_norm(bp["input_norm"], x, cfg)
+                    ap = bp["attn"]
+                    q = arch.apply_linear(ap["q_proj"], hidden, model.backend).reshape(b, 1, h, d)
+                    kk = arch.apply_linear(ap["k_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
+                    vv = arch.apply_linear(ap["v_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
+                    q, kk = arch.apply_rope(q, kk, lengths[:, None], cfg)
+                    # write current K/V into each slot's active page: the
+                    # mixed (scalar, :, [B], [B]) index puts the broadcast
+                    # advanced dims first -> the updated block is [B, Hkv, D]
+                    k_pages = k_pages.at[idx, :, page_of, off].set(
+                        kk[:, 0].astype(k_pages.dtype))
+                    v_pages = v_pages.at[idx, :, page_of, off].set(
+                        vv[:, 0].astype(v_pages.dtype))
+                    of = self._attend(
+                        q[:, 0], k_pages[idx], v_pages[idx],
+                        lengths + 1, tables, scale,
+                    ).reshape(b, 1, h * d).astype(x.dtype)
+                    attn_out = arch.apply_linear(ap["o_proj"], of, model.backend)
+                    x = x + attn_out
+                    h2 = arch.apply_norm(bp["post_norm"], x, cfg)
+                    x = x + arch.mlp(bp["mlp"], h2, cfg, model.backend)
+                logits = arch.unembed(params, x, cfg)[:, -1, :]
+                if sampling:
+                    temps, top_ps, top_ks, seeds, steps = samp
+                    nxt = _sample_tokens(logits, temps, top_ps, top_ks, seeds,
+                                         steps, eos_ids, min_left)
+                else:
+                    nxt = _greedy_tokens(logits, eos_ids, min_left)
+                return k_pages, v_pages, lengths + 1, nxt
+
+            self._decode_fns[sampling] = fn = jax.jit(step)
+        return fn
+
+    def step(self) -> list[int]:
+        self._admit()
+        active = [st.req is not None for st in self.slots]
+        if not any(active):
+            return []
+
+        # grow page tables for slots crossing a page boundary next write;
+        # on pool exhaustion PREEMPT the youngest sequence (vLLM recompute
+        # policy): free its pages and re-queue the request — decoding is
+        # deterministic per (seed, token index), so the restarted request
+        # produces the same final output
+        for slot, st in enumerate(self.slots):
+            if st.req is None:
+                continue
+            ln = int(self.lengths[slot])
+            needed = self._pages_needed(ln + 1)
+            have = int(np.count_nonzero(self.tables[slot]))
+            if needed > have:
+                while not self._free:
+                    victims = [
+                        i for i, s2 in enumerate(self.slots)
+                        if s2.req is not None and i != slot
+                    ]
+                    if not victims:
+                        raise RuntimeError(
+                            "page pool exhausted by a single sequence; "
+                            "increase total_pages"
+                        )
+                    v = victims[-1]
+                    self.queue.appendleft(self.slots[v].req)
+                    self.slots[v].req = None
+                    self.slots[v].generated = []
+                    self._temps[v] = 0.0
+                    self._eos[v] = -1
+                    self._min_new[v] = 0
+                    self._free_slot_pages(v)
+                    self.lengths = self.lengths.at[v].set(0)
+                self.tables[slot, have] = self._alloc(1)[0]
+        active = [st.req is not None for st in self.slots]
+        if not any(active):
+            return []
+
+        sampling = any(self._temps[i] > 0 for i, a in enumerate(active) if a)
+        fn = self._decode_step_fn(sampling)
+        min_left = np.array([
+            max(0, self._min_new[i] - len(st.generated))
+            for i, st in enumerate(self.slots)
+        ], np.int32)
+        args = [self.model.params, self.k_pages, self.v_pages,
+                jnp.asarray(self.tables), self.lengths, self.cur_tokens,
+                jnp.asarray(self._eos), jnp.asarray(min_left)]
+        if sampling:
+            steps = np.array([len(st.generated) for st in self.slots], np.int32)
+            args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                     jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
+                     jnp.asarray(steps)]
+        self.k_pages, self.v_pages, new_lengths, nxt = fn(*args)
+        nxt_np = np.asarray(nxt)
+
+        lengths_np = np.array(new_lengths)
+        cur_np = np.array(self.cur_tokens)
+        done_ids = []
+        for slot, st in enumerate(self.slots):
+            if st.req is None:
+                lengths_np[slot] = 0
+                continue
+            cur_np[slot] = nxt_np[slot]
+            st.generated.append(int(nxt_np[slot]))
+            req = st.req
+            if self.on_token is not None and len(st.generated) - 1 < req.max_new_tokens:
+                self.on_token(req.req_id, int(nxt_np[slot]))
+            hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
+            if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
+                out = st.generated[: req.max_new_tokens]
+                if req.eos_token_id is not None and req.eos_token_id in out:
+                    out = out[: out.index(req.eos_token_id) + 1]
+                self.finished[req.req_id] = np.asarray(out, np.int32)
+                done_ids.append(req.req_id)
+                st.req = None
+                st.generated = []
+                self._temps[slot] = 0.0
+                self._eos[slot] = -1
+                self._min_new[slot] = 0
+                self._free_slot_pages(slot)
+                lengths_np[slot] = 0
+        self.lengths = jnp.asarray(lengths_np)
+        self.cur_tokens = jnp.asarray(cur_np)
+        return done_ids
+
+    def run(self, requests: list[Request]) -> dict[int, np.ndarray]:
+        for r in requests:
+            self.submit(r)
+        while self.queue or any(st.req is not None for st in self.slots):
+            self.step()
+        out, self.finished = self.finished, {}
+        return out
+
+
+__all__ = ["PagedContinuousBatchEngine"]
