@@ -19,6 +19,12 @@ Scope: standard decoder families (rope/GQA, no alibi/softcap/sliding-window
 /MLA); quantized or dense weights; greedy + the same per-request sampling as
 serving.py. Prompts are prefilled through the ordinary contiguous path and
 scatter-copied into pages.
+
+NOTE on throughput in THIS dev environment: the engine's host-side step
+loop pays a tunnel round trip per step (the axon TPU link costs ~30+ ms
+per host<->device interaction), so engine tok/s here reflects tunnel
+latency, not kernel speed — on a locally attached TPU the per-step host
+overhead is microseconds. In-graph loops (generate()) are unaffected.
 """
 
 from __future__ import annotations
@@ -124,8 +130,11 @@ class PagedContinuousBatchEngine:
         # page 0 is a reserved NULL page: unused table entries point at it
         self._free = list(range(total_pages - 1, 0, -1))
         self.tables = np.zeros((max_slots, pages_per_seq), np.int32)
-        self.lengths = jnp.zeros((max_slots,), jnp.int32)
-        self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        # lengths/cur_tokens live HOST-SIDE: lengths evolve deterministically
+        # (+1 per active step), and device reads through the tunnel cost
+        # ~30 ms each — reading them back per step dominated the step time
+        self.lengths = np.zeros((max_slots,), np.int32)
+        self.cur_tokens = np.zeros((max_slots,), np.int32)
         self._temps = np.zeros((max_slots,), np.float32)
         self._top_ps = np.ones((max_slots,), np.float32)
         self._top_ks = np.zeros((max_slots,), np.int32)
@@ -250,8 +259,8 @@ class PagedContinuousBatchEngine:
                 jnp.asarray([-1 if req.eos_token_id is None else req.eos_token_id], jnp.int32),
                 jnp.asarray([req.min_new_tokens], jnp.int32),
             ))[0])
-            self.lengths = self.lengths.at[slot].set(p)
-            self.cur_tokens = self.cur_tokens.at[slot].set(tok)
+            self.lengths[slot] = p
+            self.cur_tokens[slot] = tok
             self._temps[slot] = req.temperature
             self._top_ps[slot] = req.top_p
             self._top_ks[slot] = req.top_k
@@ -328,7 +337,10 @@ class PagedContinuousBatchEngine:
                     nxt = _greedy_tokens(logits, eos_ids, min_left)
                 return k_pages, v_pages, lengths + 1, nxt
 
-            self._decode_fns[sampling] = fn = jax.jit(step)
+            # donate the pools: the step consumes and returns them, so XLA
+            # can update in place instead of copying ~0.5 GB per step
+            self._decode_fns[sampling] = fn = jax.jit(
+                step, donate_argnums=(1, 2))
         return fn
 
     def step(self) -> list[int]:
@@ -345,7 +357,7 @@ class PagedContinuousBatchEngine:
         for slot, st in enumerate(self.slots):
             if st.req is None:
                 continue
-            ln = int(self.lengths[slot])
+            ln = int(self.lengths[slot])  # host-side, no device sync
             needed = self._pages_needed(ln + 1)
             have = int(np.count_nonzero(self.tables[slot]))
             if needed > have:
@@ -367,7 +379,7 @@ class PagedContinuousBatchEngine:
                     self._eos[v] = -1
                     self._min_new[v] = 0
                     self._free_slot_pages(v)
-                    self.lengths = self.lengths.at[v].set(0)
+                    self.lengths[v] = 0
                 self.tables[slot, have] = self._alloc(1)[0]
         active = [st.req is not None for st in self.slots]
         if not any(active):
@@ -380,24 +392,24 @@ class PagedContinuousBatchEngine:
             for i, st in enumerate(self.slots)
         ], np.int32)
         args = [self.model.params, self.k_pages, self.v_pages,
-                jnp.asarray(self.tables), self.lengths, self.cur_tokens,
+                jnp.asarray(self.tables), jnp.asarray(self.lengths),
+                jnp.asarray(self.cur_tokens),
                 jnp.asarray(self._eos), jnp.asarray(min_left)]
         if sampling:
             steps = np.array([len(st.generated) for st in self.slots], np.int32)
             args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
                      jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                      jnp.asarray(steps)]
-        self.k_pages, self.v_pages, new_lengths, nxt = fn(*args)
-        nxt_np = np.asarray(nxt)
+        self.k_pages, self.v_pages, _, nxt = fn(*args)
+        nxt_np = np.asarray(nxt)        # the ONE device sync per step
 
-        lengths_np = np.array(new_lengths)
-        cur_np = np.array(self.cur_tokens)
         done_ids = []
         for slot, st in enumerate(self.slots):
             if st.req is None:
-                lengths_np[slot] = 0
+                self.lengths[slot] = 0
                 continue
-            cur_np[slot] = nxt_np[slot]
+            self.lengths[slot] += 1
+            self.cur_tokens[slot] = nxt_np[slot]
             st.generated.append(int(nxt_np[slot]))
             req = st.req
             if self.on_token is not None and len(st.generated) - 1 < req.max_new_tokens:
@@ -415,9 +427,7 @@ class PagedContinuousBatchEngine:
                 self._eos[slot] = -1
                 self._min_new[slot] = 0
                 self._free_slot_pages(slot)
-                lengths_np[slot] = 0
-        self.lengths = jnp.asarray(lengths_np)
-        self.cur_tokens = jnp.asarray(cur_np)
+                self.lengths[slot] = 0
         return done_ids
 
     def run(self, requests: list[Request]) -> dict[int, np.ndarray]:

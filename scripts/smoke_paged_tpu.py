@@ -1,7 +1,14 @@
-"""Paged-attention KERNEL path smoke on the real TPU: the stock Pallas
-paged-attention kernel (use_kernel=True) must produce the same tokens as
-the jnp gather reference (use_kernel=False) and as sequential generate, on
-a real-sized-enough model; prints an aggregate-throughput number.
+"""Paged-attention KERNEL path smoke on the real TPU.
+
+Correctness gate: the stock Pallas paged-attention kernel vs the exact jnp
+gather reference on random pages — NUMERIC comparison (token equality over
+long greedy runs is meaningless on random weights: the two paths round in
+different orders, ~5e-4 abs diff, and a single argmax flip cascades; same
+finding as the round-1 flash-attention note). Measured: max abs diff
+5.7e-4 on 0.2-scale outputs (0.3% relative).
+
+Then runs the paged ENGINE with use_kernel=True end-to-end for a
+throughput number.
 
     python scripts/smoke_paged_tpu.py [new_tokens]
 """
@@ -17,7 +24,10 @@ import jax.numpy as jnp  # noqa: E402
 
 import bench  # noqa: E402
 from autogptq_tpu.serving import Request  # noqa: E402
-from autogptq_tpu.serving_paged import PagedContinuousBatchEngine  # noqa: E402
+from autogptq_tpu.serving_paged import (  # noqa: E402
+    PagedContinuousBatchEngine,
+    _paged_attention_jnp,
+)
 
 
 class Shim:
@@ -26,8 +36,32 @@ class Shim:
         self.backend, self.dtype = "auto", jnp.bfloat16
 
 
+def check_kernel_numerics() -> None:
+    from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+    rng = np.random.default_rng(0)
+    B, H, HKV, D, PAGE, PPS, P = 4, 32, 32, 128, 16, 8, 64
+    q = jnp.asarray(rng.standard_normal((B, H, D)) * 0.3, jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((HKV, P, PAGE, D)) * 0.3, jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((HKV, P, PAGE, D)) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray([25, 49, 97, 34], jnp.int32)
+    tables = jnp.asarray(rng.integers(1, P, size=(B, PPS)), jnp.int32)
+    scale = D ** -0.5
+    ref = np.asarray(_paged_attention_jnp(q, kp, vp, lengths, tables, scale),
+                     np.float32)
+    out = np.asarray(paged_attention(
+        (q.astype(jnp.float32) * scale).astype(q.dtype), kp, vp, lengths,
+        tables, pages_per_compute_block=4), np.float32)
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert rel < 2e-2, f"paged kernel diverges from reference: rel={rel}"
+    print(f"paged kernel vs jnp reference: max rel diff {rel:.2e} OK",
+          flush=True)
+
+
 def main():
     new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    check_kernel_numerics()
+
     params, cfg = bench.build_model(layers=8)   # 8-layer 7B-width slice
     model = Shim(params, cfg)
     rng = np.random.default_rng(0)
@@ -36,28 +70,18 @@ def main():
     reqs = lambda: [Request(i, p, max_new_tokens=new_tokens)
                     for i, p in enumerate(prompts)]
 
-    kern = PagedContinuousBatchEngine(
+    mk = lambda: PagedContinuousBatchEngine(
         model, max_slots=4, total_pages=256, page_size=16, pages_per_seq=64,
         use_kernel=True,
     )
-    out_k = kern.run(reqs())                    # compile + run
+    out = mk().run(reqs())                      # compile + run
+    assert all(len(v) == new_tokens for v in out.values())
     t0 = time.perf_counter()
-    out_k = PagedContinuousBatchEngine(
-        model, max_slots=4, total_pages=256, page_size=16, pages_per_seq=64,
-        use_kernel=True,
-    ).run(reqs())
+    out = mk().run(reqs())
     dt = time.perf_counter() - t0
-
-    ref = PagedContinuousBatchEngine(
-        model, max_slots=4, total_pages=256, page_size=16, pages_per_seq=64,
-        use_kernel=False,
-    ).run(reqs())
-    for rid in ref:
-        assert np.array_equal(out_k[rid], ref[rid]), \
-            f"kernel != reference for request {rid}"
-    total = sum(len(v) for v in out_k.values())
-    print(f"paged kernel == jnp reference for {len(ref)} requests; "
-          f"{total} tokens in {dt:.2f}s = {total / dt:.1f} aggregate tok/s")
+    total = sum(len(v) for v in out.values())
+    print(f"paged engine (kernel path): {total} tokens in {dt:.2f}s = "
+          f"{total / dt:.1f} aggregate tok/s")
 
 
 if __name__ == "__main__":
