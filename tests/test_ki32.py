@@ -45,14 +45,14 @@ def test_from_packed_selects_ki32(rng):
     assert ql.layout == "ki32"
     assert ql.wp.shape == (32, 128) and ql.wp.dtype == jnp.int32
     assert ql.scales.shape == (4, 1, 128)
-    # gs=32 (quarter slices below the 16-sublane bf16 tile) stays kpair
-    assert _make_ql(rng, 256, 128, 32).layout == "kpair"
+    # gs=32 also selects ki32 (hardware-validated); gs=24 stays kpair
+    assert _make_ql(rng, 256, 128, 32).layout == "ki32"
     # gs=-1 with k % 64 == 0 -> single-group ki32
     assert _make_ql(rng, 256, 128, -1).layout == "ki32"
 
 
 @pytest.mark.parametrize("bits", [3, 4])
-@pytest.mark.parametrize("gs", [64, 128, -1])
+@pytest.mark.parametrize("gs", [32, 64, 128, -1])
 @pytest.mark.parametrize("m", [1, 64])       # decode + prefill regimes
 def test_ki32_kernel_matches_xla(rng, bits, gs, m):
     ql = _make_ql(rng, 256, 128, gs, bits=bits)
