@@ -195,15 +195,23 @@ class ContinuousBatchEngine:
         # scatters are silently DROPPED by JAX, so an oversized request
         # would corrupt its own attention rather than error
         need = len(req.prompt) + req.max_new_tokens
-        limit = self.max_seq_len - (
-            1 if (self.prefill_chunk is not None
-                  and len(req.prompt) > self.prefill_chunk) else 0
-        )
+        chunked = (self.prefill_chunk is not None
+                   and len(req.prompt) > self.prefill_chunk)
+        limit = self.max_seq_len - (1 if chunked else 0)
         if need > limit:
             raise ValueError(
                 f"request {req.req_id}: prompt ({len(req.prompt)}) + "
                 f"max_new_tokens ({req.max_new_tokens}) exceeds "
                 f"max_seq_len {self.max_seq_len}"
+            )
+        if not chunked and _bucket(len(req.prompt)) > self.max_seq_len:
+            # whole-prompt prefill pads to a power-of-two-ish bucket; a
+            # bucket beyond the cache would fail at admission mid-run
+            raise ValueError(
+                f"request {req.req_id}: prompt length {len(req.prompt)} "
+                f"rounds to prefill bucket {_bucket(len(req.prompt))} > "
+                f"max_seq_len {self.max_seq_len}; use a prefill_chunk <= "
+                f"{len(req.prompt) - 1} or a larger max_seq_len"
             )
         self.queue.append(req)
 
@@ -603,9 +611,12 @@ class ContinuousBatchEngine:
                 continue
             st.generated.append(int(nxt_np[slot]))
             req = st.req
-            if self.on_token is not None and len(st.generated) - 1 < req.max_new_tokens:
-                self.on_token(req.req_id, int(nxt_np[slot]))
             hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
+            if (self.on_token is not None and not hit_eos
+                    and len(st.generated) - 1 < req.max_new_tokens):
+                # the post-EOS token is excluded from the final output, so
+                # it must not be streamed either
+                self.on_token(req.req_id, int(nxt_np[slot]))
             # note: generated[-1] is the token JUST sampled from the previous
             # token's logits; stop once we have max_new_tokens outputs.
             if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:

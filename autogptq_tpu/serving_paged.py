@@ -30,6 +30,7 @@ overhead is microseconds. In-graph loops (generate()) are unaffected.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import deque
 from typing import Optional
 
@@ -75,12 +76,14 @@ def _paged_attention_jnp(q, k_pages, v_pages, lengths, page_indices, scale):
     rep = h // hkv
     qh = q.reshape(b, hkv, rep, d)
     logits = jnp.einsum(
-        "bhrd,bshd->bhrs", qh.astype(jnp.float32), keys.astype(jnp.float32)
+        "bhrd,bshd->bhrs", qh.astype(jnp.float32), keys.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ) * scale
     mask = jnp.arange(s)[None, :] < lengths[:, None]   # [B, S]
     logits = jnp.where(mask[:, None, None, :], logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhrs,bshd->bhrd", probs, values.astype(jnp.float32))
+    out = jnp.einsum("bhrs,bshd->bhrd", probs, values.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(b, h, d)
 
 
@@ -144,9 +147,19 @@ class PagedContinuousBatchEngine:
         self.slots = [_PagedSlot() for _ in range(max_slots)]
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
+        self._streamed: dict[int, int] = {}   # req_id -> tokens emitted
         self._prefill_fns: dict[int, object] = {}
         self._scatter_fn = None
         self._decode_fns: dict[bool, object] = {}
+
+    def _emit(self, req_id: int, idx: int, tok: int) -> None:
+        """Stream token ``idx`` once per request — preemption replays the
+        same deterministic tokens, so already-emitted indices are skipped."""
+        if self.on_token is None:
+            return
+        if idx >= self._streamed.get(req_id, 0):
+            self.on_token(req_id, tok)
+            self._streamed[req_id] = idx + 1
 
     # -- page accounting -------------------------------------------------
 
@@ -165,11 +178,16 @@ class PagedContinuousBatchEngine:
     # -- admission / prefill --------------------------------------------
 
     def submit(self, req: Request) -> None:
-        need = len(req.prompt) + req.max_new_tokens
+        need = max(len(req.prompt) + req.max_new_tokens, len(req.prompt) + 1)
         if need > self.pages_per_seq * self.page_size:
             raise ValueError(
                 f"request {req.req_id}: {need} tokens exceed pages_per_seq "
                 f"* page_size = {self.pages_per_seq * self.page_size}"
+            )
+        if self._pages_needed(len(req.prompt) + 1) > self.total_pages - 1:
+            raise ValueError(
+                f"request {req.req_id}: prompt needs more pages than the "
+                f"pool can ever supply (total_pages={self.total_pages})"
             )
         self.queue.append(req)
 
@@ -200,7 +218,7 @@ class PagedContinuousBatchEngine:
         """Copy one page worth of prefill K/V ([L, page, Hkv, D]) into page
         ``pid`` of the pools (stored [L, Hkv, P, page, D])."""
         if self._scatter_fn is None:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
             def scatter(pool_k, pool_v, k_seg, v_seg, pid):
                 ks = k_seg.transpose(0, 2, 1, 3)[:, :, None]  # [L,Hkv,1,pg,D]
                 vs = v_seg.transpose(0, 2, 1, 3)[:, :, None]
@@ -235,11 +253,19 @@ class PagedContinuousBatchEngine:
             pages = self._alloc(self._pages_needed(p + 1))
             scatter = self._get_scatter_fn()
             pg = self.page_size
+            # pad the prefill K/V up to a page multiple so page slices never
+            # run past the bucket (dynamic_slice CLAMPS out-of-range starts,
+            # which would silently shift a partial last page over earlier
+            # tokens); padded rows are past `lengths` and never attended
+            span = self._pages_needed(min(p + 1, k.shape[1])) * pg
+            if span > k.shape[1]:
+                padn = span - k.shape[1]
+                k = jnp.pad(k, ((0, 0), (0, padn), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, padn), (0, 0), (0, 0)))
             for j, pid in enumerate(pages):
-                # page j covers prompt tokens [j*pg, (j+1)*pg); tails past p
-                # carry garbage from the bucket pad — masked by `lengths`.
-                # A page fully past the bucket (the +1 write headroom) gets
-                # its content from the decode-step scatter instead.
+                # page j covers prompt tokens [j*pg, (j+1)*pg); a page fully
+                # past the bucket (+1 write headroom) is filled by the
+                # decode-step scatter instead
                 if j * pg >= k.shape[1]:
                     break
                 seg_k = jax.lax.dynamic_slice_in_dim(k, j * pg, pg, axis=1)
@@ -270,8 +296,7 @@ class PagedContinuousBatchEngine:
             st = self.slots[slot]
             st.req = req
             st.generated = [tok]
-            if self.on_token is not None:
-                self.on_token(req.req_id, tok)
+            self._emit(req.req_id, 0, tok)
 
     # -- decode ----------------------------------------------------------
 
@@ -281,11 +306,13 @@ class PagedContinuousBatchEngine:
                 paged_attention,
             )
 
-            # the stock kernel does not scale qk internally — pre-scale q
+            # the stock kernel does not scale qk internally — pre-scale q;
+            # pages_per_compute_block must divide pages_per_seq
+            ppcb = max(d for d in (8, 4, 2, 1) if self.pages_per_seq % d == 0)
             return paged_attention(
                 (q.astype(jnp.float32) * scale).astype(q.dtype),
                 kp, vp, lengths, tables,
-                pages_per_compute_block=min(4, self.pages_per_seq),
+                pages_per_compute_block=ppcb,
             )
         return _paged_attention_jnp(q, kp, vp, lengths, tables, scale)
 
@@ -313,6 +340,16 @@ class PagedContinuousBatchEngine:
                     kk = arch.apply_linear(ap["k_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
                     vv = arch.apply_linear(ap["v_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
                     q, kk = arch.apply_rope(q, kk, lengths[:, None], cfg)
+                    if cfg.logn_attn_seq_len is not None:
+                        # qwen-v1 logn scaling (mirrors arch.attention)
+                        import math as _math
+
+                        L = float(cfg.logn_attn_seq_len)
+                        logn = jnp.maximum(
+                            jnp.log(lengths.astype(jnp.float32) + 1.0)
+                            / _math.log(L), 1.0)
+                        q = (q.astype(jnp.float32)
+                             * logn[:, None, None, None]).astype(x.dtype)
                     # write current K/V into each slot's active page: the
                     # mixed (scalar, :, [B], [B]) index puts the broadcast
                     # advanced dims first -> the updated block is [B, Hkv, D]
@@ -412,14 +449,17 @@ class PagedContinuousBatchEngine:
             self.cur_tokens[slot] = nxt_np[slot]
             st.generated.append(int(nxt_np[slot]))
             req = st.req
-            if self.on_token is not None and len(st.generated) - 1 < req.max_new_tokens:
-                self.on_token(req.req_id, int(nxt_np[slot]))
             hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
+            if not hit_eos and len(st.generated) - 1 < req.max_new_tokens:
+                # the post-EOS token is excluded from the final output, so
+                # it must not be streamed either
+                self._emit(req.req_id, len(st.generated) - 1, int(nxt_np[slot]))
             if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
                 out = st.generated[: req.max_new_tokens]
                 if req.eos_token_id is not None and req.eos_token_id in out:
                     out = out[: out.index(req.eos_token_id) + 1]
                 self.finished[req.req_id] = np.asarray(out, np.int32)
+                self._streamed.pop(req.req_id, None)
                 done_ids.append(req.req_id)
                 st.req = None
                 st.generated = []

@@ -141,3 +141,42 @@ def test_paged_rejects_oversized_and_exotic(model):
     )
     with pytest.raises(ValueError, match="exceed"):
         eng.submit(Request(0, np.arange(10, dtype=np.int32), max_new_tokens=10))
+
+
+def test_paged_nondividing_page_size(model, rng):
+    """page_size that does not divide the prefill bucket: the padded
+    scatter must not shift a partial last page over earlier tokens."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=8, page_size=48, pages_per_seq=4,
+    )
+    p = rng.integers(0, model.cfg.vocab_size, size=(60,)).astype(np.int32)
+    out = eng.run([Request(0, p, max_new_tokens=6)])
+    np.testing.assert_array_equal(out[0], sequential_greedy(model, p, 6))
+
+
+def test_paged_infeasible_request_rejected(model):
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=8, page_size=4, pages_per_seq=16,
+    )
+    with pytest.raises(ValueError, match="pool"):
+        eng.submit(Request(0, np.arange(29, dtype=np.int32), max_new_tokens=4))
+
+
+def test_paged_stream_no_duplicates_under_preemption(model, rng):
+    """Preemption replays a request; the stream must not repeat tokens and
+    must equal the final output exactly."""
+    streams = {}
+
+    def cb(rid, tok):
+        streams.setdefault(rid, []).append(tok)
+
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=5, page_size=4, pages_per_seq=8,
+        on_token=cb,
+    )
+    p1 = rng.integers(0, model.cfg.vocab_size, size=(7,)).astype(np.int32)
+    p2 = rng.integers(0, model.cfg.vocab_size, size=(6,)).astype(np.int32)
+    out = eng.run([Request(0, p1, max_new_tokens=8),
+                   Request(1, p2, max_new_tokens=8)])
+    for rid in out:
+        np.testing.assert_array_equal(np.asarray(streams[rid], np.int32), out[rid])

@@ -207,3 +207,25 @@ def test_streaming_callback(model, rng):
     out = eng.run([Request(0, p, max_new_tokens=5)])
     got_stream = [t for rid, t in streamed if rid == 0]
     np.testing.assert_array_equal(np.asarray(got_stream, np.int32), out[0])
+
+
+def test_streaming_stops_at_eos(model, rng):
+    """The post-EOS token is excluded from the output, so the stream must
+    not contain it either (stream == finished, exactly)."""
+    p = rng.integers(0, model.cfg.vocab_size, size=(5,)).astype(np.int32)
+    base = sequential_greedy(model, p, 8)
+    eos = int(base[2])
+    streamed = []
+    eng = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=64,
+        on_token=lambda rid, tok: streamed.append(tok),
+    )
+    out = eng.run([Request(0, p, max_new_tokens=8, eos_token_id=eos)])
+    np.testing.assert_array_equal(np.asarray(streamed, np.int32), out[0])
+
+
+def test_bucket_rounding_rejected_at_submit(model):
+    eng = ContinuousBatchEngine(model, max_slots=1, max_seq_len=48,
+                                prefill_chunk=None)
+    with pytest.raises(ValueError, match="bucket"):
+        eng.submit(Request(0, np.arange(40, dtype=np.int32), max_new_tokens=8))
