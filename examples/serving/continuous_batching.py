@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--kv_quant", action="store_true")
     ap.add_argument("--tp", type=int, default=0,
                     help="tensor-parallel ways (0 = single chip)")
+    ap.add_argument("--paged", action="store_true",
+                    help="use the paged-KV engine (vLLM-style shared page "
+                         "pool; cache memory scales with resident tokens)")
+    ap.add_argument("--total_pages", type=int, default=128)
+    ap.add_argument("--page_size", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -67,10 +72,19 @@ def main():
             for n in rng.integers(4, 48, args.num_random_requests)
         ]
 
-    engine = ContinuousBatchEngine(
-        model, max_slots=args.max_slots, max_seq_len=args.max_seq_len,
-        kv_quant=args.kv_quant, prefill_chunk=args.prefill_chunk,
-    )
+    if args.paged:
+        from autogptq_tpu.serving_paged import PagedContinuousBatchEngine
+
+        engine = PagedContinuousBatchEngine(
+            model, max_slots=args.max_slots, total_pages=args.total_pages,
+            page_size=args.page_size,
+            pages_per_seq=-(-args.max_seq_len // args.page_size),
+        )
+    else:
+        engine = ContinuousBatchEngine(
+            model, max_slots=args.max_slots, max_seq_len=args.max_seq_len,
+            kv_quant=args.kv_quant, prefill_chunk=args.prefill_chunk,
+        )
     reqs = [
         Request(
             req_id=i, prompt=p, max_new_tokens=args.max_new_tokens,

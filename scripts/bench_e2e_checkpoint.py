@@ -5,7 +5,7 @@ makes a 3.5GB host->device transfer slow), this script measures tok/s through
 the EXACT path a user runs: a 7B-shaped Llama GPTQ checkpoint in the
 reference on-disk layout is written to disk once (random weights — speed is
 layout/shape dependent only), then ``AutoGPTQForCausalLM.from_quantized()``
-loads it (host unpack -> kpair repack -> device upload) and
+loads it (host unpack -> ki32 repack -> device upload) and
 ``model.generate()`` produces the tokens.
 
 Run: python scripts/bench_e2e_checkpoint.py [new_tokens] [ckpt_dir]
@@ -96,7 +96,7 @@ def main():
     t0 = time.perf_counter()
     model = AutoGPTQForCausalLM.from_quantized(ckpt_dir, dtype=jnp.bfloat16)
     load_s = time.perf_counter() - t0
-    print(f"from_quantized: {load_s:.0f}s (host unpack + kpair repack + upload)",
+    print(f"from_quantized: {load_s:.0f}s (host unpack + ki32 repack + upload)",
           file=sys.stderr, flush=True)
     lay = model.params["layers"][0]["attn"]["q_proj"].layout
     assert lay == "ki32", lay

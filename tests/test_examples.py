@@ -183,3 +183,12 @@ def test_example_speculative_decoding(tiny_model):
                 "--draft_model_dir", tiny_model["q"],
                 "--max_new_tokens", "6", "--gamma", "3", "--verify"])
     assert "verified: speculative tokens == plain greedy tokens" in out
+
+
+def test_example_serving_paged(tiny_model):
+    out = _run(["examples/serving/continuous_batching.py",
+                "--quantized_model_dir", tiny_model["q"],
+                "--num_random_requests", "3", "--max_new_tokens", "6",
+                "--max_seq_len", "128", "--paged", "--total_pages", "32",
+                "--page_size", "8"])
+    assert "aggregate tok/s" in out
