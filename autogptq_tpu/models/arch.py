@@ -648,6 +648,17 @@ def attention(
         cks = cvs = None
         if start.ndim == 1:
             # Continuous batching: per-slot write cursors (T must be 1).
+            # Variable-GQA families size the cache for the MAX kv-head
+            # count; pad this layer's heads so the vector-indexed write
+            # matches the cache width (the read path slices [:hkv] back).
+            ch = cache.k.shape[3]
+            if kq.shape[2] != ch:
+                hpad = ((0, 0), (0, 0), (0, ch - kq.shape[2]), (0, 0))
+                kq = jnp.pad(kq, hpad)
+                vq = jnp.pad(vq, hpad)
+                if kv_int8:
+                    ks = jnp.pad(ks, hpad)
+                    vs = jnp.pad(vs, hpad)
             rows = jnp.arange(b)
             ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0])
             cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0])

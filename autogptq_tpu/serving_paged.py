@@ -48,7 +48,7 @@ def _check_cfg(cfg) -> None:
         cfg.attn_variant != "mha" or cfg.pos_embedding not in ("rope", "rope_gptj")
         or cfg.attn_softcap is not None or cfg.sliding_window is not None
         or cfg.num_kv_heads_per_layer is not None or cfg.parallel_block
-        or cfg.residual_scale is not None
+        or cfg.residual_scale is not None or cfg.post_sublayer_norms
         or getattr(cfg, "moe_num_experts", None)
     ):
         raise NotImplementedError(
@@ -113,6 +113,11 @@ class PagedContinuousBatchEngine:
         if "q_proj" not in model.params["layers"][0].get("attn", {}):
             raise NotImplementedError(
                 "paged serving requires unfused q/k/v projections"
+            )
+        if any("adaption" in b.get("attn", {}) for b in model.params["layers"]):
+            raise NotImplementedError(
+                "paged serving does not apply adaption-prompt adapters; "
+                "use the contiguous engine"
             )
         self.model = model
         self.cfg = cfg = model.cfg
@@ -184,10 +189,11 @@ class PagedContinuousBatchEngine:
                 f"request {req.req_id}: {need} tokens exceed pages_per_seq "
                 f"* page_size = {self.pages_per_seq * self.page_size}"
             )
-        if self._pages_needed(len(req.prompt) + 1) > self.total_pages - 1:
+        if self._pages_needed(need) > self.total_pages - 1:
             raise ValueError(
-                f"request {req.req_id}: prompt needs more pages than the "
-                f"pool can ever supply (total_pages={self.total_pages})"
+                f"request {req.req_id}: prompt + max_new_tokens needs more "
+                f"pages than the pool can ever supply "
+                f"(total_pages={self.total_pages})"
             )
         self.queue.append(req)
 

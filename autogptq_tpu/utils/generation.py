@@ -42,7 +42,7 @@ def _prep_inputs(input_ids, pad_token_id=0):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype", "kv_quant",
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype", "kv_quant", "pad_token_id",
     ),
 )
 def _generate_greedy(
@@ -58,6 +58,7 @@ def _generate_greedy(
     dtype,
     rng_key,
     kv_quant=False,
+    pad_token_id=0,
 ):
     b, t = tokens.shape
     total = t + max_new_tokens
@@ -104,10 +105,13 @@ def _generate_greedy(
             positions=cur_pos[:, None], backend=backend, attn_mask=validity, dtype=dtype,
         )
         key, sub = jax.random.split(key)
-        nxt = sample(logits[:, -1, :], step, sub).astype(jnp.int32)
+        raw = sample(logits[:, -1, :], step, sub).astype(jnp.int32)
+        nxt = raw
         if eos_token_id is not None:
-            nxt = jnp.where(finished, eos_token_id, nxt)
-            finished = finished | (nxt == eos_token_id)
+            # HF protocol: the EOS token itself is kept; positions AFTER it
+            # are filled with pad_token_id (not more EOS)
+            nxt = jnp.where(finished, pad_token_id, raw)
+            finished = finished | (raw == eos_token_id)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step))
         return (cache, validity, nxt, cur_pos + 1, finished, out, key), None
 
@@ -160,17 +164,29 @@ def _generate_beam(
     p = float(length_penalty)
     eos = eos_token_id
 
-    tokens_e = jnp.repeat(tokens, k, axis=0)
-    mask_e = jnp.repeat(mask, k, axis=0)
-
-    cache = KVCache.create(cfg, bk, total, dtype=dtype, quantized=kv_quant)
-    validity = jnp.zeros((bk, total), jnp.int32).at[:, :t].set(mask_e)
-    positions = jnp.maximum(jnp.cumsum(mask_e, axis=-1) - 1, 0)
-    logits, cache = arch.forward(
-        params, tokens_e, cfg, cache=cache, positions=positions,
-        backend=backend, attn_mask=validity, dtype=dtype, fresh_prefill=True,
+    # Prefill ONCE per batch row, then broadcast the cache/logits to the k
+    # beams (beams are identical until step 0 decides) — a k-fold saving in
+    # prefill FLOPs and weight/KV traffic for long prompts.
+    cache_b = KVCache.create(cfg, b, total, dtype=dtype, quantized=kv_quant)
+    validity_b = jnp.zeros((b, total), jnp.int32).at[:, :t].set(mask)
+    positions_b = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+    logits, cache_b = arch.forward(
+        params, tokens, cfg, cache=cache_b, positions=positions_b,
+        backend=backend, attn_mask=validity_b, dtype=dtype, fresh_prefill=True,
     )
-    logprobs_full = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
+
+    def _rep_beams(a):
+        return None if a is None else jnp.repeat(a, k, axis=1)
+
+    cache = KVCache(
+        k=_rep_beams(cache_b.k), v=_rep_beams(cache_b.v),
+        length=cache_b.length,
+        k_scale=_rep_beams(cache_b.k_scale),
+        v_scale=_rep_beams(cache_b.v_scale),
+    )
+    validity = jnp.repeat(validity_b, k, axis=0)
+    positions = jnp.repeat(positions_b, k, axis=0)
+    logprobs_b = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
 
     def mask_eos(lp, step):
         if eos is not None and min_new_tokens > 0:
@@ -182,7 +198,7 @@ def _generate_beam(
             )
         return lp
 
-    lp0 = mask_eos(logprobs_full, 0).reshape(b, k, vocab)[:, 0, :]  # beams identical
+    lp0 = mask_eos(logprobs_b, 0)                                   # [B, V]
 
     # done-hypothesis pool (HF BeamHypotheses, vectorized)
     done_scores0 = jnp.full((b, k), NEG_INF)            # normalized scores
@@ -310,7 +326,7 @@ def _generate_beam(
 def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                  eos_token_id, temperature, num_beams, seed, kv_quant,
                  length_penalty=1.0, early_stopping=False,
-                 num_return_sequences=1):
+                 num_return_sequences=1, pad_token_id=0):
     """Sharded generate: the WHOLE generate loop (prefill + decode scan) runs
     under shard_map on the model's mesh — every device executes the fused
     quantized matmuls on its local weight shard, the KV cache lives sharded
@@ -319,7 +335,7 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
     exactly. See parallel/tp.py:TPModel."""
     key = (num_beams, max_new_tokens, min_new_tokens, eos_token_id,
            float(temperature or 0.0), kv_quant, float(length_penalty),
-           bool(early_stopping), num_return_sequences)
+           bool(early_stopping), num_return_sequences, pad_token_id)
     run = model._gen_cache.get(key)
     if run is None:
         lcfg = model.lcfg
@@ -339,6 +355,7 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                     p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
                     eos_token_id, float(temperature or 0.0), model.backend,
                     model.dtype, rng, kv_quant=kv_quant,
+                    pad_token_id=pad_token_id,
                 )
             run = jax.jit(model.shard_generate(core, n_batch_args=2, n_repl_args=1))
         model._gen_cache[key] = run
@@ -373,6 +390,7 @@ def generate(
             model, ids, mask, max_new_tokens, min_new_tokens, eos_token_id,
             temperature, num_beams, seed, kv_quant,
             length_penalty, early_stopping, num_return_sequences,
+            pad_token_id,
         )
     elif num_beams > 1:
         new = _generate_beam(
@@ -405,6 +423,7 @@ def generate(
             model.dtype,
             jax.random.PRNGKey(seed),
             kv_quant=kv_quant,
+            pad_token_id=pad_token_id,
         )
     new = np.asarray(new)
     if num_beams > 1:

@@ -131,6 +131,7 @@ def generate_speculative(
     max_new_tokens: int = 128,
     gamma: int = 4,
     eos_token_id=None,
+    pad_token_id: int = 0,
 ) -> np.ndarray:
     """Greedy speculative decoding: returns [1, T + max_new_tokens], token-
     identical to ``generate(model, ..., temperature=0)``."""
@@ -149,9 +150,9 @@ def generate_speculative(
     )
     new = np.array(new)  # writable copy (np.asarray of a jax array is RO)
     if eos_token_id is not None and eos_token_id in new:
-        # match generate()'s post-EOS padding (finished rows emit EOS)
+        # HF protocol (and generate()): keep the EOS, pad after it
         idx = int(np.argmax(new == eos_token_id))
-        new[idx:] = eos_token_id
+        new[idx + 1:] = pad_token_id
     return np.concatenate([ids, new[None]], axis=1)
 
 

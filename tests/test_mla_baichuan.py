@@ -444,6 +444,15 @@ def test_decilm_variable_gqa_forward(tmp_path, rng):
     out = model.generate(ids[:1, :5], max_new_tokens=4)
     assert out.shape == (1, 9)
 
+    # regression: the continuous-batching engine's VECTOR-cursor KV write
+    # must pad layer-local kv heads up to the max-sized cache (a 1<hkv<max
+    # layer previously failed the broadcast at trace time)
+    from autogptq_tpu.serving import ContinuousBatchEngine, Request
+
+    eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=32)
+    res = eng.run([Request(0, ids[0, :5].astype(np.int32), max_new_tokens=4)])
+    np.testing.assert_array_equal(res[0], out[0, 5:])
+
 
 # ---------------------------------------------------------------------------
 # qwen v1 (fused c_attn with bias, w2=gate / w1=up MLP, doubled intermediate)
