@@ -221,17 +221,28 @@ class PagedContinuousBatchEngine:
         return fn
 
     def _get_scatter_fn(self):
-        """Copy one page worth of prefill K/V ([L, page, Hkv, D]) into page
-        ``pid`` of the pools (stored [L, Hkv, P, page, D])."""
+        """Scatter a WHOLE prefill's K/V ([L, bucket, Hkv, D]) into its
+        pages in one dispatch (pids beyond the allocated count point at the
+        reserved null page 0, whose content is never attended). One jit
+        compilation per prefill bucket; pools are donated."""
         if self._scatter_fn is None:
+            pg = self.page_size
+
             @functools.partial(jax.jit, donate_argnums=(0, 1))
-            def scatter(pool_k, pool_v, k_seg, v_seg, pid):
-                ks = k_seg.transpose(0, 2, 1, 3)[:, :, None]  # [L,Hkv,1,pg,D]
-                vs = v_seg.transpose(0, 2, 1, 3)[:, :, None]
-                pool_k = jax.lax.dynamic_update_slice(
-                    pool_k, ks.astype(pool_k.dtype), (0, 0, pid, 0, 0))
-                pool_v = jax.lax.dynamic_update_slice(
-                    pool_v, vs.astype(pool_v.dtype), (0, 0, pid, 0, 0))
+            def scatter(pool_k, pool_v, k, v, pids):
+                L, bucket, hkv, d = k.shape
+                span = -(-bucket // pg) * pg
+                if span != bucket:
+                    pad = ((0, 0), (0, span - bucket), (0, 0), (0, 0))
+                    k = jnp.pad(k, pad)
+                    v = jnp.pad(v, pad)
+                npages = span // pg
+
+                def segs(a):
+                    return a.reshape(L, npages, pg, hkv, d).transpose(0, 3, 1, 2, 4)
+
+                pool_k = pool_k.at[:, :, pids].set(segs(k).astype(pool_k.dtype))
+                pool_v = pool_v.at[:, :, pids].set(segs(v).astype(pool_v.dtype))
                 return pool_k, pool_v
 
             self._scatter_fn = scatter
@@ -259,25 +270,16 @@ class PagedContinuousBatchEngine:
             pages = self._alloc(self._pages_needed(p + 1))
             scatter = self._get_scatter_fn()
             pg = self.page_size
-            # pad the prefill K/V up to a page multiple so page slices never
-            # run past the bucket (dynamic_slice CLAMPS out-of-range starts,
-            # which would silently shift a partial last page over earlier
-            # tokens); padded rows are past `lengths` and never attended
-            span = self._pages_needed(min(p + 1, k.shape[1])) * pg
-            if span > k.shape[1]:
-                padn = span - k.shape[1]
-                k = jnp.pad(k, ((0, 0), (0, padn), (0, 0), (0, 0)))
-                v = jnp.pad(v, ((0, 0), (0, padn), (0, 0), (0, 0)))
-            for j, pid in enumerate(pages):
-                # page j covers prompt tokens [j*pg, (j+1)*pg); a page fully
-                # past the bucket (+1 write headroom) is filled by the
-                # decode-step scatter instead
-                if j * pg >= k.shape[1]:
-                    break
-                seg_k = jax.lax.dynamic_slice_in_dim(k, j * pg, pg, axis=1)
-                seg_v = jax.lax.dynamic_slice_in_dim(v, j * pg, pg, axis=1)
-                self.k_pages, self.v_pages = scatter(
-                    self.k_pages, self.v_pages, seg_k, seg_v, jnp.int32(pid))
+            npages = -(-k.shape[1] // pg)
+            # page j covers prompt tokens [j*pg, (j+1)*pg); entries beyond
+            # the allocated pages (incl. a +1 headroom page fully past the
+            # bucket, which the decode-step scatter fills instead) target
+            # the reserved null page 0
+            pids = np.zeros((npages,), np.int32)
+            n_in_bucket = min(len(pages), npages)
+            pids[:n_in_bucket] = pages[:n_in_bucket]
+            self.k_pages, self.v_pages = scatter(
+                self.k_pages, self.v_pages, k, v, jnp.asarray(pids))
             self.tables[slot] = 0
             self.tables[slot, : len(pages)] = pages
 
