@@ -48,6 +48,19 @@ from .registry import FamilySpec, get_family
 logger = logging.getLogger(__name__)
 
 
+def _check_solver_loss(total_loss, where: str) -> float:
+    """Surface a non-finite GPTQ solver loss (non-positive-definite Hessian)
+    immediately instead of silently packing NaN weights."""
+    loss = float(total_loss)
+    if not np.isfinite(loss):
+        raise ValueError(
+            f"GPTQ solver produced a non-finite loss for {where}: the "
+            "Hessian is likely not positive definite. Increase damp_percent "
+            "or provide more/denser calibration data."
+        )
+    return loss
+
+
 def _pad_examples(
     examples: Sequence[dict], pad_token_id: int = 0
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -292,7 +305,9 @@ class GPTQModel:
                     h, _ = hs[p]
                     with timer.phase("solver"):
                         res = gptq_quantize(jnp.asarray(w), h, gcfg)
-                        avg_losses.append(float(res.total_loss))
+                        avg_losses.append(
+                            _check_solver_loss(res.total_loss, f"layer {li} {p}")
+                        )
                     with timer.phase("pack"):
                         packed = qlin.pack_from_solver(
                             np.asarray(res.qweight),
@@ -336,7 +351,9 @@ class GPTQModel:
                 w = np.asarray(node.kernel, dtype=np.float32).T
                 with timer.phase("solver"):
                     res = gptq_quantize(jnp.asarray(w), h_acc[0], gcfg)
-                    avg_losses.append(float(res.total_loss))
+                    avg_losses.append(
+                        _check_solver_loss(res.total_loss, "lm_head")
+                    )
                 with timer.phase("pack"):
                     packed = qlin.pack_from_solver(
                         np.asarray(res.qweight), np.asarray(res.scale),
@@ -415,6 +432,13 @@ class GPTQModel:
                     f"quantize checkpoint {checkpoint_dir} was produced with "
                     f"{k}={saved_qc.get(k)!r}, current config has {ours.get(k)!r}"
                 )
+        saved_layers = state.get("num_layers")
+        if saved_layers is not None and int(saved_layers) != self.cfg.num_layers:
+            raise ValueError(
+                f"quantize checkpoint {checkpoint_dir} was produced for a "
+                f"{saved_layers}-layer model, current model has "
+                f"{self.cfg.num_layers} layers"
+            )
         next_layer = int(state["next_layer"])
         from safetensors import safe_open
 
@@ -428,7 +452,12 @@ class GPTQModel:
                 return []
             if counts is not None and nlayers <= len(counts):
                 return losses[: counts[nlayers - 1]]
-            return losses
+            if nlayers >= next_layer:
+                return losses  # full restore: all recorded losses are kept
+            # legacy state without loss_counts + truncated checkpoint: the
+            # per-layer boundaries are unknown, so drop the restored losses
+            # rather than double-count the re-quantized layers
+            return []
 
         for li in range(next_layer):
             fpath = os.path.join(checkpoint_dir, f"layer_{li}.safetensors")
@@ -498,9 +527,13 @@ class GPTQModel:
         meta["gptq_desc_act"] = str(self.quantize_config.desc_act)
         meta["gptq_damp_percent"] = str(self.quantize_config.damp_percent)
         meta["quantizer"] = "autogptq_tpu:0.1.0"
+        # The file MUST be named after model_file_base_name: the reference's
+        # get_checkpoints (modeling/_utils.py:704-770) searches only
+        # f"{model_basename}.safetensors", so a mismatched name makes the
+        # checkpoint unloadable there.
         hf_io.save_safetensors(
             tensors,
-            os.path.join(save_dir, "model.safetensors"),
+            os.path.join(save_dir, f"{model_base}.safetensors"),
             metadata={k: str(v) for k, v in meta.items()},
             max_shard_size=max_shard_size,
         )
@@ -586,7 +619,9 @@ class GPTQModel:
     ):
         """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
         search (HF BeamSearchScorer semantics incl. length_penalty /
-        early_stopping / num_return_sequences). Returns np.ndarray
+        early_stopping). ``num_return_sequences`` R > 1 follows the HF
+        protocol: top-R beams under beam search, R independent samples under
+        temperature sampling (rejected for plain greedy). Returns np.ndarray
         [B * num_return_sequences, T_in + max_new_tokens].
 
         ``draft_model`` enables speculative decoding (greedy, batch-1):

@@ -185,6 +185,13 @@ class BaseQuantizeConfig:
         with open(resolved, "r", encoding="utf-8") as f:
             args = json.load(f)
         if transformers_config:
+            if "quantization_config" not in args:
+                raise ValueError(
+                    f"{resolved!r} has no 'quantization_config' section — "
+                    "this looks like an unquantized model's config.json. "
+                    "Quantize it first (AutoGPTQForCausalLM.from_pretrained "
+                    "+ .quantize), or point at a quantized checkpoint."
+                )
             args = args["quantization_config"]
         return cls.from_quant_config(args, checkpoint_format)
 

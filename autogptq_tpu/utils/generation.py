@@ -380,11 +380,27 @@ def generate(
     early_stopping: bool = False,
     num_return_sequences: int = 1,
 ) -> np.ndarray:
-    """HF-generate-protocol decoding. With ``num_return_sequences`` R > 1
-    (beam search only), returns [B*R, T+new] HF-style."""
-    if num_return_sequences > 1 and num_beams < num_return_sequences:
-        raise ValueError("num_return_sequences must be <= num_beams")
+    """HF-generate-protocol decoding. With ``num_return_sequences`` R > 1,
+    returns [B*R, T+new] HF-style: the top R beams under beam search, or R
+    independent samples per input row under temperature sampling."""
+    if num_beams > 1:
+        if num_return_sequences > num_beams:
+            raise ValueError("num_return_sequences must be <= num_beams")
+    elif num_return_sequences > 1 and not temperature:
+        # HF raises the same way: greedy without beams is deterministic, so
+        # R > 1 would just duplicate rows.
+        raise ValueError(
+            "num_return_sequences > 1 requires sampling (temperature > 0) "
+            "or beam search (num_beams > 1)"
+        )
     ids, mask = _prep_inputs(input_ids, pad_token_id)
+    if num_beams == 1 and num_return_sequences > 1:
+        # Sampling expansion: tile each row R times; jax.random.categorical
+        # draws independently per batch row, so the copies are independent
+        # samples. Row order matches HF (all R samples of input 0 first).
+        ids = np.repeat(ids, num_return_sequences, axis=0)
+        mask = np.repeat(mask, num_return_sequences, axis=0)
+        num_return_sequences = 1
     if getattr(model, "is_tp", False):
         new = _tp_generate(
             model, ids, mask, max_new_tokens, min_new_tokens, eos_token_id,

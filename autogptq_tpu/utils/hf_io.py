@@ -20,10 +20,12 @@ SAFE_INDEX = "model.safetensors.index.json"
 WEIGHT_INDEX = "pytorch_model.bin.index.json"
 
 
-def _bf16_to_f32(raw: np.ndarray) -> np.ndarray:
-    """View a uint16 bfloat16 buffer as float32."""
-    u32 = raw.astype(np.uint32) << 16
-    return u32.view(np.float32)
+def _upcast_bf16(t: np.ndarray) -> np.ndarray:
+    """safetensors>=0.8 returns ml_dtypes bfloat16 under framework="np";
+    upcast to float32 so downstream NumPy code sees a native dtype."""
+    if t.dtype != np.float32 and "bfloat16" in str(t.dtype):
+        return t.astype(np.float32)
+    return t
 
 
 def resolve_model_dir(name_or_path: str, revision: str | None = None) -> str:
@@ -48,7 +50,13 @@ def resolve_model_dir(name_or_path: str, revision: str | None = None) -> str:
         os.path.expanduser(os.environ.get("XDG_CACHE_HOME", "~/.cache")),
         "huggingface",
     )
-    hub = os.environ.get("HUGGINGFACE_HUB_CACHE") or os.path.join(hf_home, "hub")
+    # HF_HUB_CACHE is the modern canonical env var; HUGGINGFACE_HUB_CACHE is
+    # its legacy alias (huggingface_hub gives the former precedence).
+    hub = (
+        os.environ.get("HF_HUB_CACHE")
+        or os.environ.get("HUGGINGFACE_HUB_CACHE")
+        or os.path.join(hf_home, "hub")
+    )
     repo_dir = os.path.join(hub, "models--" + name_or_path.replace("/", "--"))
     snapshots = os.path.join(repo_dir, "snapshots")
     if os.path.isdir(snapshots):
@@ -66,6 +74,17 @@ def resolve_model_dir(name_or_path: str, revision: str | None = None) -> str:
         if len(subs) == 1 and revision is None:
             return os.path.join(snapshots, subs[0])
 
+    # Only strings shaped like a Hub repo id ("name" or "org/name", no path
+    # prefixes) may reach the network: a typo'd local path must fail fast
+    # instead of hanging on a download attempt on air-gapped hosts.
+    import re
+
+    repo_id_like = re.fullmatch(r"[\w.\-]+(/[\w.\-]+)?", name_or_path) is not None
+    if not repo_id_like:
+        raise FileNotFoundError(
+            f"{name_or_path!r} is not an existing local directory and does "
+            "not look like a HF Hub repo id"
+        )
     # huggingface_hub truthiness convention: "0"/""/"false" mean ONLINE
     offline = os.environ.get("HF_HUB_OFFLINE", "").upper() in (
         "1", "ON", "YES", "TRUE",
@@ -146,24 +165,7 @@ def _iter_safetensors(path: str) -> Iterator[tuple[str, np.ndarray]]:
 
     with safe_open(path, framework="np") as f:
         for name in f.keys():
-            sl = f.get_slice(name)
-            dtype = sl.get_dtype()
-            if str(dtype).lower() in ("bf16", "bfloat16"):
-                # numpy framework can't produce bf16: read raw via torch if
-                # available, else reinterpret bytes.
-                try:
-                    import torch
-                    from safetensors import safe_open as so_t
-
-                    with so_t(path, framework="pt") as ft:
-                        t = ft.get_tensor(name)
-                    yield name, t.float().numpy()
-                    continue
-                except ImportError:
-                    raise NotImplementedError(
-                        "bf16 safetensors require torch for reading"
-                    )
-            yield name, f.get_tensor(name)
+            yield name, _upcast_bf16(f.get_tensor(name))
 
 
 def _iter_torch_bin(path: str) -> Iterator[tuple[str, np.ndarray]]:
@@ -217,14 +219,7 @@ class LazyTensors:
         if name in self._eager:
             return self._eager[name]
         path, h = self._handles[self._index[name]]
-        sl = h.get_slice(name)
-        if str(sl.get_dtype()).lower() in ("bf16", "bfloat16"):
-            import torch
-            from safetensors import safe_open as so_t
-
-            with so_t(path, framework="pt") as ft:
-                return ft.get_tensor(name).float().numpy()
-        return h.get_tensor(name)
+        return _upcast_bf16(h.get_tensor(name))
 
     def get(self, name: str, default=None):
         return self[name] if name in self else default

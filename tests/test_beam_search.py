@@ -131,3 +131,29 @@ def test_beam_matches_hf_generate(hf_pair, rng, kwargs):
         rl = list(r)
         end = rl.index(eos) + 1 if eos in rl else len(rl)
         np.testing.assert_array_equal(g[:end], r[:end])
+
+
+def test_sampling_num_return_sequences(hf_pair, rng):
+    """num_beams==1 + temperature>0 + R>1 returns R independent samples per
+    input row (HF sampling expansion), shape [B*R, T+new]."""
+    _, ours = hf_pair
+    prompt = rng.integers(2, 250, size=(2, 5)).astype(np.int32)
+    out = ours.generate(
+        prompt, max_new_tokens=6, temperature=1.0,
+        num_return_sequences=3, seed=0,
+    )
+    assert out.shape == (6, 11)
+    # prompt rows are repeated consecutively (HF ordering)
+    np.testing.assert_array_equal(out[0, :5], prompt[0])
+    np.testing.assert_array_equal(out[2, :5], prompt[0])
+    np.testing.assert_array_equal(out[3, :5], prompt[1])
+    # the samples for one input are not all identical
+    gens = out[:3, 5:]
+    assert not (np.array_equal(gens[0], gens[1]) and np.array_equal(gens[1], gens[2]))
+
+
+def test_greedy_num_return_sequences_rejected(hf_pair):
+    _, ours = hf_pair
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        ours.generate(np.ones((1, 4), np.int32), max_new_tokens=3,
+                      num_return_sequences=2)

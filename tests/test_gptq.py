@@ -249,3 +249,15 @@ def test_gptq_on_grid_roundtrip(rng):
     codes = q / scale[g_idx].T + zero[g_idx].T
     np.testing.assert_allclose(codes, np.round(codes), atol=1e-3)
     assert codes.min() >= -1e-3 and codes.max() <= cfg.maxq + 1e-3
+
+
+def test_non_finite_solver_loss_raises():
+    """A non-positive-definite Hessian yields NaN losses; the quantize loop
+    must surface that immediately instead of packing NaN weights."""
+    from autogptq_tpu.models.base import _check_solver_loss
+
+    assert _check_solver_loss(1.25, "layer 0 q") == 1.25
+    with pytest.raises(ValueError, match="positive definite"):
+        _check_solver_loss(float("nan"), "layer 0 q")
+    with pytest.raises(ValueError, match="positive definite"):
+        _check_solver_loss(float("inf"), "layer 3 down")

@@ -76,6 +76,34 @@ def test_missing_repo_offline_raises(tmp_path, monkeypatch):
         hf_io.resolve_model_dir("no/such-repo")
 
 
+def test_hf_hub_cache_env_precedence(tmp_path, monkeypatch):
+    """HF_HUB_CACHE (modern canonical var) wins over HUGGINGFACE_HUB_CACHE
+    and over $HF_HOME/hub."""
+    snap = _fake_cache(tmp_path)  # lays out under tmp_path/hub
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "hub"))
+    monkeypatch.setenv("HUGGINGFACE_HUB_CACHE", str(tmp_path / "nonexistent"))
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "also-nonexistent"))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    assert hf_io.resolve_model_dir("TheBloke/tiny-GPTQ") == snap
+
+
+def test_typoed_path_fails_fast_without_network(tmp_path, monkeypatch):
+    """A string that is not repo-id-shaped (path separators, ./ prefix) must
+    raise immediately even when online — never attempt a download."""
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    monkeypatch.delenv("HF_HUB_OFFLINE", raising=False)
+
+    def boom(*a, **k):  # any download attempt is a bug
+        raise AssertionError("snapshot_download must not be called")
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", boom)
+    for bad in ("./modles/llama-7b", "/no/such/dir", "a/b/c"):
+        with pytest.raises(FileNotFoundError, match="repo id"):
+            hf_io.resolve_model_dir(bad)
+
+
 def test_from_quantized_accepts_repo_id(tmp_path, monkeypatch, qmodel):
     """End-to-end: save a tiny quantized model, lay it out as a hub cache
     snapshot, and load it back by repo id."""

@@ -261,7 +261,8 @@ def test_minicpm3_quantize_roundtrip(tmp_path, rng):
     model.save_quantized(str(tmp_path / "q"))
     from safetensors import safe_open
 
-    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
         names = set(f.keys())
     # all five MLA linears quantized under their HF names (minicpm3.py:8-15)
     for mod in ("q_a_proj", "q_b_proj", "kv_a_proj_with_mqa", "kv_b_proj", "o_proj"):
@@ -351,7 +352,8 @@ def test_baichuan_quantize_roundtrip_wpack(tmp_path, rng):
     model.save_quantized(str(tmp_path / "q"))
     from safetensors import safe_open
 
-    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
         names = set(f.keys())
     # saved under the fused reference name (baichuan.py:8-13)
     assert "model.layers.0.self_attn.W_pack.qweight" in names
@@ -602,7 +604,8 @@ def test_qwen_v1_quantize_roundtrip(tmp_path, rng):
     m.save_quantized(str(tmp_path / "q"))
     from safetensors import safe_open
 
-    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
         names = set(f.keys())
     # re-fused under the reference's module name (qwen.py:14-18)
     assert "transformer.h.0.attn.c_attn.qweight" in names

@@ -139,7 +139,8 @@ def test_gpt2_fused_quantize_roundtrip(tmp_path, rng):
 
     from safetensors import safe_open
 
-    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
         names = set(f.keys())
     # saved checkpoint uses the HF fused name (reference-compatible)
     assert "transformer.h.0.attn.c_attn.qweight" in names

@@ -165,6 +165,12 @@ def test_quantize_save_load_roundtrip(tmp_path, rng):
     assert os.path.isfile(tmp_path / "q" / "config.json")
     with open(tmp_path / "q" / "config.json") as f:
         assert json.load(f)["quantization_config"]["bits"] == 4
+    # the checkpoint file must be named after model_file_base_name — the
+    # reference's get_checkpoints searches only that name
+    with open(tmp_path / "q" / "quantize_config.json") as f:
+        base = json.load(f)["model_file_base_name"]
+    assert base == "gptq_model-4bit-32g"
+    assert os.path.isfile(tmp_path / "q" / f"{base}.safetensors")
 
     reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
     r_logits = np.asarray(reloaded.forward(ids))

@@ -76,6 +76,65 @@ def test_quantize_resume_bit_identical(tmp_path, rng):
         m3.quantize(_examples(np.random.default_rng(7)), checkpoint_dir=ckpt)
 
 
+def test_resume_rejects_num_layers_mismatch(tmp_path, rng):
+    """A checkpoint produced for a different-depth model must be rejected
+    instead of silently grafting its layers onto the wrong architecture."""
+    _fp_model(tmp_path / "fp")
+    qc = dict(bits=4, group_size=16, desc_act=False)
+    ckpt = str(tmp_path / "ckpt")
+    m1 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    m1.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+
+    with open(os.path.join(ckpt, "state.json")) as f:
+        state = json.load(f)
+    state["num_layers"] = 99
+    with open(os.path.join(ckpt, "state.json"), "w") as f:
+        json.dump(state, f)
+
+    m2 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="99-layer"):
+        m2.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+
+
+def test_legacy_state_without_loss_counts_no_double_count(tmp_path, rng):
+    """Old checkpoints (no loss_counts) with a truncated layer file must not
+    double-count: restored losses are dropped, and the reported average
+    covers only the re-quantized layers."""
+    _fp_model(tmp_path / "fp")
+    qc = dict(bits=4, group_size=16, desc_act=False)
+    ckpt = str(tmp_path / "ckpt")
+    m1 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    m1.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+
+    os.remove(os.path.join(ckpt, "layer_1.safetensors"))
+    with open(os.path.join(ckpt, "state.json")) as f:
+        state = json.load(f)
+    state.pop("loss_counts", None)  # simulate a pre-loss_counts checkpoint
+    with open(os.path.join(ckpt, "state.json"), "w") as f:
+        json.dump(state, f)
+
+    m2 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    first, losses = m2._restore_quant_checkpoint(ckpt, BaseQuantizeConfig(**qc))
+    assert first == 1
+    assert losses == []  # dropped, not the full (double-countable) list
+    # full (non-truncated) legacy restore still keeps all losses
+    m2.quantize(_examples(np.random.default_rng(3)), checkpoint_dir=ckpt)
+    with open(os.path.join(ckpt, "state.json")) as f:
+        state = json.load(f)
+    state.pop("loss_counts", None)
+    with open(os.path.join(ckpt, "state.json"), "w") as f:
+        json.dump(state, f)
+    m3 = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=BaseQuantizeConfig(**qc), dtype=jnp.float32)
+    first, losses = m3._restore_quant_checkpoint(ckpt, BaseQuantizeConfig(**qc))
+    assert first == state["next_layer"]
+    assert len(losses) == len(state["avg_losses"])
+
+
 def test_quantize_resume_truncated_gap(tmp_path, rng):
     """A missing middle layer file resumes from the gap, not the marker."""
     _fp_model(tmp_path / "fp")
@@ -107,7 +166,8 @@ def test_lm_head_quantization(tmp_path, rng):
 
     from safetensors import safe_open
 
-    with safe_open(tmp_path / "q" / "model.safetensors", framework="np") as f:
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
         names = set(f.keys())
     assert "lm_head.qweight" in names and "lm_head.weight" not in names
 
