@@ -44,6 +44,17 @@ class BaseTask(abc.ABC):
         return self._metric(preds, refs)
 
 
+def decode_generated(tokenizer, row, eos_token_id=None) -> str:
+    """Decode generated tokens, trimming at the first EOS. generate() fills
+    post-EOS positions with pad_token_id (HF protocol), which for tokenizers
+    whose id 0 is a real token (e.g. GPT-2's "!") would otherwise leak junk
+    into the decoded text."""
+    toks = [int(t) for t in row]
+    if eos_token_id is not None and eos_token_id in toks:
+        toks = toks[: toks.index(eos_token_id)]
+    return tokenizer.decode(toks, skip_special_tokens=True)
+
+
 def levenshtein(a: str, b: str) -> int:
     """Edit distance (reference: eval_tasks/_utils/classification_utils.py)."""
     if len(a) < len(b):
@@ -63,4 +74,4 @@ def closest_label(pred: str, labels: Sequence[str]) -> str:
     return min(labels, key=lambda l: levenshtein(pred.strip().lower(), l.strip().lower()))
 
 
-__all__ = ["BaseTask", "levenshtein", "closest_label"]
+__all__ = ["BaseTask", "decode_generated", "levenshtein", "closest_label"]

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ._base import BaseTask, closest_label
+from ._base import BaseTask, closest_label, decode_generated
 
 
 class SequenceClassificationTask(BaseTask):
@@ -29,9 +29,8 @@ class SequenceClassificationTask(BaseTask):
             eos_token_id=self.tokenizer.eos_token_id,
         )
         width = out.shape[1] - self.max_new_tokens
-        texts = [
-            self.tokenizer.decode(row[width:], skip_special_tokens=True) for row in out
-        ]
+        eos = self.tokenizer.eos_token_id
+        texts = [decode_generated(self.tokenizer, row[width:], eos) for row in out]
         return [closest_label(t, self.classes) for t in texts]
 
     def _reference(self, sample):

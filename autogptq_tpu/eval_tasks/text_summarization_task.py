@@ -9,7 +9,7 @@ from collections import Counter
 
 import numpy as np
 
-from ._base import BaseTask
+from ._base import BaseTask, decode_generated
 
 
 def _ngrams(tokens, n):
@@ -60,7 +60,8 @@ class TextSummarizationTask(BaseTask):
             eos_token_id=self.tokenizer.eos_token_id,
         )
         width = out.shape[1] - self.max_new_tokens
-        return [self.tokenizer.decode(row[width:], skip_special_tokens=True) for row in out]
+        eos = self.tokenizer.eos_token_id
+        return [decode_generated(self.tokenizer, row[width:], eos) for row in out]
 
     def _reference(self, sample):
         return sample[self.label_col]

@@ -284,7 +284,19 @@ register(
 
 
 def _qwen2_arch(c: dict) -> ArchConfig:
-    return _llama_arch(c, attn_qkv_bias=True)
+    # Qwen2 gates windowed attention behind use_sliding_window (default
+    # False; HF additionally exempts layers below max_window_layers, which
+    # for shipped configs is ALL layers). Applying the window whenever
+    # sliding_window is set — as mistral does — would wrongly mask long
+    # sequences on stock Qwen2 checkpoints.
+    sw = None
+    if c.get("use_sliding_window", False):
+        if c.get("max_window_layers", 0) <= 0:
+            sw = c.get("sliding_window")
+        # else: mixed full/windowed layers; per-layer windows are not
+        # modeled, and every released Qwen2 config has max_window_layers >=
+        # num_hidden_layers (i.e. no windowed layer) — treat as full.
+    return _llama_arch(c, attn_qkv_bias=True, sliding_window=sw)
 
 
 register(

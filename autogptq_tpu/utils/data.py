@@ -44,16 +44,25 @@ def make_data_block(
     for p, l in zip(prompt_ids, label_ids):
         if add_eos_token:
             l = l + [tokenizer.eos_token_id]
+        # reference semantics (data_utils.py:56-71): the COMBINED
+        # prompt+label length is budgeted against sample_max_len;
+        # truncate_prompt cuts the prompt from the left, otherwise the label
+        # is cut from the right, and samples whose label becomes empty are
+        # dropped entirely.
+        exceed = len(p) + len(l) - sample_max_len
+        if exceed > 0:
+            if truncate_prompt:
+                p = p[exceed:]
+            else:
+                l = l[:-exceed]
+        if not l:
+            continue
         if merge_prompt_label:
-            tokens = p + l
+            tokens = p + list(l)
             lab = [-100] * len(p) + list(l)
         else:
             tokens = p
             lab = list(l)
-        if len(tokens) > sample_max_len and truncate_prompt:
-            drop = len(tokens) - sample_max_len
-            tokens = tokens[drop:]
-            lab = lab[drop:] if merge_prompt_label else lab
         pairs.append((tokens, lab))
 
     # length-sorted greedy packing
@@ -130,8 +139,12 @@ def get_dataloader(
     batch_size: int = 1,
     shuffle: bool = False,
     seed: int = 0,
+    pad_token_id: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Iterate packed blocks (output of make_data_block) in batches."""
+    """Iterate packed blocks (output of make_data_block) in batches.
+
+    ``pad_token_id`` must match the id make_data_block padded with (the
+    tokenizer's pad/eos id) so cross-block and in-block padding agree."""
     n = len(data["input_ids"])
     order = np.arange(n)
     if shuffle:
@@ -142,7 +155,7 @@ def get_dataloader(
             {k: data[k][j] for k in ("input_ids", "attention_mask", "labels") if k in data}
             for j in idx
         ]
-        yield collate_data(blocks, pad_token_id=0)
+        yield collate_data(blocks, pad_token_id=pad_token_id)
 
 
 def random_calibration_examples(

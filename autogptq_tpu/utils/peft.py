@@ -140,14 +140,16 @@ def inject_lora(
     for li, block in enumerate(params["layers"]):
         block = jax.tree_util.tree_map(
             lambda x: x, block,
-            is_leaf=lambda n: isinstance(n, (QuantLinear, DenseLinear, LoraLinear)),
+            is_leaf=lambda n: isinstance(
+                n, (QuantLinear, DenseLinear, LoraLinear, AdaLoraLinear)
+            ),
         )  # structural copy
         for path in peft_cfg.target_modules:
             try:
                 node = params_lib.get_in(block, path)
             except (KeyError, TypeError, IndexError):
                 continue
-            if isinstance(node, LoraLinear):
+            if isinstance(node, (LoraLinear, AdaLoraLinear)):
                 continue
             k = node.in_features if isinstance(node, QuantLinear) else node.kernel.shape[0]
             n = node.out_features if isinstance(node, QuantLinear) else node.kernel.shape[1]
@@ -277,12 +279,21 @@ def inject_adalora(params: dict, peft_cfg: GPTQLoraConfig, seed: int = 0) -> dic
     new_layers = []
     r = peft_cfg.init_r or peft_cfg.r
     for block in params["layers"]:
-        block = dict(block)
+        # structural copy down to linear nodes: set_in_block must not write
+        # through nested dicts shared with the caller's original tree
+        block = jax.tree_util.tree_map(
+            lambda x: x, block,
+            is_leaf=lambda n: isinstance(
+                n, (QuantLinear, DenseLinear, LoraLinear, AdaLoraLinear)
+            ),
+        )
         for path in peft_cfg.target_modules:
             try:
                 node = params_lib.get_in(block, path)
             except (KeyError, TypeError, IndexError):
                 continue
+            if isinstance(node, (LoraLinear, AdaLoraLinear)):
+                continue  # already wrapped — injection is idempotent
             k = node.in_features if isinstance(node, QuantLinear) else node.kernel.shape[0]
             n = node.out_features if isinstance(node, QuantLinear) else node.kernel.shape[1]
             key, s1, s2 = jax.random.split(key, 3)
@@ -332,6 +343,21 @@ def save_adapter(model, save_dir: str, spec=None) -> None:
                 # peft stores lora_A as [r, K] and lora_B as [N, r]
                 tensors[f"{base}.lora_A.weight"] = np.asarray(node.lora_a).T
                 tensors[f"{base}.lora_B.weight"] = np.asarray(node.lora_b).T
+            elif isinstance(node, AdaLoraLinear):
+                base = f"base_model.model.{spec.layers_prefix}.{li}.{hf}"
+                # HF peft AdaLoRA layout: lora_A [r, K], lora_B [N, r],
+                # lora_E [r, 1]; the rank mask is folded into E so a plain
+                # peft load reproduces the pruned adapter.
+                tensors[f"{base}.lora_A.weight"] = np.asarray(node.lora_a).T
+                tensors[f"{base}.lora_B.weight"] = np.asarray(node.lora_b).T
+                e = np.asarray(node.lora_e) * np.asarray(node.rank_mask)
+                tensors[f"{base}.lora_E.weight"] = e[:, None]
+    if not tensors:
+        raise ValueError(
+            "no LoRA/AdaLoRA adapter weights found in the model — "
+            "adaption-prompt adapters have no HF-peft file format and must "
+            "be saved separately"
+        )
     os.makedirs(save_dir, exist_ok=True)
     hf_io.save_safetensors(tensors, os.path.join(save_dir, "adapter_model.safetensors"))
 

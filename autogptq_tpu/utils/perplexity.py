@@ -47,6 +47,7 @@ class Perplexity:
             bos_token_id = tokenizer.bos_token_id
         self._bos = bos_token_id if bos_token_id is not None else int(self._tokens[0])
         self._logprob_fn = None
+        self._seg_fn = None
 
     def _chunk_logprobs(self, chunk: np.ndarray, targets: np.ndarray) -> np.ndarray:
         """log P(target_{j+1} | chunk_{<=j}) for all j, one jit per chunk len."""
@@ -69,6 +70,45 @@ class Perplexity:
             self._logprob_fn(self._model.params, jnp.asarray(chunk), jnp.asarray(targets))
         )
 
+    def _chunk_logprobs_batched(
+        self, chunk: np.ndarray, targets: np.ndarray, n_ctx: int, n_batch: int
+    ) -> np.ndarray:
+        """Same result as :meth:`_chunk_logprobs`, but the chunk is evaluated
+        in ``n_batch``-token segments threading a KV cache — bounding
+        activation memory per dispatch (the reference's n_batch semantics)."""
+        from ..models import arch as _arch
+
+        if self._seg_fn is None:
+            model = self._model
+
+            @jax.jit
+            def fn(params, seg, tgt, cache):
+                logits, cache = _arch.forward(
+                    params, seg[None], model.cfg, cache=cache,
+                    backend=model.backend, dtype=model.dtype,
+                )
+                lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), axis=-1)
+                g = jnp.take_along_axis(
+                    lp[: tgt.shape[0]], tgt[:, None], axis=-1
+                )[:, 0]
+                return g, cache
+
+            self._seg_fn = fn
+        from ..models.arch import KVCache
+
+        cache = KVCache.create(self._model.cfg, 1, n_ctx, dtype=self._model.dtype)
+        out = []
+        for s in range(0, n_ctx, n_batch):
+            seg = chunk[s : s + n_batch]
+            # position j predicts chunk[j+1]; the final position of the last
+            # segment has no target (targets has n_ctx - 1 entries)
+            tgt = targets[s : min(s + len(seg), n_ctx - 1)]
+            g, cache = self._seg_fn(
+                self._model.params, jnp.asarray(seg), jnp.asarray(tgt), cache
+            )
+            out.append(np.asarray(g))
+        return np.concatenate(out)
+
     def calculate_perplexity(self, n_ctx: int = 512, n_batch: int = 512) -> list[float]:
         tokens = self._tokens
         n_chunks = len(tokens) // n_ctx
@@ -83,7 +123,10 @@ class Perplexity:
             chunk = tokens[start : start + n_ctx].copy()
             chunk[0] = self._bos
             targets = tokens[start + 1 : start + n_ctx]
-            logprobs = self._chunk_logprobs(chunk, targets)  # [n_ctx - 1]
+            if n_batch < n_ctx:
+                logprobs = self._chunk_logprobs_batched(chunk, targets, n_ctx, n_batch)
+            else:
+                logprobs = self._chunk_logprobs(chunk, targets)  # [n_ctx - 1]
             # NLL over the second half of the window (reference :188-199)
             sel = logprobs[start_j : n_ctx - 1]
             nll += float(-np.sum(sel))

@@ -182,3 +182,60 @@ def test_adaption_prompt_identity_and_training(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_inject_adalora_does_not_mutate_original():
+    """inject_adalora must structurally copy blocks: the caller's original
+    params tree keeps its QuantLinear nodes."""
+    params, cfg = _quantized_model()
+    orig_node = params["layers"][0]["attn"]["q_proj"]
+    pcfg = peft.GPTQLoraConfig(r=4, target_modules=("attn.q_proj",), adalora=True)
+    lparams = peft.inject_adalora(params, pcfg)
+    assert isinstance(lparams["layers"][0]["attn"]["q_proj"], peft.AdaLoraLinear)
+    assert params["layers"][0]["attn"]["q_proj"] is orig_node  # untouched
+
+
+def test_inject_adalora_idempotent():
+    """Re-injection (or AdaLoRA after LoRA) skips already-wrapped nodes."""
+    params, cfg = _quantized_model()
+    pcfg = peft.GPTQLoraConfig(r=4, target_modules=("attn.q_proj",), adalora=True)
+    p1 = peft.inject_adalora(params, pcfg)
+    p2 = peft.inject_adalora(p1, pcfg)  # must not raise
+    node = p2["layers"][0]["attn"]["q_proj"]
+    assert isinstance(node, peft.AdaLoraLinear)
+    assert not isinstance(node.base, peft.AdaLoraLinear)  # no double wrap
+
+
+def test_adalora_adapter_save(tmp_path):
+    """save_adapter writes AdaLoRA weights (A/B/E, mask folded into E)
+    instead of silently emitting an empty file."""
+    from autogptq_tpu.models.registry import get_family
+
+    params, cfg = _quantized_model()
+    pcfg = peft.GPTQLoraConfig(r=4, target_modules=("attn.q_proj",), adalora=True)
+
+    class Shim:
+        pass
+
+    m = Shim()
+    m.params = peft.inject_adalora(params, pcfg)
+    m.spec = get_family("llama")
+    peft.save_adapter(m, str(tmp_path / "ada"))
+    from safetensors import safe_open
+
+    with safe_open(tmp_path / "ada" / "adapter_model.safetensors", framework="np") as f:
+        names = list(f.keys())
+        e = f.get_tensor(
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_E.weight"
+        )
+    assert any("lora_A" in n for n in names)
+    assert any("lora_B" in n for n in names)
+    assert e.shape == (4, 1)
+
+    # a model with no LoRA/AdaLoRA adapters raises instead of writing an
+    # empty adapter file
+    m2 = Shim()
+    m2.params = params
+    m2.spec = get_family("llama")
+    with pytest.raises(ValueError, match="no LoRA/AdaLoRA"):
+        peft.save_adapter(m2, str(tmp_path / "none"))

@@ -40,3 +40,24 @@ def test_quantized_ppl_tracks_fp(tmp_path, rng):
     assert np.isfinite(ppl_fp) and np.isfinite(ppl_q)
     # int4 g32 on a tiny model: quantized PPL within 10% of fp
     assert ppl_q < ppl_fp * 1.10, (ppl_fp, ppl_q)
+
+
+def test_n_batch_segmented_matches_full(tmp_path, rng):
+    """n_batch < n_ctx evaluates the chunk in KV-cached segments and must
+    reproduce the single-dispatch logprobs."""
+    torch.manual_seed(1)
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    transformers.LlamaForCausalLM(cfg).save_pretrained(
+        tmp_path / "fp", safe_serialization=True)
+    fp = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), dtype=jnp.float32)
+    tokens = np.tile(np.arange(16, dtype=np.int32), 12)  # 192 tokens
+
+    full = Perplexity(fp, tokens=tokens, bos_token_id=1).calculate_perplexity(
+        n_ctx=64, n_batch=64)
+    seg = Perplexity(fp, tokens=tokens, bos_token_id=1).calculate_perplexity(
+        n_ctx=64, n_batch=24)  # uneven split: 24+24+16
+    np.testing.assert_allclose(seg, full, rtol=1e-4, atol=1e-5)
