@@ -76,6 +76,9 @@ class ArchConfig:
     norm_plus_one: bool = False
     # gemma2 "sandwich" norms: extra norms on attn/mlp OUTPUTS
     post_sublayer_norms: bool = False
+    # classic post-layernorm blocks (norm AFTER each residual add, e.g. OPT
+    # with do_layer_norm_before=False — opt-350m); default is pre-norm
+    pre_norm: bool = True
     # gemma2 logit softcaps; cohere logit scale
     attn_softcap: Optional[float] = None
     final_softcap: Optional[float] = None
@@ -988,6 +991,23 @@ def block_forward(
     attn_cap = {} if capture is not None else None
     mlp_cap = {} if capture is not None else None
 
+    if not cfg.pre_norm:
+        # classic post-LN (OPT do_layer_norm_before=False): the sublayer
+        # reads the raw residual stream; the norm is applied after the add
+        attn_out, kv = attention(
+            bp["attn"], x, layer_idx, cache, positions, cfg, backend,
+            attn_mask, attn_cap, fresh_prefill,
+        )
+        x = apply_norm(bp["input_norm"], x + attn_out, cfg)
+        mlp_out = mlp(bp["mlp"], x, cfg, backend, mlp_cap)
+        x = apply_norm(bp["post_norm"], x + mlp_out, cfg)
+        if capture is not None:
+            for k, v in attn_cap.items():
+                capture[f"attn.{k}"] = v
+            for k, v in mlp_cap.items():
+                capture[f"mlp.{k}"] = v
+        return x, kv
+
     h = apply_norm(bp["input_norm"], x, cfg)
     attn_out, kv = attention(
         bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask,
@@ -1020,6 +1040,10 @@ def block_forward(
 
 def embed(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cfg: ArchConfig, dtype=jnp.bfloat16):
     x = params["embed_tokens"][tokens].astype(dtype)
+    if "project_in" in params:
+        # OPT word_embed_proj_dim != hidden_size (opt-350m): tokens embed at
+        # the projection dim, project_in lifts to hidden before pos-embed
+        x = apply_linear(params["project_in"], x, backend="auto").astype(dtype)
     if cfg.scale_embedding:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
     if cfg.embed_scale is not None:  # minicpm scale_emb
@@ -1034,6 +1058,10 @@ def embed(params: dict, tokens: jnp.ndarray, positions: jnp.ndarray, cfg: ArchCo
 def unembed(params: dict, x: jnp.ndarray, cfg: ArchConfig) -> jnp.ndarray:
     if cfg.final_norm:
         x = apply_norm(params["final_norm"], x, cfg)
+    if "project_out" in params:
+        # mirror of project_in: drop hidden back to the embedding dim so the
+        # (usually tied) head at word_embed_proj_dim applies
+        x = apply_linear(params["project_out"], x, backend="auto")
     if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = jnp.einsum("bth,vh->btv", x.astype(jnp.float32), params["embed_tokens"].astype(jnp.float32))
     elif cfg.lm_head_normalize:

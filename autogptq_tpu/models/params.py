@@ -84,6 +84,14 @@ def build_fp_params(
     for our, hf in spec.top_tensors.items():
         if hf in tensors:
             _set_in(params, our, _to_jnp(tensors[hf], dtype))
+    for our, hf in spec.top_linears.items():
+        if f"{hf}.weight" in tensors:
+            w = tensors[f"{hf}.weight"]
+            b = tensors.get(f"{hf}.bias")
+            params[our] = DenseLinear(
+                kernel=_to_jnp(np.ascontiguousarray(w.T), dtype),
+                bias=None if b is None else _to_jnp(b, dtype),
+            )
 
     if spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
         w = tensors[f"{spec.lm_head}.weight"]
@@ -156,6 +164,14 @@ def build_quantized_params(
     for our, hf in spec.top_tensors.items():
         if hf in tensors:
             _set_in(params, our, _to_jnp(tensors[hf], dtype))
+    for our, hf in spec.top_linears.items():
+        if f"{hf}.weight" in tensors:
+            w = tensors[f"{hf}.weight"]
+            b = tensors.get(f"{hf}.bias")
+            params[our] = DenseLinear(
+                kernel=_to_jnp(np.ascontiguousarray(w.T), dtype),
+                bias=None if b is None else _to_jnp(b, dtype),
+            )
     if spec.lm_head is not None and f"{spec.lm_head}.qweight" in tensors:
         pass  # quantized lm_head: built below once make_ql is defined
     elif spec.lm_head is not None and f"{spec.lm_head}.weight" in tensors:
@@ -298,6 +314,12 @@ def flatten_quantized_params(
         except (KeyError, TypeError):
             continue
         out[hf] = as_np(val)
+    for our, hf in spec.top_linears.items():
+        if our in params:
+            node = params[our]
+            out[f"{hf}.weight"] = as_np(np.asarray(node.kernel).T)
+            if node.bias is not None:
+                out[f"{hf}.bias"] = as_np(node.bias)
     if "lm_head" in packed_layers and spec.lm_head is not None:
         pk = packed_layers["lm_head"]
         out[f"{spec.lm_head}.qweight"] = np.asarray(pk.qweight).astype(np.int32)

@@ -91,6 +91,9 @@ class FamilySpec:
     conv1d_linears: bool = False
     # q/k/v stored fused in the HF checkpoint (block_linears then omits them)
     fused_qkv: FusedQKV | None = None
+    # top-level dense LINEAR modules (transposed on load, never quantized):
+    # our key -> HF module name, e.g. OPT's project_in/project_out
+    top_linears: dict[str, str] = field(default_factory=dict)
 
 
 REGISTRY: dict[str, FamilySpec] = {}
@@ -421,6 +424,11 @@ def _opt_arch(c: dict) -> ArchConfig:
         attn_out_bias=True,
         mlp_bias=True,
         tie_word_embeddings=c.get("tie_word_embeddings", True),
+        # opt-350m: do_layer_norm_before=False -> classic post-LN blocks and
+        # no final layer norm (HF OPTDecoder only builds final_layer_norm
+        # when do_layer_norm_before is set)
+        pre_norm=c.get("do_layer_norm_before", True),
+        final_norm=c.get("do_layer_norm_before", True),
     )
 
 
@@ -448,6 +456,12 @@ register(
             "final_norm.bias": "model.decoder.final_layer_norm.bias",
         },
         lm_head=None,
+        # opt-350m word_embed_proj_dim != hidden_size projection pair;
+        # absent from the checkpoint for every other OPT size
+        top_linears={
+            "project_in": "model.decoder.project_in",
+            "project_out": "model.decoder.project_out",
+        },
         # mirrors reference opt.py:5-22
         quant_layers=[
             ["attn.k_proj", "attn.v_proj", "attn.q_proj"],

@@ -151,6 +151,13 @@ def param_pspecs(params: dict, cfg: ArchConfig, mesh: Mesh, tp_axis: str = "tp")
         specs["final_norm"] = norm_spec(params["final_norm"])
     if "lm_head" in params:
         specs["lm_head"] = _linear_specs(params["lm_head"], True, tp_axis, tp_size)
+    for proj in ("project_in", "project_out"):
+        if proj in params:  # OPT word_embed_proj_dim pair: tiny, replicate
+            node = params[proj]
+            specs[proj] = DenseLinear(
+                kernel=P(None, None),
+                bias=None if node.bias is None else P(None),
+            )
 
     layer_specs = []
     for block in params["layers"]:

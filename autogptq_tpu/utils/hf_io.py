@@ -241,6 +241,10 @@ def save_safetensors(
     ``max_shard_size`` (bytes) is given and exceeded."""
     from safetensors.numpy import save_file
 
+    # save_file serializes the raw buffer: a non-contiguous array (e.g. a
+    # transposed kernel) would be silently written in memory order, i.e.
+    # corrupted. Force C-contiguity for every tensor.
+    tensors = {k: np.ascontiguousarray(v) for k, v in tensors.items()}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if max_shard_size is None or sum(t.nbytes for t in tensors.values()) <= max_shard_size:
         save_file(tensors, path, metadata=metadata)

@@ -112,6 +112,14 @@ MAKERS = {
         vocab_size=128, hidden_size=32, num_hidden_layers=2,
         num_attention_heads=2, num_key_value_heads=2, intermediate_size=64,
     ),
+    # opt-350m shape: word_embed_proj_dim != hidden_size (project_in/out
+    # pair) + do_layer_norm_before=False (post-LN blocks, no final norm)
+    "opt_350m_style": lambda p: _mk(
+        transformers.OPTConfig, transformers.OPTForCausalLM, p,
+        vocab_size=128, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=64,
+        word_embed_proj_dim=32, do_layer_norm_before=False,
+    ),
 }
 
 
@@ -186,5 +194,42 @@ def test_mixtral_quantize_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(reloaded.forward(ids)),
         np.asarray(model.forward(ids)),
+        rtol=2e-3, atol=2e-3,
+    )
+
+
+def test_opt350m_style_quantize_roundtrip_and_decode(tmp_path, rng):
+    """project_in/out + post-LN OPT: KV-cached greedy decode matches the
+    uncached forward argmax chain, and quantize->save->reload preserves the
+    projection pair."""
+    hf = MAKERS["opt_350m_style"](tmp_path / "fp")
+    model = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(1, 6)).astype(np.int32)
+
+    # cached decode vs HF generate (greedy)
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.from_numpy(ids.astype(np.int64)), max_new_tokens=6,
+            do_sample=False, pad_token_id=0,
+        ).numpy()
+    got = model.generate(ids, max_new_tokens=6)
+    np.testing.assert_array_equal(got, ref)
+
+    qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=False)
+    qm = AutoGPTQForCausalLM.from_pretrained(str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    qm.quantize([{"input_ids": rng.integers(0, 128, size=(24,))} for _ in range(3)])
+    qm.save_quantized(str(tmp_path / "q"))
+
+    from safetensors import safe_open
+
+    ckpt = next((tmp_path / "q").glob("gptq_model-*.safetensors"))
+    with safe_open(ckpt, framework="np") as f:
+        names = set(f.keys())
+    assert "model.decoder.project_in.weight" in names
+    assert "model.decoder.project_out.weight" in names
+
+    reloaded = AutoGPTQForCausalLM.from_quantized(str(tmp_path / "q"), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)), np.asarray(qm.forward(ids)),
         rtol=2e-3, atol=2e-3,
     )
