@@ -294,11 +294,21 @@ def _qwen2_arch(c: dict) -> ArchConfig:
     # sequences on stock Qwen2 checkpoints.
     sw = None
     if c.get("use_sliding_window", False):
-        if c.get("max_window_layers", 0) <= 0:
+        mwl = c.get("max_window_layers", 0)
+        if mwl <= 0:
             sw = c.get("sliding_window")
-        # else: mixed full/windowed layers; per-layer windows are not
-        # modeled, and every released Qwen2 config has max_window_layers >=
-        # num_hidden_layers (i.e. no windowed layer) — treat as full.
+        elif mwl < c.get("num_hidden_layers", 0):
+            # Mixed full/windowed layers; per-layer windows are not modeled.
+            # Every released Qwen2 config has max_window_layers >=
+            # num_hidden_layers (no windowed layer), so refuse loudly rather
+            # than silently diverge from HF on a non-stock config.
+            raise NotImplementedError(
+                "qwen2 use_sliding_window with 0 < max_window_layers < "
+                "num_hidden_layers (mixed full/windowed layers) is not "
+                "supported; set use_sliding_window=False or "
+                "max_window_layers >= num_hidden_layers"
+            )
+        # else: window exempt on all layers — full attention, matching HF.
     return _llama_arch(c, attn_qkv_bias=True, sliding_window=sw)
 
 

@@ -94,21 +94,21 @@ def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False, 
         for bk in (1024, 512, 256, 128):
             if k % bk == 0 and bk % gs == 0 and bk % 128 == 0:
                 return bk
-        if k % 128 == 0 and k % gs == 0:  # tiny-K fallback (tests)
+        if k <= 1024 and k % 128 == 0 and k % gs == 0:  # tiny-K fallback (tests)
             return k
         return None
     if ki32:
         for bk in (1024, 512, 256, 128):
             if k % bk == 0 and bk % gs == 0 and bk % 64 == 0:
                 return bk
-        if k % 64 == 0 and k % gs == 0:   # tiny-K fallback (tests)
+        if k <= 1024 and k % 64 == 0 and k % gs == 0:   # tiny-K fallback (tests)
             return k
         return None
     if kquad:
         for bk in (1024, 512, 256, 128):
             if k % bk == 0 and bk % gs == 0 and bk % 32 == 0:
                 return bk
-        if k % 32 == 0 and k % gs == 0:   # tiny-K fallback (tests)
+        if k <= 1024 and k % 32 == 0 and k % gs == 0:   # tiny-K fallback (tests)
             return k
         return None
     sizes = (1024, 512, 256, 128) if kpair else (512, 256, 128)
@@ -117,9 +117,11 @@ def _pick_bk(k: int, group_size: int, kpair: bool = False, kquad: bool = False, 
             continue
         if bk % gs == 0 or gs % bk == 0:
             return bk
-    # tiny-K fallback (tests): one block covering all of K
+    # tiny-K fallback (tests): one block covering all of K. Capped so an
+    # oversized non-tileable K (e.g. gs=96, k=4608) routes to matmul_xla
+    # instead of risking a whole-K VMEM block.
     kmod = 16 if kpair else 8
-    if k % kmod == 0 and (k % gs == 0 or gs % k == 0):
+    if k <= 1024 and k % kmod == 0 and (k % gs == 0 or gs % k == 0):
         return k
     return None
 

@@ -146,6 +146,14 @@ class ContinuousBatchEngine:
         # the local cfg; engine cache lives as GLOBAL arrays with kv heads
         # sharded on the tp axis.
         self.is_tp = bool(getattr(model, "is_tp", False))
+        if self.is_tp and getattr(model.cfg, "attn_variant", None) == "mla":
+            # MLA latent caches have a size-1 head axis; _hspec shards cache
+            # axis 3 on tp, which would fail with an opaque
+            # sharding-divisibility error. Refuse clearly instead.
+            raise NotImplementedError(
+                "ContinuousBatchEngine does not support tensor-parallel MLA "
+                "models (latent cache has no shardable head axis); use tp=1"
+            )
         self._fwd_cfg = model.lcfg if self.is_tp else model.cfg
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len

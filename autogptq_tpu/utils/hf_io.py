@@ -114,6 +114,11 @@ def find_checkpoint_files(model_dir: str, basename: str | None = None) -> list[s
             p = os.path.join(model_dir, basename + ext)
             if os.path.isfile(p):
                 return [p]
+        idx = os.path.join(model_dir, f"{basename}.safetensors.index.json")
+        if os.path.isfile(idx):
+            with open(idx) as f:
+                files = sorted(set(json.load(f)["weight_map"].values()))
+            return [os.path.join(model_dir, f) for f in files]
     idx = os.path.join(model_dir, SAFE_INDEX)
     if os.path.isfile(idx):
         with open(idx) as f:
@@ -272,7 +277,10 @@ def save_safetensors(
         "metadata": {"total_size": sum(t.nbytes for t in tensors.values())},
         "weight_map": weight_map,
     }
-    with open(os.path.join(dirname, SAFE_INDEX), "w") as f:
+    # Name the index after the target basename so the reference's
+    # get_checkpoints (modeling/_utils.py:715) — which probes
+    # "{model_basename}.safetensors.index.json" — can discover sharded saves.
+    with open(os.path.join(dirname, f"{base}.safetensors.index.json"), "w") as f:
         json.dump(index, f, indent=2)
 
 

@@ -106,3 +106,18 @@ def test_qwen2_sliding_window_gating(cfg_extra, expect_window):
     )
     cfg = get_family("qwen2").arch_fn(c)
     assert cfg.sliding_window == expect_window
+
+
+def test_qwen2_mixed_window_layers_rejected():
+    """0 < max_window_layers < num_hidden_layers means per-layer mixed
+    full/windowed attention, which is not modeled — must fail loudly."""
+    from autogptq_tpu.models.registry import get_family
+
+    c = dict(
+        model_type="qwen2", vocab_size=128, hidden_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        intermediate_size=128, sliding_window=4096,
+        use_sliding_window=True, max_window_layers=2,
+    )
+    with pytest.raises(NotImplementedError, match="max_window_layers"):
+        get_family("qwen2").arch_fn(c)

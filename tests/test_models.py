@@ -212,7 +212,9 @@ def test_sharded_checkpoint_save_load(tmp_path, rng):
 
     import os
     files = os.listdir(tmp_path / "q")
-    assert "model.safetensors.index.json" in files
+    # Index is named after the basename so the reference's get_checkpoints
+    # (modeling/_utils.py:715) can discover the sharded save.
+    assert "gptq_model-4bit-32g.safetensors.index.json" in files
     shards = [f for f in files if f.endswith(".safetensors")]
     assert len(shards) >= 2
 

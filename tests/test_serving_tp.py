@@ -64,3 +64,16 @@ def test_tp_engine_matches_single_device(tiny, rng, kv_quant):
     assert set(got) == set(ref)
     for rid in ref:
         np.testing.assert_array_equal(got[rid], ref[rid])
+
+
+def test_tp_engine_rejects_mla():
+    """TP + MLA: the latent cache has a size-1 head axis that _hspec would
+    try to shard on tp — must refuse with a clear error up front."""
+    from types import SimpleNamespace
+
+    model = SimpleNamespace(
+        is_tp=True, cfg=SimpleNamespace(attn_variant="mla"),
+        dtype=jnp.float32,
+    )
+    with pytest.raises(NotImplementedError, match="MLA"):
+        ContinuousBatchEngine(model, max_slots=2, max_seq_len=16)
