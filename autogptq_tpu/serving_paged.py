@@ -43,14 +43,20 @@ from .models.arch import KVCache
 from .serving import Request, _bucket, _greedy_tokens, _sample_tokens
 
 
-def _check_cfg(cfg) -> None:
-    if (
+def paged_cfg_ok(cfg) -> bool:
+    """True when the paged decode step's simplified layer loop (plain
+    rope/GQA pre-norm decoder) reproduces arch.forward exactly."""
+    return not (
         cfg.attn_variant != "mha" or cfg.pos_embedding not in ("rope", "rope_gptj")
         or cfg.attn_softcap is not None or cfg.sliding_window is not None
         or cfg.num_kv_heads_per_layer is not None or cfg.parallel_block
         or cfg.residual_scale is not None or cfg.post_sublayer_norms
-        or getattr(cfg, "moe_num_experts", None)
-    ):
+        or getattr(cfg, "moe_num_experts", None) or not cfg.pre_norm
+    )
+
+
+def _check_cfg(cfg) -> None:
+    if not paged_cfg_ok(cfg):
         raise NotImplementedError(
             "paged serving supports standard rope/GQA decoder families"
         )

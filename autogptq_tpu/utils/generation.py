@@ -10,6 +10,7 @@ counted over generated tokens only.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -20,6 +21,10 @@ from ..models import arch
 from ..models.arch import KVCache
 
 NEG_INF = -1e30
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _prep_inputs(input_ids, pad_token_id=0):
@@ -323,6 +328,347 @@ def _generate_beam(
     return jnp.take_along_axis(pool_t, ti[:, :, None], axis=1)  # [B, R, M]
 
 
+BEAM_PAGED = "auto"   # "auto" | "always" | "never" (tests force paths)
+
+
+def _beam_paged_ok(model, kv_quant) -> bool:
+    """Gather-free (paged) beam cache fast path: supported for the standard
+    rope/GQA pre-norm decoder families with unfused q/k/v projections."""
+    if BEAM_PAGED == "never":
+        return False
+    from ..serving_paged import paged_cfg_ok
+
+    cfg = model.cfg
+    layer0 = model.params["layers"][0]
+    return (
+        paged_cfg_ok(cfg)
+        and "q_proj" in layer0.get("attn", {})
+        and not any("adaption" in b.get("attn", {}) for b in model.params["layers"])
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams",
+        "backend", "dtype", "kv_quant", "length_penalty", "early_stopping",
+        "num_return_sequences", "page_size", "use_kernel",
+    ),
+)
+def _generate_beam_paged(
+    params,
+    tokens,           # [B, T]
+    mask,
+    cfg,
+    max_new_tokens,
+    min_new_tokens,
+    eos_token_id,
+    num_beams,
+    backend,
+    dtype,
+    kv_quant=False,
+    length_penalty=1.0,
+    early_stopping=False,
+    num_return_sequences=1,
+    page_size=16,
+    use_kernel=False,
+):
+    """Beam search with a GATHER-FREE KV cache: HF BeamSearchScorer
+    semantics identical to :func:`_generate_beam`, but instead of physically
+    reordering the whole preallocated cache every step (~2x cache size of
+    HBM traffic), beams index a shared page pool through per-beam page
+    tables. Reorder = gather the [bk, W] int32 tables + copy ONE page per
+    beam (the current partial page, copy-on-share); completed pages are
+    append-only and shared between sibling beams. Attention runs the stock
+    Pallas paged-attention kernel on TPU (the vLLM-PagedAttention analog)
+    and an exact jnp page gather elsewhere, reading only ceil(len/page)
+    pages — length-proportional instead of preallocated-length traffic.
+
+    Page pool layout (physical ids are static functions of (row, beam)):
+      page 0                   reserved null page
+      1 + r*PPS + i            prompt page i of batch row r (shared by its
+                               k beams; prompt KV is compacted to [0, p_r))
+      G0 + (r*k+j)*GMAX + c    generated page c of beam (r, j) — each beam
+                               only ever WRITES its own pages, so sibling
+                               beams sharing history never conflict.
+    """
+    from ..serving_paged import _paged_attention_jnp
+
+    b, t = tokens.shape
+    k = num_beams
+    bk = b * k
+    total = t + max_new_tokens
+    vocab = cfg.vocab_size
+    p = float(length_penalty)
+    eos = eos_token_id
+    ps = page_size
+    h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+
+    pps = _cdiv(total, ps)                  # prompt pages per row
+    gmax = _cdiv(max_new_tokens, ps) + 1    # own (write) pages per beam
+    g0 = 1 + b * pps
+    n_pages = g0 + bk * gmax
+    width = _cdiv(pps + gmax, 8) * 8        # table width (kernel blocks of 8)
+    ppcb = max(q for q in (8, 4, 2, 1) if width % q == 0)
+    cache_dtype = jnp.int8 if kv_quant else dtype
+
+    # ---- prefill once per row through the ordinary contiguous path ----
+    cache_b = KVCache.create(cfg, b, t, dtype=dtype)
+    validity_b = mask
+    positions_b = jnp.maximum(jnp.cumsum(mask, axis=-1) - 1, 0)
+    logits, cache_b = arch.forward(
+        params, tokens, cfg, cache=cache_b, positions=positions_b,
+        backend=backend, attn_mask=validity_b, dtype=dtype, fresh_prefill=True,
+    )
+    plen = jnp.sum(mask, axis=-1).astype(jnp.int32)                 # [B]
+
+    # Prompts are LEFT-padded; the paged kernel masks a CONTIGUOUS [0, len)
+    # prefix, so compact each row's valid KV to slots [0, p_r).
+    tpad = pps * ps
+    shift = (t - plen)[:, None]                                     # [B, 1]
+    src = jnp.clip(shift + jnp.arange(tpad)[None, :], 0, t - 1)     # [B, tpad]
+
+    def _to_pages(a):                       # [L, B, t, Hkv, D] -> pool block
+        g = jnp.take_along_axis(a, src[None, :, :, None, None], axis=2)
+        L = a.shape[0]
+        g = g.reshape(L, b, pps, ps, hkv, d).transpose(0, 4, 1, 2, 3, 5)
+        return g.reshape(L, hkv, b * pps, ps, d)
+
+    def _quant(x):                          # per-(slot, head) int8, D-wise
+        s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        s = jnp.maximum(s, 1e-8)
+        q = jnp.rint(x.astype(jnp.float32) * (127.5 / s))
+        return jnp.clip(q, -127, 127).astype(jnp.int8), s
+
+    L = cfg.num_layers
+    k_pool = jnp.zeros((L, hkv, n_pages, ps, d), cache_dtype)
+    v_pool = jnp.zeros((L, hkv, n_pages, ps, d), cache_dtype)
+    ks_pool = jnp.ones((L, hkv, n_pages, ps, 1), jnp.float32) if kv_quant else None
+    vs_pool = jnp.ones((L, hkv, n_pages, ps, 1), jnp.float32) if kv_quant else None
+    if kv_quant:
+        kq, ksc = _quant(_to_pages(cache_b.k))
+        vq, vsc = _quant(_to_pages(cache_b.v))
+        k_pool = k_pool.at[:, :, 1:g0].set(kq)
+        v_pool = v_pool.at[:, :, 1:g0].set(vq)
+        ks_pool = ks_pool.at[:, :, 1:g0].set(ksc)
+        vs_pool = vs_pool.at[:, :, 1:g0].set(vsc)
+    else:
+        k_pool = k_pool.at[:, :, 1:g0].set(_to_pages(cache_b.k).astype(cache_dtype))
+        v_pool = v_pool.at[:, :, 1:g0].set(_to_pages(cache_b.v).astype(cache_dtype))
+
+    # ---- per-beam page tables ----
+    rows_bk = jnp.arange(bk) // k                                   # [bk]
+    plen_bk = plen[rows_bk]                                         # [bk]
+    c0 = plen_bk // ps                 # ordinal of the first written page
+    ar = jnp.arange(width)[None, :]                                 # [1, W]
+    own = g0 + jnp.arange(bk)[:, None] * gmax + (ar - c0[:, None])  # [bk, W]
+    own_ok = (ar >= c0[:, None]) & (ar - c0[:, None] < gmax)
+    prompt_pg = 1 + rows_bk[:, None] * pps + ar
+    tables0 = jnp.where(
+        own_ok, own,
+        jnp.where(ar < pps, prompt_pg, 0),
+    ).astype(jnp.int32)
+    # copy-on-share of the boundary page: generation continues inside the
+    # prompt's last (partial) page, which each beam must own before writing
+    bsrc = jnp.clip(1 + rows_bk * pps + c0, 0, n_pages - 1)
+    bdst = g0 + jnp.arange(bk) * gmax
+
+    def _copy_pages(pool, srcp, dstp):
+        return pool.at[:, :, dstp].set(pool[:, :, srcp])
+
+    k_pool = _copy_pages(k_pool, bsrc, bdst)
+    v_pool = _copy_pages(v_pool, bsrc, bdst)
+    if kv_quant:
+        ks_pool = _copy_pages(ks_pool, bsrc, bdst)
+        vs_pool = _copy_pages(vs_pool, bsrc, bdst)
+
+    # ---- step-0 beam bookkeeping (identical to _generate_beam) ----
+    logprobs_b = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
+
+    def mask_eos(lp, step):
+        if eos is not None and min_new_tokens > 0:
+            return jnp.where(
+                (step < min_new_tokens)
+                & (jnp.arange(vocab)[None, :] == eos),
+                NEG_INF,
+                lp,
+            )
+        return lp
+
+    lp0 = mask_eos(logprobs_b, 0)
+    done_scores0 = jnp.full((b, k), NEG_INF)
+    done_tokens0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+    frozen0 = jnp.zeros((b,), bool)
+    s2k0, tok2k0 = jax.lax.top_k(lp0, 2 * k)
+    if eos is not None:
+        is_eos0 = tok2k0 == eos
+        cand0 = jnp.where(is_eos0, s2k0 / (float(t) ** p), NEG_INF)
+        pool_s0 = jnp.concatenate([done_scores0, cand0], axis=1)
+        pool_t0 = jnp.concatenate(
+            [done_tokens0,
+             jnp.zeros((b, 2 * k, max_new_tokens), jnp.int32).at[:, :, 0].set(eos)],
+            axis=1)
+        done_scores0, di0 = jax.lax.top_k(pool_s0, k)
+        done_tokens0 = jnp.take_along_axis(pool_t0, di0[:, :, None], axis=1)
+        s2k0 = jnp.where(is_eos0, NEG_INF, s2k0)
+    beam_scores0, sel0 = jax.lax.top_k(s2k0, k)
+    top_tok = jnp.take_along_axis(tok2k0, sel0, axis=1)
+    out0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+    out0 = out0.at[:, :, 0].set(top_tok)
+    cur_tok0 = top_tok.reshape(bk)
+
+    def _attend(q, kp, vp, ksp, vsp, lengths, tables):
+        if use_kernel:
+            from jax.experimental.pallas.ops.tpu.paged_attention import (
+                paged_attention,
+            )
+            from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (  # noqa: E501
+                QuantizedTensor,
+            )
+
+            kk = QuantizedTensor(kp, ksp) if kv_quant else kp
+            vv = QuantizedTensor(vp, vsp) if kv_quant else vp
+            return paged_attention(
+                (q.astype(jnp.float32) * scale).astype(dtype),
+                kk, vv, lengths, tables,
+                pages_per_compute_block=ppcb,
+            )
+        if kv_quant:
+            kp = kp.astype(jnp.float32) * ksp / 127.5
+            vp = vp.astype(jnp.float32) * vsp / 127.5
+        return _paged_attention_jnp(q, kp, vp, lengths, tables, scale)
+
+    def _fwd_step(pools, tables, cur_tok, pos):
+        """One decode token per beam over the paged pools; writes the token's
+        K/V into each beam's current (owned) page, then attends."""
+        k_pool, v_pool, ks_pool, vs_pool = pools
+        x = arch.embed(params, cur_tok[:, None], pos[:, None], cfg, dtype)
+        rows = jnp.arange(bk)
+        page_of = tables[rows, pos // ps]
+        off = pos % ps
+        for idx, bp in enumerate(params["layers"]):
+            hidden = arch.apply_norm(bp["input_norm"], x, cfg)
+            ap = bp["attn"]
+            q = arch.apply_linear(ap["q_proj"], hidden, backend).reshape(bk, 1, h, d)
+            kk = arch.apply_linear(ap["k_proj"], hidden, backend).reshape(bk, 1, hkv, d)
+            vv = arch.apply_linear(ap["v_proj"], hidden, backend).reshape(bk, 1, hkv, d)
+            q, kk = arch.apply_rope(q, kk, pos[:, None], cfg)
+            if cfg.logn_attn_seq_len is not None:
+                ln = jnp.maximum(
+                    jnp.log(pos.astype(jnp.float32) + 1.0)
+                    / math.log(float(cfg.logn_attn_seq_len)), 1.0)
+                q = (q.astype(jnp.float32) * ln[:, None, None, None]).astype(x.dtype)
+            if kv_quant:
+                kq, ksc = _quant(kk[:, 0])
+                vq, vsc = _quant(vv[:, 0])
+                k_pool = k_pool.at[idx, :, page_of, off].set(kq)
+                v_pool = v_pool.at[idx, :, page_of, off].set(vq)
+                ks_pool = ks_pool.at[idx, :, page_of, off].set(ksc)
+                vs_pool = vs_pool.at[idx, :, page_of, off].set(vsc)
+                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
+                             ks_pool[idx], vs_pool[idx], pos + 1, tables)
+            else:
+                k_pool = k_pool.at[idx, :, page_of, off].set(
+                    kk[:, 0].astype(cache_dtype))
+                v_pool = v_pool.at[idx, :, page_of, off].set(
+                    vv[:, 0].astype(cache_dtype))
+                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
+                             None, None, pos + 1, tables)
+            of = of.reshape(bk, 1, h * d).astype(x.dtype)
+            x = x + arch.apply_linear(ap["o_proj"], of, backend)
+            h2 = arch.apply_norm(bp["post_norm"], x, cfg)
+            x = x + arch.mlp(bp["mlp"], h2, cfg, backend)
+        logits = arch.unembed(params, x, cfg)[:, -1, :]
+        return (k_pool, v_pool, ks_pool, vs_pool), logits
+
+    def step_fn(state, step):
+        (k_pool, v_pool, ks_pool, vs_pool, tables, cur_tok, scores, out,
+         done_scores, done_tokens, frozen) = state
+        pos = plen_bk + step - 1            # slot of the incoming token
+        pools, logits = _fwd_step(
+            (k_pool, v_pool, ks_pool, vs_pool), tables, cur_tok, pos)
+        k_pool, v_pool, ks_pool, vs_pool = pools
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        lp = mask_eos(lp, step).reshape(b, k, vocab)
+
+        cand = scores[:, :, None] + lp
+        flat = cand.reshape(b, k * vocab)
+        k2 = 2 * k
+        s2k, flat_idx = jax.lax.top_k(flat, k2)
+        beam2k = flat_idx // vocab
+        tok2k = (flat_idx % vocab).astype(jnp.int32)
+
+        if eos is not None:
+            is_eos = tok2k == eos
+            cur_len = float(t) + step
+            cand_norm = jnp.where(
+                is_eos & ~frozen[:, None], s2k / (cur_len ** p), NEG_INF
+            )
+            cand_tok = jnp.take_along_axis(out, beam2k[:, :, None], axis=1)
+            cand_tok = jax.lax.dynamic_update_slice(
+                cand_tok,
+                jnp.full((b, k2, 1), eos, jnp.int32),
+                (0, 0, step),
+            )
+            pool_s = jnp.concatenate([done_scores, cand_norm], axis=1)
+            pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
+            done_scores, di = jax.lax.top_k(pool_s, k)
+            done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
+            best_raw = jnp.max(s2k, axis=1)
+            s2k = jnp.where(is_eos, NEG_INF, s2k)
+            pool_full = done_scores[:, -1] > NEG_INF / 2
+            if early_stopping:
+                newly_done = pool_full
+            else:
+                best_possible = best_raw / ((float(t) + step + 1.0) ** p)
+                newly_done = pool_full & (done_scores[:, -1] >= best_possible)
+            frozen = frozen | newly_done
+
+        new_scores, sel = jax.lax.top_k(s2k, k)
+        beam_idx = jnp.take_along_axis(beam2k, sel, axis=1)
+        tok_idx = jnp.take_along_axis(tok2k, sel, axis=1)
+        gather = (jnp.arange(b)[:, None] * k + beam_idx).reshape(bk)
+
+        # Gather-free reorder: shuffle the page TABLES (tiny), copy-on-share
+        # the ONE partial page the next token lands in (parent's content ->
+        # this beam's own page), then re-own every ordinal from the next
+        # write position on (fresh pages, nothing to move).
+        tables = tables[gather]             # parent's view of history
+        next_pos = pos + 1                  # uniform per row across beams
+        nc_vec = next_pos // ps             # next write ordinal [bk]
+        psrc = tables[jnp.arange(bk), nc_vec]             # parent's page
+        pdst = bdst + (nc_vec - c0)                       # own page, same ord
+        k_pool = _copy_pages(k_pool, psrc, pdst)
+        v_pool = _copy_pages(v_pool, psrc, pdst)
+        if kv_quant:
+            ks_pool = _copy_pages(ks_pool, psrc, pdst)
+            vs_pool = _copy_pages(vs_pool, psrc, pdst)
+        own_from = (ar >= nc_vec[:, None]) & own_ok
+        tables = jnp.where(own_from, own, tables).astype(jnp.int32)
+
+        out = jnp.take_along_axis(out, beam_idx[:, :, None], axis=1)
+        out = jax.lax.dynamic_update_slice(
+            out, tok_idx[:, :, None], (0, 0, step)
+        )
+        return (k_pool, v_pool, ks_pool, vs_pool, tables,
+                tok_idx.reshape(bk), new_scores, out,
+                done_scores, done_tokens, frozen), None
+
+    state = (k_pool, v_pool, ks_pool, vs_pool, tables0, cur_tok0,
+             beam_scores0, out0, done_scores0, done_tokens0, frozen0)
+    state, _ = jax.lax.scan(step_fn, state, jnp.arange(1, max_new_tokens))
+    scores, out = state[6], state[7]
+    done_scores, done_tokens, frozen = state[8], state[9], state[10]
+
+    final_norm = scores / (float(total) ** p)
+    live_norm = jnp.where(frozen[:, None], NEG_INF, final_norm)
+    pool_s = jnp.concatenate([done_scores, live_norm], axis=1)
+    pool_t = jnp.concatenate([done_tokens, out], axis=1)
+    top_s, ti = jax.lax.top_k(pool_s, num_return_sequences)
+    return jnp.take_along_axis(pool_t, ti[:, :, None], axis=1)  # [B, R, M]
+
+
 def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                  eos_token_id, temperature, num_beams, seed, kv_quant,
                  length_penalty=1.0, early_stopping=False,
@@ -409,7 +755,14 @@ def generate(
             pad_token_id,
         )
     elif num_beams > 1:
-        new = _generate_beam(
+        paged = BEAM_PAGED == "always" or (
+            BEAM_PAGED == "auto" and _beam_paged_ok(model, kv_quant)
+        )
+        beam_fn = _generate_beam_paged if paged else _generate_beam
+        extra = (
+            {"use_kernel": jax.default_backend() == "tpu"} if paged else {}
+        )
+        new = beam_fn(
             model.params,
             jnp.asarray(ids),
             jnp.asarray(mask),
@@ -424,6 +777,7 @@ def generate(
             length_penalty=float(length_penalty),
             early_stopping=bool(early_stopping),
             num_return_sequences=num_return_sequences,
+            **extra,
         )
     else:
         new = _generate_greedy(

@@ -1,0 +1,116 @@
+"""Probe the pallas DMA bandwidth ceiling for the decode-kernel pipeline.
+
+The budget probe showed the full kb32 kernel at ~91% of the pure-DMA
+ceiling (561 vs 615 GB/s), so any further decode speedup must come from
+raising the DMA ceiling itself. Sweeps:
+
+  - (bk x bn) block shape for the pure-wp-load kernel
+  - with vs without the scales/zeros side streams (they add ~7.6% traffic)
+  - int32 vs uint8-typed wp (same bytes; DMA descriptor differences)
+
+    python scripts/kernel_dma_probe.py [K] [N]
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from scripts.bench_util import slope_time  # noqa: E402
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+GS = 128
+M = 1
+
+rng = np.random.default_rng(0)
+g = K // GS
+wp = jnp.asarray(rng.integers(-2**31, 2**31 - 1, size=(K // 8, N)), jnp.int32)
+s3 = jnp.asarray((rng.random((g, 1, N)) * 0.02).astype(np.float32))
+z3 = jnp.asarray(rng.integers(1, 16, size=(g, 1, N)).astype(np.uint8))
+x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+wbytes = K * N // 2
+
+
+def dma_wp_only(xin, bk, bn):
+    def body(x_ref, wp_ref, out_ref):
+        ki = pl.program_id(1)
+        t = wp_ref[0:1, :].astype(jnp.float32) + x_ref[:, 0:1].astype(jnp.float32)
+
+        @pl.when(ki == 0)
+        def _():
+            out_ref[...] = t[:, :out_ref.shape[1]]
+
+        @pl.when(ki != 0)
+        def _():
+            out_ref[...] += t[:, :out_ref.shape[1]]
+
+    grid = (N // bn, K // bk)
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda j, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda j, ki: (ki, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, ki: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=N * K // 8, bytes_accessed=wp.size * 4, transcendentals=0),
+    )(xin, wp)
+
+
+def dma_all_streams(xin, bk, bn):
+    r = bk // GS
+
+    def body(x_ref, wp_ref, s_ref, z_ref, out_ref):
+        ki = pl.program_id(1)
+        t = (wp_ref[0:1, :].astype(jnp.float32)
+             + x_ref[:, 0:1].astype(jnp.float32)
+             + s_ref[0, :, :] + z_ref[0, :, :].astype(jnp.int32).astype(jnp.float32))
+
+        @pl.when(ki == 0)
+        def _():
+            out_ref[...] = t[:, :out_ref.shape[1]]
+
+        @pl.when(ki != 0)
+        def _():
+            out_ref[...] += t[:, :out_ref.shape[1]]
+
+    grid = (N // bn, K // bk)
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, bk), lambda j, ki: (0, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 8, bn), lambda j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1, bn), lambda j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, 1, bn), lambda j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, ki: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=N * K // 8,
+            bytes_accessed=wp.size * 4 + s3.size * 4 + z3.size, transcendentals=0),
+    )(xin, wp, s3, z3)
+
+
+print(f"K={K} N={N}  weight bytes {wbytes / 1e6:.1f} MB")
+for bk in (512, 1024, 2048):
+    for bn in (1024, 2048, 4096):
+        if (bk // 8) * bn * 4 * 2 > 100 * 1024 * 1024:
+            continue
+        t = slope_time(lambda xi, a=bk, b=bn: dma_wp_only(xi, a, b), x)
+        print(f"wp-only  bk={bk:5d} bn={bn:5d}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
+t = slope_time(lambda xi: dma_all_streams(xi, 1024, 2048), x)
+print(f"all-streams bk=1024 bn=2048  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
