@@ -251,3 +251,76 @@ def test_ppl_parity_vs_reference_quantized_checkpoint(tmp_path, rng, monkeypatch
     ours = ppl.calculate_perplexity(n_ctx=n_ctx)[-1]
 
     assert abs(ours - ref) < 0.05, f"PPL parity broken: ours={ours} ref={ref}"
+
+
+@requires_reference
+@pytest.mark.parametrize("desc_act", [False, True])
+def test_reference_cross_loads_our_3bit_checkpoint(tmp_path, rng, desc_act):
+    """(c) OUR saved 3-bit checkpoint unpacked by the REFERENCE's own
+    QuantLinear torch-fallback forward (the 3-bit interleave is the
+    trickiest pack corner, qlinear_cuda_old.py:141-159). desc_act uses
+    qlinear_cuda.py (its fallback honors g_idx; the _old fallback ignores
+    g_idx by design). Forward outputs must agree to fp rounding."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+
+    from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig
+    from autogptq_tpu.ops import quantlinear as our_qlin
+    from autogptq_tpu.utils import hf_io
+    from tests.test_models import save_tiny_llama
+
+    fp_dir = tmp_path / "fp"
+    save_tiny_llama(fp_dir)
+    bits, gs = 3, 32
+    qc = BaseQuantizeConfig(bits=bits, group_size=gs, desc_act=desc_act)
+    model = AutoGPTQForCausalLM.from_pretrained(
+        str(fp_dir), quantize_config=qc, dtype=jnp.float32
+    )
+    model.quantize(
+        [{"input_ids": rng.integers(0, 256, size=(32,))} for _ in range(4)]
+    )
+    model.save_quantized(str(tmp_path / "q"))
+
+    saved = hf_io.load_tensors(str(tmp_path / "q"), "gptq_model-3bit-32g")
+    mod = _load_ref_module(
+        "auto_gptq/nn_modules/qlinear/qlinear_cuda.py"
+        if desc_act else
+        "auto_gptq/nn_modules/qlinear/qlinear_cuda_old.py",
+        f"ref_qlinear_crossload_{desc_act}",
+    )
+
+    checked = 0
+    for key, pk in model.packed_layers.items():
+        if key == "lm_head":
+            continue
+        li, path = key.split(".", 1)
+        hf_map = {
+            "attn.q_proj": "self_attn.q_proj", "attn.k_proj": "self_attn.k_proj",
+            "attn.v_proj": "self_attn.v_proj", "attn.o_proj": "self_attn.o_proj",
+            "mlp.gate_proj": "mlp.gate_proj", "mlp.up_proj": "mlp.up_proj",
+            "mlp.down_proj": "mlp.down_proj",
+        }
+        prefix = f"model.layers.{li}.{hf_map[path]}"
+        ref = mod.QuantLinear(
+            bits, gs, pk.in_features, pk.out_features, bias=False,
+            weight_dtype=torch.float32,
+        )
+        ref.qweight.copy_(torch.from_numpy(
+            np.asarray(saved[f"{prefix}.qweight"])))
+        ref.qzeros.copy_(torch.from_numpy(
+            np.asarray(saved[f"{prefix}.qzeros"])))
+        ref.scales.copy_(torch.from_numpy(
+            np.asarray(saved[f"{prefix}.scales"], np.float32)))
+        ref.g_idx.copy_(torch.from_numpy(
+            np.asarray(saved[f"{prefix}.g_idx"], np.int32)))
+
+        x = rng.standard_normal((3, pk.in_features)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        ours = np.asarray(our_qlin.matmul(
+            jnp.asarray(x), our_qlin.from_packed(pk), backend="xla"))
+        np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)
+        checked += 1
+    assert checked >= 14  # all block linears of both layers
