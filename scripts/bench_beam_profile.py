@@ -1,0 +1,100 @@
+"""Decompose the paged beam-4 step time (same-process, 7B shapes).
+
+  T1: the 7 quantized matmuls x 32 layers at M=4 (weights only, no attn)
+  T2: the stock paged-attention kernel alone, 32 calls at beam shapes
+  T3: the pool token-write scatter alone, 32 layers x 2 pools
+  T5: page copy-on-share (2 pools x 4 pages)
+
+    python scripts/bench_beam_profile.py [gen_len]
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from scripts.bench_util import slope_time
+
+GEN = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+
+params, cfg = bench.build_model()
+bk = 4
+L, H, HKV, D = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+ps = 16
+total = 16 + GEN
+pps = -(-total // ps)
+gmax = -(-GEN // ps) + 1
+P = 1 + pps + bk * gmax
+W = -(-(pps + gmax) // 8) * 8
+print(f"bk={bk} pages={P} pool={L * HKV * P * ps * D * 2 / 1e6:.0f} MB x2")
+
+rng = np.random.default_rng(0)
+k_pool = jnp.zeros((L, HKV, P, ps, D), jnp.bfloat16)
+v_pool = jnp.zeros((L, HKV, P, ps, D), jnp.bfloat16)
+tables = jnp.asarray(rng.integers(1, P, size=(bk, W)), jnp.int32)
+lengths = jnp.full((bk,), total // 2, jnp.int32)
+x0 = jnp.asarray(rng.standard_normal((bk, cfg.hidden_size)), jnp.bfloat16)
+
+from autogptq_tpu.models import arch  # noqa: E402
+from autogptq_tpu.ops import quantlinear as q  # noqa: E402
+
+
+def t1_weights(x):
+    for bp in params["layers"]:
+        ap = bp["attn"]
+        h = arch.apply_norm(bp["input_norm"], x[:, None], cfg)[:, 0]
+        qq = q.matmul(h, ap["q_proj"], backend="auto")
+        kk = q.matmul(h, ap["k_proj"], backend="auto")
+        vv = q.matmul(h, ap["v_proj"], backend="auto")
+        x = x + q.matmul(qq + kk + vv, ap["o_proj"], backend="auto")
+        h2 = arch.apply_norm(bp["post_norm"], x[:, None], cfg)[:, 0]
+        g = q.matmul(h2, bp["mlp"]["gate_proj"], backend="auto")
+        u = q.matmul(h2, bp["mlp"]["up_proj"], backend="auto")
+        x = x + q.matmul(jax.nn.silu(g) * u, bp["mlp"]["down_proj"], backend="auto")
+    return x[:, :1]
+
+
+def t2_paged_attn(x):
+    from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+    qv = jnp.broadcast_to(x[:, :D][:, None, :], (bk, H, D)).astype(jnp.bfloat16)
+    acc = jnp.zeros((bk, 1))
+    for i in range(L):
+        o = paged_attention(qv, k_pool[i], v_pool[i], lengths, tables,
+                            pages_per_compute_block=8)
+        acc = acc + o[:, 0, :1].astype(jnp.float32)
+    return acc
+
+
+def t3_scatter(x):
+    kp, vp = k_pool, v_pool
+    rows = jnp.arange(bk)
+    page_of = tables[rows, 3]
+    off = rows % ps
+    kk = jnp.broadcast_to(x[:, :D][:, None, :], (bk, HKV, D)).astype(jnp.bfloat16)
+    for i in range(L):
+        kp = kp.at[i, :, page_of, off].set(kk)
+        vp = vp.at[i, :, page_of, off].set(kk)
+    return (kp[0, 0, 0, 0, :1] + vp[0, 0, 0, 0, :1]).reshape(1, 1)
+
+
+def t5_pagecopy(x):
+    kp, vp = k_pool, v_pool
+    src = tables[jnp.arange(bk), 2]
+    dst = tables[jnp.arange(bk), 4]
+    kp = kp.at[:, :, dst].set(kp[:, :, src] + x[0, 0].astype(jnp.bfloat16))
+    vp = vp.at[:, :, dst].set(vp[:, :, src])
+    return (kp[0, 0, 0, 0, :1] + vp[0, 0, 0, 0, :1]).reshape(1, 1)
+
+
+for name, fn in [("T1 weights-only", t1_weights),
+                 ("T2 paged-attn x32", t2_paged_attn),
+                 ("T3 scatter x32", t3_scatter),
+                 ("T5 page copy", t5_pagecopy)]:
+    t = slope_time(fn, x0, n1=20, n2=220)
+    print(f"{name:22s} {t * 1e3:8.3f} ms/step", flush=True)
