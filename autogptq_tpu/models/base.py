@@ -299,28 +299,56 @@ class GPTQModel:
                                 hs[p] = hessian_init(x_in.shape[-1])
                             hs[p] = hessian_update(hs[p][0], hs[p][1], x_in)
 
+                # Group Hessian-sharing members (q/k/v, gate/up feed the SAME
+                # activations, so their Hessians are bit-identical) and solve
+                # each group as ONE N-concatenated matrix: the solver is
+                # row-independent given H, so results are exactly the
+                # per-layer solves while the serial per-column loop runs once
+                # instead of len(group) times (the reference solves each
+                # nn.Linear separately, gptq.py:121-161).
+                groups: list[list[str]] = []
                 for p in present:
-                    node = params_lib.get_in(block, p)
-                    w = np.asarray(node.kernel, dtype=np.float32).T  # [N, K]
-                    h, _ = hs[p]
+                    h_p = np.asarray(hs[p][0])
+                    for grp in groups:
+                        h_g = np.asarray(hs[grp[0]][0])
+                        if h_p.shape == h_g.shape and np.array_equal(h_p, h_g):
+                            grp.append(p)
+                            break
+                    else:
+                        groups.append([p])
+
+                for grp in groups:
+                    nodes = [params_lib.get_in(block, p) for p in grp]
+                    ws = [np.asarray(nd.kernel, np.float32).T for nd in nodes]
+                    row_ofs = np.cumsum([0] + [w.shape[0] for w in ws])
+                    h, _ = hs[grp[0]]
                     with timer.phase("solver"):
-                        res = gptq_quantize(jnp.asarray(w), h, gcfg)
-                        avg_losses.append(
-                            _check_solver_loss(res.total_loss, f"layer {li} {p}")
-                        )
+                        res = gptq_quantize(
+                            jnp.asarray(np.concatenate(ws, axis=0)), h, gcfg)
+                        _check_solver_loss(
+                            res.total_loss, f"layer {li} {'+'.join(grp)}")
+                        row_loss = np.asarray(res.row_loss)
+                    qweight = np.asarray(res.qweight)
+                    scale = np.asarray(res.scale)
+                    zero = np.asarray(res.zero)
+                    g_idx = np.asarray(res.g_idx)
                     with timer.phase("pack"):
-                        packed = qlin.pack_from_solver(
-                            np.asarray(res.qweight),
-                            np.asarray(res.scale),
-                            np.asarray(res.zero),
-                            np.asarray(res.g_idx),
-                            bits=qc.bits,
-                            group_size=qc.group_size,
-                            bias=None if node.bias is None else np.asarray(node.bias),
-                        )
-                        self.packed_layers[f"{li}.{p}"] = packed
-                        params_lib.set_in_block(block, p, qlin.from_packed(packed))
-                    del hs[p]
+                        for gi, (p, node) in enumerate(zip(grp, nodes)):
+                            r0, r1 = row_ofs[gi], row_ofs[gi + 1]
+                            avg_losses.append(float(row_loss[r0:r1].sum()))
+                            packed = qlin.pack_from_solver(
+                                qweight[r0:r1],
+                                scale[:, r0:r1],
+                                zero[:, r0:r1],
+                                g_idx,
+                                bits=qc.bits,
+                                group_size=qc.group_size,
+                                bias=None if node.bias is None else np.asarray(node.bias),
+                            )
+                            self.packed_layers[f"{li}.{p}"] = packed
+                            params_lib.set_in_block(block, p, qlin.from_packed(packed))
+                    for p in grp:
+                        del hs[p]
                 logger.info(
                     "layer %d/%d sublist %s quantized", li + 1, cfg.num_layers, sublist
                 )

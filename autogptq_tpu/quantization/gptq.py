@@ -57,6 +57,8 @@ class GPTQResult(NamedTuple):
     zero: jnp.ndarray      # [G, N] per-group zero points (integral, stored float)
     g_idx: jnp.ndarray     # [K]    per-input-feature group index (original order)
     total_loss: jnp.ndarray  # scalar sum of proxy losses (reference: sum(Losses))
+    row_loss: jnp.ndarray = None  # [N] per-output-row loss (splits a batched
+    #                               multi-layer solve back into per-layer sums)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +171,7 @@ def gptq_quantize(w: jnp.ndarray, h: jnp.ndarray, cfg: GPTQConfig) -> GPTQResult
     elif cfg.group_size == -1:
         scale_arr = full_scale[None, :]
         zero_arr = full_zero[None, :]
-    total_loss = jnp.zeros((), jnp.float32)
+    total_loss = jnp.zeros((n,), jnp.float32)   # per-row; summed at the end
 
     col_idx = jnp.arange(bs)
     # Current-group params carry across block boundaries (matters when
@@ -219,7 +221,7 @@ def gptq_quantize(w: jnp.ndarray, h: jnp.ndarray, cfg: GPTQConfig) -> GPTQResult
             d = hinv1[i, i]
             q = quantize_rtn(wcol, cur_s, cur_z, maxq)
             e = (wcol - q) / d
-            loss = loss + jnp.sum((wcol - q) ** 2 / d**2) / 2.0
+            loss = loss + ((wcol - q) ** 2 / d**2) / 2.0
 
             hrow = hinv1[i, :]                      # [count]
             upd = e[:, None] * hrow[None, :]
@@ -266,7 +268,8 @@ def gptq_quantize(w: jnp.ndarray, h: jnp.ndarray, cfg: GPTQConfig) -> GPTQResult
         scale=scale_arr,
         zero=zero_arr,
         g_idx=g_idx.astype(jnp.int32),
-        total_loss=total_loss,
+        total_loss=jnp.sum(total_loss),
+        row_loss=total_loss,
     )
 
 

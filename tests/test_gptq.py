@@ -261,3 +261,46 @@ def test_non_finite_solver_loss_raises():
         _check_solver_loss(float("nan"), "layer 0 q")
     with pytest.raises(ValueError, match="positive definite"):
         _check_solver_loss(float("inf"), "layer 3 down")
+
+
+@pytest.mark.parametrize("desc_act", [False, True])
+def test_grouped_solve_bitexact(desc_act, rng):
+    """An N-concatenated multi-layer solve (q/k/v sharing one Hessian) must
+    match solving each member separately: every op in the solver is
+    row-parallel and the column order depends only on H. (Agreement is to
+    float tolerance, not bitwise — XLA vectorizes reductions differently for
+    different N.) Guards the grouped quantize path in models/base.py
+    (reference solves each nn.Linear in its own loop pass,
+    auto_gptq/quantization/gptq.py:121-161)."""
+    k = 96
+    ws = [rng.standard_normal((n, k)).astype(np.float32) for n in (24, 16, 24)]
+    x = rng.standard_normal((4, 8, k)).astype(np.float32)
+    h, ns = hessian_init(k)
+    h, ns = hessian_update(h, ns, jnp.asarray(x))
+    cfg = GPTQConfig(bits=4, group_size=32, sym=False, desc_act=desc_act,
+                     blocksize=32)
+
+    combined = gptq_quantize(jnp.asarray(np.concatenate(ws, 0)), h, cfg)
+    row_loss = np.asarray(combined.row_loss)
+    assert row_loss.shape == (sum(w.shape[0] for w in ws),)
+    np.testing.assert_allclose(
+        float(combined.total_loss), row_loss.sum(), rtol=1e-6)
+
+    r0 = 0
+    for w in ws:
+        r1 = r0 + w.shape[0]
+        solo = gptq_quantize(jnp.asarray(w), h, cfg)
+        np.testing.assert_allclose(
+            np.asarray(combined.qweight)[r0:r1], np.asarray(solo.qweight),
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(combined.scale)[:, r0:r1], np.asarray(solo.scale),
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(combined.zero)[:, r0:r1], np.asarray(solo.zero),
+            rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(combined.g_idx), np.asarray(solo.g_idx))
+        np.testing.assert_allclose(
+            row_loss[r0:r1].sum(), float(solo.total_loss), rtol=1e-4)
+        r0 = r1
