@@ -29,15 +29,25 @@ def _load() -> ctypes.CDLL | None:
         return _LIB
     _TRIED = True
     so = os.path.abspath(os.path.join(_CSRC, "libpacklib.so"))
-    if not os.path.isfile(so):
+    src = os.path.abspath(os.path.join(_CSRC, "packlib.cpp"))
+    stale = (
+        os.path.isfile(so)
+        and os.path.isfile(src)
+        and os.path.getmtime(src) > os.path.getmtime(so)
+    )
+    if not os.path.isfile(so) or stale:
         try:
             subprocess.run(
-                ["make", "-C", os.path.abspath(_CSRC)],
+                ["make", "-C", os.path.abspath(_CSRC), "-B"] if stale
+                else ["make", "-C", os.path.abspath(_CSRC)],
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, OSError) as e:
-            logger.info("packlib build unavailable (%s); using NumPy fallback", e)
-            return None
+            if not os.path.isfile(so):
+                logger.info(
+                    "packlib build unavailable (%s); using NumPy fallback", e
+                )
+                return None
     try:
         lib = ctypes.CDLL(so)
     except OSError as e:
@@ -54,6 +64,12 @@ def _load() -> ctypes.CDLL | None:
     lib.unpack_rows_3bit.argtypes = [u32p, u32p, i64, i64]
     lib.repack_kint4.argtypes = [u32p, i32p, u8p, i64, i64]
     lib.repack_planar.argtypes = [u32p, i32p, u8p, i64, i64, ctypes.c_int, ctypes.c_int]
+    try:
+        for fn in ("repack_ki32", "pack_ki32_values", "repack_k2i32"):
+            getattr(lib, fn).argtypes = [u32p, i32p, u32p, i64, i64, i64, i64, i64]
+    except AttributeError:
+        logger.info("stale libpacklib.so (missing i32 repacks); NumPy fallback")
+        return None
     lib.packlib_num_threads.restype = ctypes.c_int
     _LIB = lib
     return lib
@@ -138,4 +154,45 @@ def repack_planar(
     return out
 
 
-__all__ = ["available", "pack_rows", "unpack_rows", "repack_kint4", "repack_planar"]
+def _i32_repack(fn_name, src, perm, k_in, k_out, n, n_out, gs, words_per_row):
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src).view(np.uint32)
+    out = np.empty((k_out // words_per_row, n_out), dtype=np.int32)
+    # keep a ref so the perm buffer outlives the call
+    perm_arr = None if perm is None else np.ascontiguousarray(perm, np.int32)
+    permp = (
+        None
+        if perm_arr is None
+        else perm_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    )
+    getattr(lib, fn_name)(
+        _u32(src), permp, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        k_in, k_out, n, n_out, gs,
+    )
+    return out
+
+
+def repack_ki32(qweight, perm, k_in, k_out, n, n_out, gs):
+    """Fused reference-4-bit-qweight -> ki32 runtime words; None if no lib.
+
+    Equivalent to ``_ki32_pack(pad(unpack_qweight(qweight)[:k_in][perm]))``
+    with zero-code K rows >= k_in and zero columns >= n."""
+    return _i32_repack("repack_ki32", qweight, perm, k_in, k_out, n, n_out, gs, 8)
+
+
+def pack_ki32_values(values, perm, k_in, k_out, n, n_out, gs):
+    """ki32 pack from unpacked uint32 codes (3-bit path); None if no lib."""
+    return _i32_repack("pack_ki32_values", values, perm, k_in, k_out, n, n_out, gs, 8)
+
+
+def repack_k2i32(qweight, perm, k_in, k_out, n, n_out, gs):
+    """Fused reference-2-bit-qweight -> k2i32 runtime words; None if no lib."""
+    return _i32_repack("repack_k2i32", qweight, perm, k_in, k_out, n, n_out, gs, 16)
+
+
+__all__ = [
+    "available", "pack_rows", "unpack_rows", "repack_kint4", "repack_planar",
+    "repack_ki32", "pack_ki32_values", "repack_k2i32",
+]

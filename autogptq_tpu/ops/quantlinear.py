@@ -289,7 +289,6 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     scales = np.asarray(packed.scales).astype(np.float32)
     g_idx = np.asarray(packed.g_idx)
 
-    w_int = packing.unpack_qweight(qweight, bits)[:k]          # [K, N] uint32
     zeros = packing.unpack_qzeros(qzeros, bits)[:, :n]         # [G, N] uint32
     g = scales.shape[0]
 
@@ -306,7 +305,6 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
                 "runtime layout (GPTQ always produces uniform groups)"
             )
         kperm = np.argsort(g_idx, kind="stable").astype(np.int32)
-        w_int = w_int[kperm]
 
     # Pad N to a lane-friendly multiple. Padded columns get scale=0 so they
     # contribute nothing and dequantize to 0.
@@ -331,8 +329,32 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
             layout = "planar"
     planes = 1 if layout in ("ki32", "kpair", "kquad", "k2i32", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
+
+    # Fused native repack (load-time hot path): qweight words -> runtime
+    # words in ONE multithreaded C++ pass, folding in the kperm gather and
+    # all K/N padding — no [K, N] uint32 intermediate (measured 2 ms vs
+    # 108 ms for the NumPy unpack+pack at 4096^2). Covers the DEFAULT
+    # layouts: ki32 (4-bit direct; 3-bit via native unpack + values pack)
+    # and k2i32 (2-bit direct).
+    fused = None
+    if native.available():
+        if layout == "ki32" and bits == 4 and k % 8 == 0:
+            fused = "ki32_qw"
+        elif layout == "ki32":
+            fused = "ki32_vals"
+        elif layout == "k2i32" and bits == 2 and k % 16 == 0:
+            fused = "k2i32_qw"
+
+    def _w_int_slow(qw, b, k_, kp, pad_n):
+        out = packing.unpack_qweight(qw, b)[:k_]               # [K, N] uint32
+        if kp is not None:
+            out = out[kp[:k_]]
+        if pad_n:
+            out = np.pad(out, ((0, 0), (0, pad_n)))
+        return out
+
+    w_int = None if fused else _w_int_slow(qweight, bits, k, kperm, n_pad - n)
     if n_pad != n:
-        w_int = np.pad(w_int, ((0, 0), (0, n_pad - n)))
         scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
@@ -340,19 +362,33 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         # Same K-padding rule as kpair below (whole zero-scale groups).
         from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
 
+        k_out = k
         bk = _pick_bk(k, packed.group_size, ki32=True)
         if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
             k_pad = _round_up(k, 1024)
             if (_pick_bk(k_pad, packed.group_size, ki32=True) or 0) >= 512:
-                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
-                if kperm is not None:
-                    kperm = np.pad(kperm, (0, k_pad - k))
+                k_out = k_pad
                 g_pad = _cdiv(k_pad, packed.group_size)
                 if g_pad > g:
                     scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
                     zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
                     g = g_pad
-        wp = _ki32_pack(w_int, min(gs_eff, w_int.shape[0]))
+        gs_k = min(gs_eff, k_out)
+        if fused == "ki32_qw":
+            wp = native.repack_ki32(qweight, kperm, k, k_out, n, n_pad, gs_k)
+        elif fused == "ki32_vals":
+            vals = packing.unpack_qweight(qweight, bits)[:k]
+            wp = native.pack_ki32_values(vals, kperm, k, k_out, n, n_pad, gs_k)
+        else:
+            wp = None
+        if wp is None:
+            if w_int is None:  # native call failed late; rebuild the slow way
+                w_int = _w_int_slow(qweight, bits, k, kperm, n_pad - n)
+            if k_out != k:
+                w_int = np.pad(w_int, ((0, k_out - k), (0, 0)))
+            wp = _ki32_pack(w_int, gs_k)
+        if k_out != k and kperm is not None:
+            kperm = np.pad(kperm, (0, k_out - k))
     elif layout == "kpair":
         # Pad K so the Pallas kernel can use a large K tile (bk>=512):
         # measured ~490 GB/s at bk>=512 vs ~374 at bk=256 for the
@@ -408,19 +444,31 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     elif layout == "k2i32":
         from .pallas.gemm import _pick_bk
 
+        k_out = k
         bk = _pick_bk(k, packed.group_size, k2i32=True)
         if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
             k_pad = _round_up(k, 1024)
             if (_pick_bk(k_pad, packed.group_size, k2i32=True) or 0) >= 512:
-                w_int = np.pad(w_int, ((0, k_pad - k), (0, 0)))
-                if kperm is not None:
-                    kperm = np.pad(kperm, (0, k_pad - k))
+                k_out = k_pad
                 g_pad = _cdiv(k_pad, packed.group_size)
                 if g_pad > g:
                     scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
                     zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
                     g = g_pad
-        wp = _k2i32_pack(w_int, min(gs_eff, w_int.shape[0]))
+        gs_k = min(gs_eff, k_out)
+        wp = (
+            native.repack_k2i32(qweight, kperm, k, k_out, n, n_pad, gs_k)
+            if fused == "k2i32_qw"
+            else None
+        )
+        if wp is None:
+            if w_int is None:
+                w_int = _w_int_slow(qweight, bits, k, kperm, n_pad - n)
+            if k_out != k:
+                w_int = np.pad(w_int, ((0, k_out - k), (0, 0)))
+            wp = _k2i32_pack(w_int, gs_k)
+        if k_out != k and kperm is not None:
+            kperm = np.pad(kperm, (0, k_out - k))
     elif layout == "koct":
         # K padding for a large virtual-row tile (bk >= 512 over 2K rows)
         from .pallas.gemm import _pick_bk

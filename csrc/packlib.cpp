@@ -141,6 +141,132 @@ void repack_planar(const uint32_t* values, const int32_t* perm, uint8_t* out,
   }
 }
 
+// Fused reference-qweight -> ki32 runtime repack (4-bit only).
+//
+// The load-time hot path for the DEFAULT runtime layout: reads nibbles
+// straight out of the reference int32 pack (row k of column n lives at
+// qw[k/8, n] >> 4*(k%8)) and emits the per-group quarter-split ki32 words
+// (see ops/quantlinear._ki32_pack) in ONE pass — no [K, N] uint32
+// intermediate (64 MB/layer for 7B shapes), no separate perm gather, no
+// pad copies. Semantics match:
+//     w_int = unpack_qweight(qw)[ :k_in][perm]; pad K to k_out with zeros;
+//     pad N to n_out with zeros; _ki32_pack(w_int, gs)
+// perm may be null (identity). perm[r] indexes logical rows < k_in; output
+// rows whose post-perm index r >= k_in (K padding) decode to code 0.
+// out must be [k_out/8, n_out] (columns >= n zeroed here).
+void repack_ki32(const uint32_t* qw, const int32_t* perm, uint32_t* out,
+                 int64_t k_in, int64_t k_out, int64_t n, int64_t n_out,
+                 int64_t gs) {
+  const int64_t groups = k_out / gs;
+  const int64_t q = gs / 4;  // quarter rows per group
+#pragma omp parallel for schedule(static)
+  for (int64_t g = 0; g < groups; ++g) {
+    for (int64_t j = 0; j < gs / 8; ++j) {
+      uint32_t* dst = out + (g * (gs / 8) + j) * n_out;
+      // the 8 logical (post-perm) rows feeding this word: quarter m,
+      // entries 2j (low half-word) and 2j+1 (high half-word)
+      const uint32_t* src[8];
+      int shift_src[8];
+      uint32_t nib_shift[8] = {0, 4, 8, 12, 16, 20, 24, 28};
+      for (int e = 0; e < 2; ++e) {
+        for (int m = 0; m < 4; ++m) {
+          const int64_t r = g * gs + m * q + 2 * j + e;
+          const int64_t rs = (r < k_in) ? (perm ? perm[r] : r) : -1;
+          const int slot = e * 4 + m;  // word bit position 4*slot
+          if (rs < 0) {
+            src[slot] = nullptr;
+            shift_src[slot] = 0;
+          } else {
+            src[slot] = qw + (rs / 8) * n;
+            shift_src[slot] = 4 * (int)(rs % 8);
+          }
+        }
+      }
+      for (int64_t col = 0; col < n; ++col) {
+        uint32_t w = 0;
+        for (int s = 0; s < 8; ++s)
+          if (src[s])
+            w |= ((src[s][col] >> shift_src[s]) & 0xFu) << nib_shift[s];
+        dst[col] = w;
+      }
+      for (int64_t col = n; col < n_out; ++col) dst[col] = 0;
+    }
+  }
+}
+
+// ki32 pack from already-unpacked values (3-bit path after the native
+// 3-bit unpack, or any uint32 [K, N] code matrix). Same perm/pad semantics
+// as repack_ki32; values rows are PRE-perm logical rows.
+void pack_ki32_values(const uint32_t* values, const int32_t* perm,
+                      uint32_t* out, int64_t k_in, int64_t k_out, int64_t n,
+                      int64_t n_out, int64_t gs) {
+  const int64_t groups = k_out / gs;
+  const int64_t q = gs / 4;
+#pragma omp parallel for schedule(static)
+  for (int64_t g = 0; g < groups; ++g) {
+    for (int64_t j = 0; j < gs / 8; ++j) {
+      uint32_t* dst = out + (g * (gs / 8) + j) * n_out;
+      const uint32_t* src[8];
+      uint32_t nib_shift[8] = {0, 4, 8, 12, 16, 20, 24, 28};
+      for (int e = 0; e < 2; ++e) {
+        for (int m = 0; m < 4; ++m) {
+          const int64_t r = g * gs + m * q + 2 * j + e;
+          const int64_t rs = (r < k_in) ? (perm ? perm[r] : r) : -1;
+          src[e * 4 + m] = (rs < 0) ? nullptr : values + rs * n;
+        }
+      }
+      for (int64_t col = 0; col < n; ++col) {
+        uint32_t w = 0;
+        for (int s = 0; s < 8; ++s)
+          if (src[s]) w |= (src[s][col] & 0xFu) << nib_shift[s];
+        dst[col] = w;
+      }
+      for (int64_t col = n; col < n_out; ++col) dst[col] = 0;
+    }
+  }
+}
+
+// Fused reference-qweight -> k2i32 runtime repack (2-bit, 16 rows/word
+// source, per-group EIGHTH-split destination — see _k2i32_pack).
+void repack_k2i32(const uint32_t* qw, const int32_t* perm, uint32_t* out,
+                  int64_t k_in, int64_t k_out, int64_t n, int64_t n_out,
+                  int64_t gs) {
+  const int64_t groups = k_out / gs;
+  const int64_t e8 = gs / 8;  // eighth rows per group
+#pragma omp parallel for schedule(static)
+  for (int64_t g = 0; g < groups; ++g) {
+    for (int64_t j = 0; j < gs / 16; ++j) {
+      uint32_t* dst = out + (g * (gs / 16) + j) * n_out;
+      const uint32_t* src[16];
+      int shift_src[16];
+      uint32_t bit_shift[16];
+      for (int e = 0; e < 2; ++e) {    // e=0 -> low half-word, e=1 -> high
+        for (int m = 0; m < 8; ++m) {  // eighth index -> bit pair 2m
+          const int64_t r = g * gs + m * e8 + 2 * j + e;
+          const int64_t rs = (r < k_in) ? (perm ? perm[r] : r) : -1;
+          const int slot = e * 8 + m;
+          bit_shift[slot] = (uint32_t)(16 * e + 2 * m);
+          if (rs < 0) {
+            src[slot] = nullptr;
+            shift_src[slot] = 0;
+          } else {
+            src[slot] = qw + (rs / 16) * n;
+            shift_src[slot] = 2 * (int)(rs % 16);
+          }
+        }
+      }
+      for (int64_t col = 0; col < n; ++col) {
+        uint32_t w = 0;
+        for (int s = 0; s < 16; ++s)
+          if (src[s])
+            w |= ((src[s][col] >> shift_src[s]) & 0x3u) << bit_shift[s];
+        dst[col] = w;
+      }
+      for (int64_t col = n; col < n_out; ++col) dst[col] = 0;
+    }
+  }
+}
+
 int packlib_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();
