@@ -44,7 +44,7 @@ from autogptq_tpu.models import arch  # noqa: E402
 from autogptq_tpu.ops import quantlinear as q  # noqa: E402
 
 
-def t1_weights(x):
+def t1_weights(x, params, k_pool, v_pool):
     for bp in params["layers"]:
         ap = bp["attn"]
         h = arch.apply_norm(bp["input_norm"], x[:, None], cfg)[:, 0]
@@ -59,7 +59,7 @@ def t1_weights(x):
     return x[:, :1]
 
 
-def t2_paged_attn(x):
+def t2_paged_attn(x, params, k_pool, v_pool):
     from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
 
     qv = jnp.broadcast_to(x[:, :D][:, None, :], (bk, H, D)).astype(jnp.bfloat16)
@@ -71,7 +71,7 @@ def t2_paged_attn(x):
     return acc
 
 
-def t3_scatter(x):
+def t3_scatter(x, params, k_pool, v_pool):
     kp, vp = k_pool, v_pool
     rows = jnp.arange(bk)
     page_of = tables[rows, 3]
@@ -83,7 +83,7 @@ def t3_scatter(x):
     return (kp[0, 0, 0, 0, :1] + vp[0, 0, 0, 0, :1]).reshape(1, 1)
 
 
-def t5_pagecopy(x):
+def t5_pagecopy(x, params, k_pool, v_pool):
     kp, vp = k_pool, v_pool
     src = tables[jnp.arange(bk), 2]
     dst = tables[jnp.arange(bk), 4]
@@ -96,5 +96,5 @@ for name, fn in [("T1 weights-only", t1_weights),
                  ("T2 paged-attn x32", t2_paged_attn),
                  ("T3 scatter x32", t3_scatter),
                  ("T5 page copy", t5_pagecopy)]:
-    t = slope_time(fn, x0, n1=20, n2=220)
+    t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pool, v_pool))
     print(f"{name:22s} {t * 1e3:8.3f} ms/step", flush=True)

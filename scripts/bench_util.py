@@ -19,9 +19,9 @@ import jax.numpy as jnp
 
 def make_looped(f):
     @partial(jax.jit, static_argnames=("n",))
-    def run(x, n):
+    def run(x, n, *args):
         def body(i, x):
-            y = f(x)
+            y = f(x, *args)
             # un-foldable dependency: y feeds a condition on x
             return jnp.where(y[0, 0] > 1e30, x + 1, x)
 
@@ -30,14 +30,20 @@ def make_looped(f):
     return run
 
 
-def slope_time(f, x, n1=50, n2=2050, reps=5):
+def slope_time(f, x, n1=50, n2=2050, reps=5, args=()):
+    """Time one call of ``f(x, *args)`` by loop-count slope.
+
+    Pass big pytrees (model params, KV pools) through ``args`` — closing
+    over them bakes multi-GB constants into the lowered HLO and can stall
+    remote compilation for minutes.
+    """
     run = make_looped(f)
-    float(np.asarray(run(x, n1)))   # compile both trip counts
-    float(np.asarray(run(x, n2)))
+    float(np.asarray(run(x, n1, *args)))   # compile both trip counts
+    float(np.asarray(run(x, n2, *args)))
 
     def once(n):
         t0 = time.perf_counter()
-        float(np.asarray(run(x, n)))
+        float(np.asarray(run(x, n, *args)))
         return time.perf_counter() - t0
 
     t1 = min(once(n1) for _ in range(reps))
