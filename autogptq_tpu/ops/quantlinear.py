@@ -114,7 +114,7 @@ class QuantLinear:
 
     @property
     def planes(self) -> int:
-        if self.layout in ("ki32", "kpair", "kquad", "k2i32", "koct"):
+        if self.layout in ("ki32", "kb32", "kpair", "kquad", "k2i32", "koct"):
             return 1
         return _planes(self.bits)
 
@@ -315,6 +315,18 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         # (q=8-row slices compile and run correctly; measured 31.9 us vs
         # kpair's 33.0 at gs=32 — small groups are slower either way).
         if (
+            _storage_bits(bits) == 4 and k >= 1024
+            and gs_eff % 32 == 0 and 256 % gs_eff == 0 and k % gs_eff == 0
+            and _round_up(k, 1024) - k <= k // 8
+        ):
+            # Superblock quarter-split: same words as ki32 at granularity
+            # 1024, but the kernel slices groups directly out of the four
+            # decoded quarters (no per-group concat) — measured 14.9 vs
+            # 15.7 us at 4096^2 g128. Needs K padded to 1024 multiples
+            # (only taken when the pad is <= K/8) and whole groups per
+            # 256-row quarter (gs | 256).
+            layout = "kb32"
+        elif (
             _storage_bits(bits) == 4 and k % 8 == 0
             and gs_eff % 32 == 0 and k % gs_eff == 0
         ):
@@ -327,7 +339,7 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
             layout = "kquad"  # true 2 bits/weight with the bitcast decode
         else:
             layout = "planar"
-    planes = 1 if layout in ("ki32", "kpair", "kquad", "k2i32", "koct") else _planes(bits)
+    planes = 1 if layout in ("ki32", "kb32", "kpair", "kquad", "k2i32", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
 
     # Fused native repack (load-time hot path): qweight words -> runtime
@@ -338,9 +350,11 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     # and k2i32 (2-bit direct).
     fused = None
     if native.available():
-        if layout == "ki32" and bits == 4 and k % 8 == 0:
+        # kb32 shares the ki32 entry points: its words ARE the ki32 pack at
+        # granularity 1024 (superblock) instead of the group size.
+        if layout in ("ki32", "kb32") and bits == 4 and k % 8 == 0:
             fused = "ki32_qw"
-        elif layout == "ki32":
+        elif layout in ("ki32", "kb32"):
             fused = "ki32_vals"
         elif layout == "k2i32" and bits == 2 and k % 16 == 0:
             fused = "k2i32_qw"
@@ -358,22 +372,35 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
-    if layout == "ki32":
+    if layout in ("ki32", "kb32"):
         # Same K-padding rule as kpair below (whole zero-scale groups).
         from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
 
         k_out = k
-        bk = _pick_bk(k, packed.group_size, ki32=True)
-        if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
-            k_pad = _round_up(k, 1024)
-            if (_pick_bk(k_pad, packed.group_size, ki32=True) or 0) >= 512:
-                k_out = k_pad
-                g_pad = _cdiv(k_pad, packed.group_size)
+        if layout == "kb32":
+            # The superblock IS the K tile: K must be a 1024 multiple.
+            # gs | 256 | 1024 (selection rule), so padding adds whole
+            # zero-scale groups and stays exact with zero-padded x.
+            k_out = _round_up(k, 1024)
+            if k_out != k:
+                g_pad = _cdiv(k_out, packed.group_size)
                 if g_pad > g:
                     scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
                     zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
                     g = g_pad
-        gs_k = min(gs_eff, k_out)
+        else:
+            bk = _pick_bk(k, packed.group_size, ki32=True)
+            if k >= 2048 and (bk is None or bk < 512) and packed.group_size != -1:
+                k_pad = _round_up(k, 1024)
+                if (_pick_bk(k_pad, packed.group_size, ki32=True) or 0) >= 512:
+                    k_out = k_pad
+                    g_pad = _cdiv(k_pad, packed.group_size)
+                    if g_pad > g:
+                        scales = np.pad(scales, ((0, g_pad - g), (0, 0)))
+                        zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
+                        g = g_pad
+        # kb32's pack granularity is the 1024-row superblock, not the group.
+        gs_k = 1024 if layout == "kb32" else min(gs_eff, k_out)
         if fused == "ki32_qw":
             wp = native.repack_ki32(qweight, kperm, k, k_out, n, n_pad, gs_k)
         elif fused == "ki32_vals":
@@ -518,9 +545,12 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
 
     Note: rows are in kperm order when desc_act; pair with remapped x.
     """
-    if ql.layout == "ki32":
+    if ql.layout in ("ki32", "kb32"):
         n_loc = ql.wp.shape[1]
-        gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
+        if ql.layout == "kb32":
+            gs = 1024  # pack granularity = superblock, not the group size
+        else:
+            gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
         w = ql.wp.view(jnp.uint32).reshape(-1, gs // 8, n_loc)  # [G, gs/8, N]
         quarters = []
         for m in range(4):
@@ -650,7 +680,7 @@ def matmul_t(g: jnp.ndarray, ql: QuantLinear, k_out: int, backend: str = "auto")
     from .pallas import gemm as pallas_gemm
 
     use_pallas = (
-        ql.layout in ("kpair", "ki32")
+        ql.layout in ("kpair", "ki32", "kb32")
         and backend != "xla"
         and (
             backend == "pallas_interpret"
@@ -663,7 +693,7 @@ def matmul_t(g: jnp.ndarray, ql: QuantLinear, k_out: int, backend: str = "auto")
             g, ql, interpret=(backend == "pallas_interpret")
         )
     else:
-        n_loc = ql.wp.shape[1] if ql.layout in ("kpair", "ki32") else ql.n_pad
+        n_loc = ql.wp.shape[1] if ql.layout in ("kpair", "ki32", "kb32") else ql.n_pad
         if g.shape[-1] != n_loc:
             pad = [(0, 0)] * (g.ndim - 1) + [(0, n_loc - g.shape[-1])]
             g = jnp.pad(g, pad)
@@ -742,6 +772,8 @@ def _runtime_unpack_np(ql: QuantLinear) -> np.ndarray:
         return kpair_unpack_np(np.asarray(ql.wp))
     if ql.layout == "ki32":
         return ki32_unpack_np(np.asarray(ql.wp), _ki32_gs(ql))
+    if ql.layout == "kb32":
+        return ki32_unpack_np(np.asarray(ql.wp), 1024)
     raise ValueError(f"unsupported layout {ql.layout!r}")
 
 
@@ -752,6 +784,8 @@ def _runtime_pack_np(w_int: np.ndarray, like: QuantLinear) -> np.ndarray:
     if like.layout == "ki32":
         gs = like.group_size if like.group_size != -1 else w_int.shape[0]
         return _ki32_pack(w_int, gs)
+    if like.layout == "kb32":
+        return _ki32_pack(w_int, 1024)
     raise ValueError(f"unsupported layout {like.layout!r}")
 
 
@@ -770,8 +804,8 @@ def concat_qls(qls: list[QuantLinear]) -> QuantLinear:
             raise ValueError("fusion requires matching K/layout/bits/group")
         if q.kperm is not None:
             raise ValueError("fusion requires trivial kperm (no desc_act)")
-    if first.layout not in ("kpair", "ki32"):
-        raise ValueError("fusion implemented for the kpair/ki32 layouts only")
+    if first.layout not in ("kpair", "ki32", "kb32"):
+        raise ValueError("fusion implemented for the kpair/ki32/kb32 layouts only")
 
     w_parts, s_parts, z_parts = [], [], []
     for q in qls:
@@ -819,8 +853,8 @@ def split_qls(ql: QuantLinear, widths: list[int]) -> list[QuantLinear]:
     [gate|up]) node cannot be column-sharded directly — each rank would get a
     contiguous chunk of the GLOBAL concat instead of [q_loc|k_loc|v_loc] —
     so TP preparation unfuses first and shards the parts independently."""
-    if ql.layout not in ("kpair", "ki32"):
-        raise ValueError("split_qls implemented for the kpair/ki32 layouts only")
+    if ql.layout not in ("kpair", "ki32", "kb32"):
+        raise ValueError("split_qls implemented for the kpair/ki32/kb32 layouts only")
     if ql.kperm is not None:
         raise ValueError("split_qls requires trivial kperm (no desc_act)")
     if sum(widths) != ql.out_features:

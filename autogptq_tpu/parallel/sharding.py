@@ -70,12 +70,14 @@ def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLi
     # the full activation vector; arch.* all-gathers the row-parallel input
     # first under explicit TP).
     k_store = node.wp.shape[0]              # stored rows (kpair K/2, kquad K/4)
-    k_eff = k_store * {"kpair": 2, "kquad": 4, "ki32": 8, "k2i32": 16}.get(node.layout, 1)
+    k_eff = k_store * {"kpair": 2, "kquad": 4, "ki32": 8, "kb32": 8, "k2i32": 16}.get(node.layout, 1)
     g = node.scales.shape[0]
     shard_k = (
         k_store % tp_size == 0
         and (k_eff // tp_size) % gs == 0
         and g % tp_size == 0
+        # kb32 packs per 1024-row superblock: shards must keep them whole
+        and (node.layout != "kb32" or (k_eff // tp_size) % 1024 == 0)
         # kperm must cover the (possibly load-time-padded) stored K so its
         # shards pair with wp's shards
         and (node.kperm is None or node.kperm.shape[0] == k_eff)

@@ -96,10 +96,10 @@ def main():
     t0 = time.perf_counter()
     model = AutoGPTQForCausalLM.from_quantized(ckpt_dir, dtype=jnp.bfloat16)
     load_s = time.perf_counter() - t0
-    print(f"from_quantized: {load_s:.0f}s (host unpack + ki32 repack + upload)",
+    print(f"from_quantized: {load_s:.0f}s (host unpack + i32 repack + upload)",
           file=sys.stderr, flush=True)
     lay = model.params["layers"][0]["attn"]["q_proj"].layout
-    assert lay == "ki32", lay
+    assert lay in ("ki32", "kb32"), lay
 
     prompt = (np.arange(16, dtype=np.int32)[None, :] % 1000)
     out = model.generate(prompt, max_new_tokens=new_tokens)  # warmup/compile

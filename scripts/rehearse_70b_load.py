@@ -126,7 +126,7 @@ def validate_shard_plan(model, tp: int = 8, gs: int = GS) -> int:
                 if not isinstance(node, QuantLinear):
                     continue
                 k_eff = node.wp.shape[0] * (
-                    8 if node.layout in ("ki32",) else 2)
+                    8 if node.layout in ("ki32", "kb32") else 2)
                 assert k_eff % tp == 0, (name, k_eff)
                 shard_k = k_eff // tp
                 assert shard_k % gs == 0, \

@@ -1,0 +1,163 @@
+"""kb32 layout (i32-loaded 4-bit decode, per-1024-row-SUPERBLOCK
+quarter-split): the default runtime layout for 3/4-bit checkpoints with
+K >= 1024 and gs | 256. Same masked-word decode as ki32, but each group is
+a direct static slice of one decoded quarter — no per-group sublane concat
+(measured 14.9 vs 15.7 us at 4096^2 g128 decode on v5e). Interpret mode
+runs the REAL kernel on CPU."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from autogptq_tpu.ops import packing, quantlinear  # noqa: E402
+from autogptq_tpu.ops.pallas import gemm  # noqa: E402
+
+
+def _make_ql(rng, k, n, gs, bits=4, desc_act=False, layout=None):
+    iw = rng.integers(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    g = k // gs if gs != -1 else 1
+    scales = (rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)
+    zeros = rng.integers(1, 2 ** bits, size=(g, n)).astype(np.int64)
+    g_idx = (np.arange(k) // (gs if gs != -1 else k)).astype(np.int32)
+    if desc_act:
+        g_idx = rng.permutation(g_idx)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, bits)),
+        qzeros=jnp.asarray(packing.pack_qzeros(zeros, bits)),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(g_idx),
+        bias=None,
+        bits=bits, group_size=gs, in_features=k, out_features=n,
+    )
+    return quantlinear.from_packed(packed, layout=layout)
+
+
+def test_from_packed_selects_kb32(rng):
+    ql = _make_ql(rng, 1024, 128, 128)
+    assert ql.layout == "kb32"
+    assert ql.wp.shape == (128, 128) and ql.wp.dtype == jnp.int32
+    assert ql.scales.shape == (8, 1, 128)
+    # every gs | 256 picks kb32 once K >= 1024
+    for gs in (32, 64, 256):
+        assert _make_ql(rng, 1024, 128, gs).layout == "kb32"
+    # gs = 96 does not divide 256 -> ki32
+    assert _make_ql(rng, 1152, 128, 96).layout == "ki32"
+    # K < 1024 -> ki32
+    assert _make_ql(rng, 256, 128, 64).layout == "ki32"
+    # K = 1152: pad to 2048 would waste 78% -> ki32
+    assert _make_ql(rng, 1152, 128, 128).layout == "ki32"
+
+
+def test_kb32_pack_matches_ki32_at_superblock(rng):
+    """kb32 words ARE the ki32 pack at granularity 1024."""
+    w = rng.integers(0, 16, size=(2048, 128)).astype(np.uint32)
+    wp = quantlinear._ki32_pack(w, 1024)
+    np.testing.assert_array_equal(quantlinear.ki32_unpack_np(wp, 1024), w)
+
+
+@pytest.mark.parametrize("bits", [3, 4])
+@pytest.mark.parametrize("gs", [64, 128, 256])
+@pytest.mark.parametrize("m", [1, 64])       # decode + prefill regimes
+def test_kb32_kernel_matches_xla(rng, bits, gs, m):
+    ql = _make_ql(rng, 1024, 128, gs, bits=bits)
+    assert ql.layout == "kb32"
+    x = (rng.standard_normal((m, 1024)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), ql, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32_kernel_desc_act(rng):
+    ql = _make_ql(rng, 1024, 128, 128, desc_act=True)
+    assert ql.layout == "kb32" and ql.kperm is not None
+    x = (rng.standard_normal((1, 1024)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), ql, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32_padded_k(rng):
+    """K = 2944 pads to 3072 (pad 128 <= K/8) with zero-scale groups."""
+    ql = _make_ql(rng, 2944, 128, 128)
+    assert ql.layout == "kb32"
+    assert ql.wp.shape[0] * 8 == 3072
+    x = (rng.standard_normal((2, 2944)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), ql, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32_dequant_matches_reference_unpack(rng):
+    k, n, gs = 1024, 128, 128
+    iw = rng.integers(0, 16, size=(k, n)).astype(np.uint32)
+    g = k // gs
+    scales = (rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)
+    zeros = rng.integers(1, 16, size=(g, n)).astype(np.int64)
+    g_idx = (np.arange(k) // gs).astype(np.int32)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, 4)),
+        qzeros=jnp.asarray(packing.pack_qzeros(zeros, 4)),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(g_idx),
+        bias=None,
+        bits=4, group_size=gs, in_features=k, out_features=n,
+    )
+    ql = quantlinear.from_packed(packed)
+    assert ql.layout == "kb32"
+    w = np.asarray(quantlinear.dequantize_xla(ql, jnp.float32))[:k, :n]
+    expect = (iw.astype(np.float32) - zeros[g_idx].astype(np.float32)) \
+        * scales[g_idx].astype(np.float32)
+    np.testing.assert_allclose(w, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_kb32_vjp_matches_xla_grad(rng):
+    """The fused transpose kernel backs the custom VJP for kb32 too."""
+    ql = _make_ql(rng, 1024, 128, 128)
+    assert ql.layout == "kb32"
+    x = jnp.asarray(rng.standard_normal((4, 1024)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((4, 128)), jnp.float32)
+
+    def f(backend):
+        return jax.grad(
+            lambda xx: jnp.sum(quantlinear.matmul(xx, ql, backend=backend) * cot)
+        )(x)
+
+    ref = f("xla")
+    got = f("pallas_interpret")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32_concat_split_roundtrip(rng):
+    a = _make_ql(rng, 1024, 128, 128)
+    b = _make_ql(rng, 1024, 256, 128)
+    fused = quantlinear.concat_qls([a, b])
+    assert fused.layout == "kb32" and fused.out_features == 384
+    x = jnp.asarray(rng.standard_normal((2, 1024)) * 0.1, jnp.float32)
+    ya = quantlinear.matmul_xla(x, a)
+    yb = quantlinear.matmul_xla(x, b)
+    yf = quantlinear.matmul_xla(x, fused)
+    np.testing.assert_allclose(np.asarray(yf),
+                               np.concatenate([ya, yb], -1), rtol=1e-4, atol=1e-5)
+    back = quantlinear.split_qls(fused, [128, 256])
+    np.testing.assert_allclose(np.asarray(quantlinear.matmul_xla(x, back[0])),
+                               np.asarray(ya), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(quantlinear.matmul_xla(x, back[1])),
+                               np.asarray(yb), rtol=1e-4, atol=1e-5)
+
+
+def test_kb32_native_matches_numpy_pack(rng):
+    """Fused C++ repack (ki32 entry at granularity 1024) == NumPy pack."""
+    from autogptq_tpu.ops import native
+    if not native.available():
+        pytest.skip("native packlib not built")
+    k, n, gs = 1024, 128, 128
+    iw = rng.integers(0, 16, size=(k, n)).astype(np.uint32)
+    qweight = packing.pack_qweight(iw, 4)
+    wp = native.repack_ki32(np.asarray(qweight), None, k, k, n, n, 1024)
+    np.testing.assert_array_equal(wp, quantlinear._ki32_pack(iw, 1024))
