@@ -924,9 +924,41 @@ def moe_mlp(
     if "experts_stacked" in bp:
         # Expert-parallel execution: batched matmuls over the expert axis
         # (shardable on "ep"); dense routing combine.
-        from ..ops.quantlinear import matmul_stacked
+        from ..ops.quantlinear import StackedQuantLinear, matmul_routed, matmul_stacked
 
         st = bp["experts_stacked"]
+        pairs = b * t * cfg.moe_top_k
+        if (
+            capture is None
+            and backend != "xla"
+            and pairs <= e          # decode regime: fewer pairs than experts
+            and isinstance(st.get("gate_proj"), StackedQuantLinear)
+        ):
+            from ..ops.pallas import gemm as _pgemm
+
+            routed_ok = all(
+                _pgemm.supported_routed(
+                    st[nm], interpret=(backend == "pallas_interpret")
+                )
+                for nm in ("gate_proj", "up_proj", "down_proj")
+            )
+            if routed_ok:
+                # Top-k routed execution: the scalar-prefetch kernel DMAs
+                # ONLY the selected experts' weights — top-2-of-8 decode
+                # reads 4x less than the dense stacked path below (the
+                # reference likewise touches only routed experts,
+                # modeling/mixtral.py:8-40).
+                sel_flat = sel.reshape(-1)
+                xt = jnp.repeat(
+                    x.reshape(b * t, hdim), cfg.moe_top_k, axis=0
+                )
+                gate = matmul_routed(xt, st["gate_proj"], sel_flat, backend)
+                up = matmul_routed(xt, st["up_proj"], sel_flat, backend)
+                hmid = jax.nn.silu(gate) * up
+                y = matmul_routed(hmid, st["down_proj"], sel_flat, backend)
+                out = y.astype(jnp.float32) * weights.reshape(-1)[:, None]
+                out = out.reshape(b, t, cfg.moe_top_k, hdim).sum(axis=2)
+                return out.astype(x.dtype)
         gate = matmul_stacked(x, st["gate_proj"], backend)            # [E, B, T, I]
         up = matmul_stacked(x, st["up_proj"], backend)
         h = jax.nn.silu(gate) * up

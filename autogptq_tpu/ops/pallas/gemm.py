@@ -624,6 +624,143 @@ def _matmul_kb32_t(
     )(g2d, wp, scales3, sz3)
 
 
+def _kernel_routed_kb32(sel_ref, x_ref, wp_ref, s_ref, z_ref, out_ref, *,
+                        rows_per_blk, gs, dot_dtype):
+    """Routed-expert decode kernel (MoE top-k fast path): pair p computes
+    x[p] @ dequant(W[sel[p]]). The expert axis of the stacked weights is
+    indexed by SCALAR PREFETCH (sel feeds the wp/scales/zeros index_maps),
+    so only the selected experts' blocks are ever DMA'd from HBM — the
+    TPU-native analog of the reference's per-expert Linear dispatch
+    (modeling/mixtral.py:8-40), vs our dense stacked path that reads all E
+    experts every step. Decode body = _kernel_kb32's factored per-group
+    form over all P_pad x rows; the single valid row p is selected by mask
+    (x is tiny; weights are the traffic)."""
+    p = pl.program_id(0)
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    xv = x_ref[...].astype(dot_dtype)            # [P_pad, BK]
+    ws = _ki32_decode_words(wp_ref[0])           # 4 x [BK/4, BN]
+    quarter = (rows_per_blk * gs) // 4
+    gpq = quarter // gs
+    acc = None
+    for r in range(rows_per_blk):
+        m, off = r // gpq, (r % gpq) * gs
+        wg = ws[m][off:off + gs]
+        xr = xv[:, r * gs:(r + 1) * gs]
+        part = jax.lax.dot_general(
+            xr, wg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        xs = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        s = s_ref[0, r, 0, :]
+        s128 = s * 128.0
+        zadj = s128 + s * z_ref[0, r, 0, :].astype(jnp.int32).astype(jnp.float32)
+        term = part * s128[None, :] - xs * zadj[None, :]
+        acc = term if acc is None else acc + term
+    rows = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    picked = jnp.sum(jnp.where(rows == p, acc, 0.0), axis=0, keepdims=True)
+    out_ref[...] += picked[:, None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bn", "dot_dtype")
+)
+def _matmul_routed_kb32(
+    xp,                    # [P_pad, K] one row per (token, expert) pair
+    sel,                   # [P] int32 expert ids
+    wp,                    # [E, K/8, N] kb32 words
+    scales4,               # [E, G, 1, N]
+    sz4,                   # [E, G, 1, N]
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bn,
+    dot_dtype,
+):
+    p_pad, k = xp.shape
+    p = sel.shape[0]
+    gs = group_size if group_size != -1 else k
+    bk = _pick_bk(k, group_size, kb32=True)
+    assert bk is not None, "unsupported shape for routed kb32 kernel"
+    bn = min(bn, n_pad)
+    rows_per_blk = bk // gs
+
+    grid = (p, _cdiv(n_pad, bn), k // bk)
+    kernel = functools.partial(
+        _kernel_routed_kb32, rows_per_blk=rows_per_blk, gs=gs,
+        dot_dtype=dot_dtype,
+    )
+    flops = 2 * p_pad * k * n_pad
+    bytes_accessed = p * (k // 8) * n_pad * 4 + p_pad * k * xp.dtype.itemsize
+
+    y = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((p_pad, bk), lambda pi, j, ki, sel: (0, ki)),
+                pl.BlockSpec((1, bk // 8, bn), lambda pi, j, ki, sel: (sel[pi], ki, j)),
+                pl.BlockSpec((1, rows_per_blk, 1, bn), lambda pi, j, ki, sel: (sel[pi], ki, 0, j)),
+                pl.BlockSpec((1, rows_per_blk, 1, bn), lambda pi, j, ki, sel: (sel[pi], ki, 0, j)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bn), lambda pi, j, ki, sel: (pi, 0, j)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((p, 1, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(sel, xp, wp, scales4, sz4)
+
+    return y[:, 0, :out_features]
+
+
+def supported_routed(sql, interpret: bool = False) -> bool:
+    """Routed-expert kernel shape gate (kb32-stacked experts only)."""
+    if not interpret and jax.default_backend() != "tpu":
+        return False
+    if sql.layout != "kb32":
+        return False
+    k = sql.wp.shape[1] * 8
+    if _pick_bk(k, sql.group_size, kb32=True) is None:
+        return False
+    return sql.n_pad % 128 == 0
+
+
+def matmul_routed_pallas(xp, sel, sql, interpret: bool = False):
+    """Top-k routed expert matmul: row p of the result is
+    ``xp[p] @ dequant(W[sel[p]])``. xp rows are padded to >= 8 sublanes."""
+    p = sel.shape[0]
+    p_pad = max(8, _cdiv(p, 8) * 8)
+    if xp.shape[0] != p_pad:
+        xp = jnp.pad(xp, ((0, p_pad - xp.shape[0]), (0, 0)))
+    k_store = sql.wp.shape[1] * 8
+    if xp.shape[1] != k_store:          # load-time K padding: zero-pad x
+        xp = jnp.pad(xp, ((0, 0), (0, k_store - xp.shape[1])))
+    return _matmul_routed_kb32(
+        xp, sel, sql.wp, sql.scales, sql.zeros,
+        group_size=sql.group_size, n_pad=sql.wp.shape[2],
+        out_features=min(sql.out_features, sql.wp.shape[2]),
+        interpret=interpret,
+        # decode-regime tile: same default as the kb32 forward
+        bn=2048,
+        dot_dtype=jnp.bfloat16,
+    )
+
+
 def _kernel_ki32_t(g_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype):
     """Transpose kernel (backward: dx = dy @ dequant(W)^T) for ki32 —
     same structure as _kernel_kpair_t with the quarter-split decode."""

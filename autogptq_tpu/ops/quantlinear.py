@@ -958,6 +958,47 @@ def matmul_stacked(x: jnp.ndarray, sql: StackedQuantLinear, backend: str = "auto
     return jax.vmap(one)(sql.wp, sql.scales, sql.zeros, sql.bias)
 
 
+def matmul_routed(x: jnp.ndarray, sql: StackedQuantLinear, sel: jnp.ndarray,
+                  backend: str = "auto") -> jnp.ndarray:
+    """Sparse-MoE decode execution: row p of the result is
+    ``x[p] @ dequant(W[sel[p]])`` (x ``[P, K]``, sel ``[P]`` int32 ->
+    ``[P, N]``).
+
+    On TPU this runs the scalar-prefetch Pallas kernel that DMAs ONLY the
+    selected experts' weights — at Mixtral decode (top-2 of 8) that is 4x
+    less weight traffic than the dense stacked path, mirroring how the
+    reference touches only routed experts (modeling/mixtral.py:8-40). The
+    XLA fallback gathers the selected experts then dequantizes."""
+    from .pallas import gemm as pallas_gemm
+
+    use_pallas = backend != "xla" and (
+        backend in ("pallas", "pallas_interpret")
+        or pallas_gemm.supported_routed(sql)
+    )
+    if use_pallas:
+        y = pallas_gemm.matmul_routed_pallas(
+            x, sel, sql, interpret=(backend == "pallas_interpret")
+        ).astype(x.dtype)
+    else:
+        wps = jnp.take(sql.wp, sel, axis=0)
+        sc = jnp.take(sql.scales, sel, axis=0)
+        zr = jnp.take(sql.zeros, sel, axis=0)
+
+        def one(xr, wp_e, s_e, z_e):
+            ql = QuantLinear(
+                wp=wp_e, scales=s_e, zeros=z_e, kperm=None, bias=None,
+                bits=sql.bits, group_size=sql.group_size,
+                in_features=sql.in_features, out_features=sql.out_features,
+                n_pad=sql.n_pad, layout=sql.layout,
+            )
+            return matmul_xla(xr[None], ql)[0]
+
+        y = jax.vmap(one)(x[: sel.shape[0]], wps, sc, zr).astype(x.dtype)
+    if sql.bias is not None:
+        y = y + jnp.take(sql.bias, sel, axis=0).astype(y.dtype)
+    return y
+
+
 # ---------------------------------------------------------------------------
 # Construction from a solver result / dense weights, and back to disk format.
 # ---------------------------------------------------------------------------
