@@ -663,11 +663,16 @@ def attention(
                     ks = jnp.pad(ks, hpad)
                     vs = jnp.pad(vs, hpad)
             rows = jnp.arange(b)
-            ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0])
-            cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0])
+            # mode="drop": a cursor at/after S falls outside the cache and
+            # the write is DISCARDED (not clamped). Real decode cursors are
+            # always in-bounds; this makes the serving engine's parked
+            # cursors (max_seq_len - 1, beyond any sliced decode window)
+            # safe under window-bucketed steps.
+            ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0], mode="drop")
+            cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0], mode="drop")
             if kv_int8:
-                cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0])
-                cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0])
+                cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0], mode="drop")
+                cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0], mode="drop")
             s = ck.shape[1]
             kv_slot = jnp.arange(s)
             q_slot = start[:, None, None]                  # [B, 1, 1]

@@ -266,16 +266,22 @@ class ContinuousBatchEngine:
                 jnp.zeros((1, self.prefill_chunk), jnp.int32),
                 jnp.int32(self.prefill_chunk), jnp.int32(0), jnp.int32(0))
         variants = (False, True) if sampling else (False,)
+        # decode windows start at the smallest bucket and grow with the
+        # live sequences; precompile each requested bucket plus full-cache
+        wins = sorted({
+            _bucket(b) for b in buckets if _bucket(b) < self.max_seq_len
+        }) + [None]
         for s in variants:
-            step = self._decode_step_fn(sampling=s)
-            args = [self.model.params, self.cache_k, self.cache_v,
-                    self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
-                    jnp.asarray(self._eos), jnp.zeros((self.max_slots,), jnp.int32)]
-            if s:
-                args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
-                         jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
-                         jnp.zeros((self.max_slots,), jnp.int32)]
-            step(*args)
+            for w in wins:
+                step = self._decode_step_fn(sampling=s, win=w)
+                args = [self.model.params, self.cache_k, self.cache_v,
+                        self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
+                        jnp.asarray(self._eos), jnp.zeros((self.max_slots,), jnp.int32)]
+                if s:
+                    args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                             jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
+                             jnp.zeros((self.max_slots,), jnp.int32)]
+                step(*args)
 
     # -- whole-prompt (bucketed) prefill --------------------------------
 
@@ -509,14 +515,27 @@ class ContinuousBatchEngine:
 
     # -- decode ---------------------------------------------------------
 
-    def _decode_step_fn(self, sampling: bool):
-        fn = self._decode_fns.get(sampling)
+    def _decode_step_fn(self, sampling: bool, win: int | None = None):
+        fn = self._decode_fns.get((sampling, win))
         if fn is None:
             model = self.model
             fcfg = self._fwd_cfg
 
             def step(params, cache_k, cache_v, cache_ks, cache_vs, lengths,
                      cur_tokens, eos_ids, min_left, *samp):
+                # Window-bucketed decode: attend over a static prefix of the
+                # cache that covers every ACTIVE cursor (win is bucketed so
+                # recompiles are rare). The decode attention reads the whole
+                # padded S axis each step under jit; at batch 8 that KV
+                # traffic rivals the weights — slicing to the live window
+                # removes most of it. Parked mid-prefill cursors
+                # (max_seq_len - 1) fall outside the window and their
+                # writes are DROPPED (arch.attention scatter mode="drop").
+                full = (cache_k, cache_v, cache_ks, cache_vs)
+                if win is not None:
+                    sl = lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, win, axis=2)
+                    cache_k, cache_v = sl(cache_k), sl(cache_v)
+                    cache_ks, cache_vs = sl(cache_ks), sl(cache_vs)
                 cache = KVCache(
                     k=cache_k, v=cache_v, length=lengths,
                     k_scale=cache_ks, v_scale=cache_vs,
@@ -526,6 +545,13 @@ class ContinuousBatchEngine:
                     backend=model.backend, dtype=model.dtype,
                     positions=lengths[:, None],
                 )
+                ck, cv = cache.k, cache.v
+                cks, cvs = cache.k_scale, cache.v_scale
+                if win is not None:
+                    zero = (0,) * 5
+                    upd = lambda f, p: None if p is None else jax.lax.dynamic_update_slice(f, p, zero)
+                    ck, cv = upd(full[0], ck), upd(full[1], cv)
+                    cks, cvs = upd(full[2], cks), upd(full[3], cvs)
                 lrow = logits[:, -1, :]
                 if sampling:
                     temps, top_ps, top_ks, seeds, steps = samp
@@ -535,7 +561,7 @@ class ContinuousBatchEngine:
                     )
                 else:
                     nxt = _greedy_tokens(lrow, eos_ids, min_left)
-                return cache.k, cache.v, cache.k_scale, cache.v_scale, cache.length, nxt
+                return ck, cv, cks, cvs, cache.length, nxt
 
             if self.is_tp:
                 from jax.sharding import PartitionSpec as P
@@ -552,7 +578,7 @@ class ContinuousBatchEngine:
                 ))
             else:
                 fn = jax.jit(step)
-            self._decode_fns[sampling] = fn
+            self._decode_fns[(sampling, win)] = fn
         return fn
 
     def step(self) -> list[int]:
@@ -578,7 +604,17 @@ class ContinuousBatchEngine:
         sampling = any(
             self._temps[i] > 0.0 for i, a in enumerate(active) if a
         )
-        step = self._decode_step_fn(sampling)
+        # Static attention window covering every active cursor (bucketed so
+        # recompiles are rare); None = full cache. Positions are host-known
+        # (prompt + generated so far), so this costs no device sync.
+        need = max(
+            len(st.req.prompt) + len(st.generated)
+            for st, a in zip(self.slots, active) if a
+        )
+        win = _bucket(need)
+        if win >= self.max_seq_len:
+            win = None
+        step = self._decode_step_fn(sampling, win)
         min_left = np.array([
             max(0, self._min_new[i] - len(st.generated))
             for i, st in enumerate(self.slots)

@@ -161,3 +161,59 @@ def test_kb32_native_matches_numpy_pack(rng):
     qweight = packing.pack_qweight(iw, 4)
     wp = native.repack_ki32(np.asarray(qweight), None, k, k, n, n, 1024)
     np.testing.assert_array_equal(wp, quantlinear._ki32_pack(iw, 1024))
+
+
+def test_phased_decode_matches_monolithic(rng):
+    """Growing-window decode (generation._window_phases): the phase plan
+    covers every step with a window large enough for its write slot, and
+    phased vs monolithic generate produce the same tokens."""
+    import transformers
+
+    from autogptq_tpu import AutoGPTQForCausalLM, BaseQuantizeConfig
+    from autogptq_tpu.utils import generation
+
+    for t, mx, total in ((16, 512, 528), (3, 5, 8), (100, 300, 400), (1, 1, 2)):
+        phases = generation._window_phases(t, mx, total)
+        covered = 1
+        for s0, s1, w in phases:
+            assert s0 == covered and s1 > s0
+            assert w >= t + s1 or w == total
+            assert w <= total
+            covered = s1
+        assert covered == max(1, mx)
+
+    import torch
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        tie_word_embeddings=False,
+    )
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        transformers.LlamaForCausalLM(cfg).save_pretrained(
+            td + "/fp", safe_serialization=True)
+        qc = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+        m = AutoGPTQForCausalLM.from_pretrained(
+            td + "/fp", quantize_config=qc, dtype=jnp.float32)
+        m.quantize([
+            {"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)
+        ])
+    prompt = rng.integers(0, 256, size=(2, 5)).astype(np.int32)
+    # 200 new tokens from a 5-token prompt -> multiple phases (128, 205)
+    a = generation.generate(m, prompt, max_new_tokens=200, phased=True)
+    b = generation.generate(m, prompt, max_new_tokens=200, phased=False)
+    np.testing.assert_array_equal(a, b)
+    # sampled path, fixed seed
+    a = generation.generate(m, prompt, max_new_tokens=150, temperature=0.8,
+                            seed=3, phased=True)
+    b = generation.generate(m, prompt, max_new_tokens=150, temperature=0.8,
+                            seed=3, phased=False)
+    np.testing.assert_array_equal(a, b)
+    # int8 KV cache path slices the scale planes too
+    a = generation.generate(m, prompt, max_new_tokens=150, kv_quant=True,
+                            phased=True)
+    b = generation.generate(m, prompt, max_new_tokens=150, kv_quant=True,
+                            phased=False)
+    np.testing.assert_array_equal(a, b)

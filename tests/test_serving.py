@@ -91,7 +91,8 @@ def test_warmup_precompiles_and_preserves_state(rng):
     eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128)
     eng.warmup(buckets=(32, 64))
     assert 32 in eng._prefill_fns and 64 in eng._prefill_fns
-    assert False in eng._decode_fns  # greedy decode step compiled
+    assert (False, None) in eng._decode_fns  # greedy decode compiled
+    assert (False, 32) in eng._decode_fns  # window-bucketed variant too
     assert all(st.req is None for st in eng.slots)
     assert int(eng.lengths.sum()) == 0
     # engine still works normally after warmup
