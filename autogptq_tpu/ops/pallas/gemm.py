@@ -1281,6 +1281,45 @@ def _matmul_planar(
     return y3.reshape(m, n_pad)[:, :out_features]
 
 
+def _autotune_bench(ql: QuantLinear, m: int, bn: int):
+    """Candidate builder for :func:`autotune.pick_bn`: a looped, jitted
+    runner over DUMMY operands with the node's exact shapes and dtypes (any
+    random bit pattern is a valid code word), so measuring never touches —
+    or uploads — the real (possibly traced) weights."""
+    fn = {"kpair": _matmul_kpair, "ki32": _matmul_ki32, "kb32": _matmul_kb32,
+          "k2i32": _matmul_k2i32, "kquad": _matmul_kquad}.get(ql.layout)
+    if fn is None:
+        return None
+    rng = np.random.default_rng(0)
+    wp = jnp.asarray(
+        rng.integers(0, 2 ** 31 - 1, size=ql.wp.shape), ql.wp.dtype
+    )
+    scales = jnp.asarray(
+        (rng.random(ql.scales.shape) * 0.02 + 0.005), jnp.float32
+    )
+    zeros = jnp.asarray(rng.integers(1, 16, size=ql.zeros.shape), jnp.uint8)
+    n_loc = ql.wp.shape[1]
+
+    def one(x):
+        return fn(
+            x, wp, scales, zeros,
+            group_size=ql.group_size, n_pad=n_loc,
+            out_features=min(ql.out_features, n_loc),
+            interpret=False, bm=min(256, max(8, m)), bn=bn,
+            dot_dtype=jnp.bfloat16,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(x, n):
+        def body(i, xx):
+            y = one(xx)
+            return jnp.where(y[0, 0] > 1e30, xx + 1, xx)
+
+        return jax.lax.fori_loop(0, n, body, x)[0, 0]
+
+    return run
+
+
 def matmul_pallas(
     x: jnp.ndarray,
     ql: QuantLinear,
@@ -1305,6 +1344,24 @@ def matmul_pallas(
     m = x2d.shape[0]
     bm = min(bm, max(8, m))
 
+    # Opt-in shape autotune (AUTOGPTQ_TPU_AUTOTUNE=1): measured N-tile for
+    # this (layout, shape, M-regime) replaces the 4096^2-derived default.
+    # An explicit non-default bnh is always honored.
+    tuned = False
+    if bnh == 1024 and not interpret:
+        from . import autotune as _at
+
+        if _at.enabled():
+            mult = {"ki32": 8, "kb32": 8, "k2i32": 16, "kpair": 2, "kquad": 4}
+            if ql.layout in mult:
+                k_stat = ql.wp.shape[0] * mult[ql.layout]
+                bnh = _at.pick_bn(
+                    ql.layout, k_stat, ql.wp.shape[1], ql.group_size, m,
+                    default=2048 if ql.layout == "kb32" else 1024,
+                    bench=lambda bn: _autotune_bench(ql, m, bn),
+                )
+                tuned = True
+
     if ql.layout == "kb32":
         k_pad = ql.wp.shape[0] * 8
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
@@ -1322,8 +1379,8 @@ def matmul_pallas(
             bm=bm,
             # decode bn sweep (same-process, 4096^2 g128): 2048 beats 1024
             # for kb32 (14.94 vs 15.52 us) — the concat-free body leaves
-            # VMEM headroom the wider tile can use. Honor explicit bnh.
-            bn=2048 if bnh == 1024 else bnh,
+            # VMEM headroom the wider tile can use. Honor explicit/tuned bnh.
+            bn=bnh if tuned else (2048 if bnh == 1024 else bnh),
             dot_dtype=dot_dtype,
         )
         y = y.astype(x.dtype)

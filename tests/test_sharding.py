@@ -93,3 +93,49 @@ def test_dryrun_multichip_entry():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 16, 256)
+
+
+def test_kb32_row_parallel_pspec_and_parity(rng):
+    """kb32 nodes row-shard only on superblock (1024-row) boundaries; a
+    tp=2 GSPMD shard of a K=2048 kb32 linear matches the unsharded result."""
+    from jax.sharding import PartitionSpec as P
+
+    from autogptq_tpu.ops import packing, quantlinear
+    from autogptq_tpu.parallel.sharding import _quant_specs
+
+    k, n, gs = 2048, 256, 128
+    iw = rng.integers(0, 16, size=(k, n)).astype(np.uint32)
+    g = k // gs
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, 4)),
+        qzeros=jnp.asarray(packing.pack_qzeros(
+            rng.integers(1, 16, size=(g, n)).astype(np.int64), 4)),
+        scales=jnp.asarray((rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)),
+        g_idx=jnp.asarray((np.arange(k) // gs).astype(np.int32)),
+        bias=None, bits=4, group_size=gs, in_features=k, out_features=n,
+    )
+    ql = quantlinear.from_packed(packed)
+    assert ql.layout == "kb32"
+
+    # tp=2: 1024-row shards = whole superblocks -> row-parallel allowed
+    spec2 = _quant_specs(ql, col=False, tp="tp", tp_size=2)
+    assert spec2.wp == P("tp", None)
+    # tp=4: 512-row shards split a superblock -> replicate
+    spec4 = _quant_specs(ql, col=False, tp="tp", tp_size=4)
+    assert spec4.wp == P(None, None)
+
+    x = jnp.asarray(rng.standard_normal((2, k)) * 0.1, jnp.float32)
+    ref = quantlinear.matmul_xla(x, ql)
+    mesh = make_mesh(tp=2, dp=4)
+    with mesh:
+        shard = lambda a, s: jax.device_put(a, NamedSharding(mesh, s))
+        qls = quantlinear.QuantLinear(
+            wp=shard(ql.wp, spec2.wp), scales=shard(ql.scales, spec2.scales),
+            zeros=shard(ql.zeros, spec2.zeros), kperm=None, bias=None,
+            bits=ql.bits, group_size=ql.group_size,
+            in_features=ql.in_features, out_features=ql.out_features,
+            n_pad=ql.n_pad, layout=ql.layout,
+        )
+        got = jax.jit(quantlinear.matmul_xla)(x, qls)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
