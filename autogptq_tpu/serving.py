@@ -193,7 +193,7 @@ class ContinuousBatchEngine:
         self.finished: dict[int, np.ndarray] = {}
         self._prefill_fns: dict[int, object] = {}
         self._decode_fns: dict[bool, object] = {}
-        self._chunk_fn = None
+        self._chunk_fns = {}
         self._pf_rr = 0  # round-robin over mid-prefill slots
 
     # ------------------------------------------------------------------
@@ -392,19 +392,28 @@ class ContinuousBatchEngine:
 
     # -- chunked (cache-continuation) prefill ---------------------------
 
-    def _get_chunk_fn(self):
-        """One jitted function, reused for every chunk: forwards a [1, C]
-        token chunk against slot ``slot``'s cache continuation at offset
-        ``start`` (the ``fresh_prefill=False`` path) and writes the new K/V
-        span back into the engine cache."""
-        if self._chunk_fn is None:
+    def _get_chunk_fn(self, win: int | None = None):
+        """One jitted function per attention window, reused for every chunk:
+        forwards a [1, C] token chunk against slot ``slot``'s cache
+        continuation at offset ``start`` (the ``fresh_prefill=False`` path)
+        and writes the new K/V span back into the engine cache. ``win``
+        statically bounds the attended/written prefix (the chunk at offset
+        ``start`` only needs ``start + C`` positions — attending the whole
+        padded S axis wastes KV bandwidth during long-prompt ingest)."""
+        fn = self._chunk_fns.get(win)
+        if fn is None:
             model = self.model
             fcfg = self._fwd_cfg
             C = self.prefill_chunk
 
             def chunk(params, cache_k, cache_v, cache_ks, cache_vs,
                       tokens, valid, start, slot):
-                # slice this slot's cache: [L, 1, S, Hkv, D]
+                full = (cache_k, cache_v, cache_ks, cache_vs)
+                if win is not None:
+                    wsl = lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, win, axis=2)
+                    cache_k, cache_v = wsl(cache_k), wsl(cache_v)
+                    cache_ks, cache_vs = wsl(cache_ks), wsl(cache_vs)
+                # slice this slot's cache: [L, 1, S(win), Hkv, D]
                 def take(a):
                     return None if a is None else jax.lax.dynamic_slice_in_dim(
                         a, slot, 1, axis=1)
@@ -432,11 +441,13 @@ class ContinuousBatchEngine:
                     return jax.lax.dynamic_update_slice(
                         dst, src, (0, slot, 0, 0, 0))
 
-                cache_k = put(cache_k, cache.k)
-                cache_v = put(cache_v, cache.v)
+                cache_k = put(full[0] if win is not None else cache_k, cache.k)
+                cache_v = put(full[1] if win is not None else cache_v, cache.v)
                 if self.kv_quant:
-                    cache_ks = put(cache_ks, cache.k_scale)
-                    cache_vs = put(cache_vs, cache.v_scale)
+                    cache_ks = put(full[2] if win is not None else cache_ks, cache.k_scale)
+                    cache_vs = put(full[3] if win is not None else cache_vs, cache.v_scale)
+                else:
+                    cache_ks, cache_vs = full[2], full[3]
                 lrow = logits[0, valid - 1]
                 return cache_k, cache_v, cache_ks, cache_vs, lrow
 
@@ -446,15 +457,16 @@ class ContinuousBatchEngine:
                 m = self.model
                 h = self._hspec
                 sc = h if self.kv_quant else P()
-                self._chunk_fn = jax.jit(jax.shard_map(
+                fn = jax.jit(jax.shard_map(
                     chunk, mesh=m.mesh,
                     in_specs=(m.specs, h, h, sc, sc, P(), P(), P(), P()),
                     out_specs=(h, h, sc, sc, P()),
                     check_vma=False,
                 ))
             else:
-                self._chunk_fn = jax.jit(chunk)
-        return self._chunk_fn
+                fn = jax.jit(chunk)
+            self._chunk_fns[win] = fn
+        return fn
 
     def _start_chunked(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
@@ -488,7 +500,10 @@ class ContinuousBatchEngine:
         valid = min(C, p - start)
         chunk = np.zeros((1, C), np.int32)
         chunk[0, :valid] = req.prompt[start:start + valid]
-        fn = self._get_chunk_fn()
+        win = _bucket(start + C)
+        if win >= self.max_seq_len:
+            win = None
+        fn = self._get_chunk_fn(win)
         (self.cache_k, self.cache_v, ks, vs, lrow) = fn(
             self.model.params, self.cache_k, self.cache_v,
             self.cache_ks, self.cache_vs,
