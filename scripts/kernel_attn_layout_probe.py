@@ -15,7 +15,6 @@ pure cache-read baseline.
 """
 
 import sys
-from functools import partial
 
 import numpy as np
 
