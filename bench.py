@@ -30,10 +30,16 @@ from autogptq_tpu.ops.quantlinear import QuantLinear, _planes
 BASELINE_TOK_S = 25.53
 
 
+import os as _os
+
+BENCH_LAYOUT = _os.environ.get("BENCH_LAYOUT", "kb32")
+
+
 def device_quant_linear(key, k, n, bits=4, group_size=128):
-    """Build a runtime-layout QuantLinear directly on device (ki32 for
-    4-bit, matching ops/quantlinear.from_packed; any random int32 bit
-    pattern is a valid code word)."""
+    """Build a runtime-layout QuantLinear directly on device (kb32 for
+    4-bit — the from_packed default for K >= 1024; BENCH_LAYOUT=ki32 for
+    A/B. Any random int32 bit pattern is a valid code word; both layouts
+    share word shape [K_pad/8, N])."""
     n_pad = -(-n // 128) * 128
     k_pad = k if k % 1024 == 0 else -(-k // 1024) * 1024
     g = k_pad // group_size
@@ -54,7 +60,7 @@ def device_quant_linear(key, k, n, bits=4, group_size=128):
         in_features=k,
         out_features=n,
         n_pad=n_pad,
-        layout="ki32",
+        layout=BENCH_LAYOUT,
     )
 
 
