@@ -307,11 +307,19 @@ class GPTQModel:
                 # instead of len(group) times (the reference solves each
                 # nn.Linear separately, gptq.py:121-161).
                 groups: list[list[str]] = []
+                # One D2H transfer per member (the [K,K] Hessian is large and
+                # the tunnel is ~30 ms/transfer); compare cheap diagonal
+                # fingerprints first so full-matrix equality only runs on
+                # plausible matches.
+                h_host = {p: np.asarray(hs[p][0]) for p in present}
+                diag = {p: np.ascontiguousarray(np.diagonal(h_host[p]))
+                        for p in present}
                 for p in present:
-                    h_p = np.asarray(hs[p][0])
                     for grp in groups:
-                        h_g = np.asarray(hs[grp[0]][0])
-                        if h_p.shape == h_g.shape and np.array_equal(h_p, h_g):
+                        g0 = grp[0]
+                        if (h_host[p].shape == h_host[g0].shape
+                                and np.array_equal(diag[p], diag[g0])
+                                and np.array_equal(h_host[p], h_host[g0])):
                             grp.append(p)
                             break
                     else:
@@ -644,6 +652,7 @@ class GPTQModel:
         num_return_sequences: int = 1,
         draft_model: Optional["GPTQModel"] = None,
         speculative_gamma: int = 4,
+        phased: bool = True,
     ):
         """Generate tokens. Greedy/temperature sampling (num_beams==1) or beam
         search (HF BeamSearchScorer semantics incl. length_penalty /
@@ -684,6 +693,7 @@ class GPTQModel:
             length_penalty=length_penalty,
             early_stopping=early_stopping,
             num_return_sequences=num_return_sequences,
+            phased=phased,
         )
 
 

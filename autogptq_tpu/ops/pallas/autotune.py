@@ -21,12 +21,13 @@ from __future__ import annotations
 import functools
 import json
 import os
-import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from ...utils.benchtime import slope_time
 
 _CANDIDATE_BN = (512, 1024, 2048, 4096)
 
@@ -72,25 +73,12 @@ def enabled() -> bool:
     return os.environ.get("AUTOGPTQ_TPU_AUTOTUNE", "") not in ("", "0")
 
 
-def _slope(run, x, n1=50, n2=1050, reps=3) -> float:
-    float(np.asarray(run(x, n1)))
-    float(np.asarray(run(x, n2)))
-
-    def once(n):
-        t0 = time.perf_counter()
-        float(np.asarray(run(x, n)))
-        return time.perf_counter() - t0
-
-    t1 = min(once(n1) for _ in range(reps))
-    t2 = min(once(n2) for _ in range(reps))
-    return (t2 - t1) / (n2 - n1)
-
-
 def pick_bn(layout: str, k: int, n_pad: int, gs: int, m: int,
             default: int, bench=None) -> int:
-    """Tile choice for this shape. ``bench(bn) -> jitted fn(x)`` builds a
-    runnable candidate (dummy weights, real shapes); only consulted when
-    autotuning is enabled and the shape is unseen."""
+    """Tile choice for this shape. ``bench(bn) -> fn(x)`` builds a runnable
+    single-call candidate (dummy weights, real shapes) that
+    :func:`~autogptq_tpu.utils.benchtime.slope_time` loops and times; only
+    consulted when autotuning is enabled and the shape is unseen."""
     key = f"{layout}:{k}:{n_pad}:{gs}:{_m_class(m)}"
     hit = _session.get(key)
     if hit is not None:
@@ -110,12 +98,15 @@ def pick_bn(layout: str, k: int, n_pad: int, gs: int, m: int,
         if bn > n_pad or n_pad % bn != 0:
             continue
         try:
-            run = bench(bn)
-            t = _slope(run, x)
+            t = slope_time(bench(bn), x, n1=50, n2=1050, reps=3)
         except Exception:
             continue
         if t < best_t:
             best_bn, best_t = bn, t
+    if best_t == float("inf"):
+        # nothing measured (every candidate raised or was filtered) —
+        # don't poison the caches with an untuned default; retry next call
+        return default
     _session[key] = best_bn
     profile = dict(_load())
     profile[key] = best_bn

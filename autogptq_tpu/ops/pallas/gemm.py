@@ -1282,10 +1282,11 @@ def _matmul_planar(
 
 
 def _autotune_bench(ql: QuantLinear, m: int, bn: int):
-    """Candidate builder for :func:`autotune.pick_bn`: a looped, jitted
-    runner over DUMMY operands with the node's exact shapes and dtypes (any
-    random bit pattern is a valid code word), so measuring never touches —
-    or uploads — the real (possibly traced) weights."""
+    """Candidate builder for :func:`autotune.pick_bn`: a single-call runner
+    over DUMMY operands with the node's exact shapes and dtypes (any random
+    bit pattern is a valid code word), so measuring never touches — or
+    uploads — the real (possibly traced) weights. ``pick_bn`` loops and
+    slope-times it via :mod:`autogptq_tpu.utils.benchtime`."""
     fn = {"kpair": _matmul_kpair, "ki32": _matmul_ki32, "kb32": _matmul_kb32,
           "k2i32": _matmul_k2i32, "kquad": _matmul_kquad}.get(ql.layout)
     if fn is None:
@@ -1309,15 +1310,7 @@ def _autotune_bench(ql: QuantLinear, m: int, bn: int):
             dot_dtype=jnp.bfloat16,
         )
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def run(x, n):
-        def body(i, xx):
-            y = one(xx)
-            return jnp.where(y[0, 0] > 1e30, xx + 1, xx)
-
-        return jax.lax.fori_loop(0, n, body, x)[0, 0]
-
-    return run
+    return one
 
 
 def matmul_pallas(

@@ -245,13 +245,21 @@ class ContinuousBatchEngine:
                 return True
         return False
 
-    def warmup(self, buckets=(32, 64, 128), sampling: bool = True) -> None:
+    def warmup(self, buckets=None, sampling: bool = True) -> None:
         """Pre-compile the decode steps (greedy + sampling), the chunked-
-        prefill fn, and the given prefill buckets (the reference's triton
+        prefill fn, and the prefill buckets (the reference's triton
         ``warmup()`` role, qlinear_triton.py:168-215 — there it pre-autotunes
         over M; here it pre-triggers XLA compiles so the first real request
-        pays no compilation latency). Engine state is untouched: the jitted
-        functions are pure and results are discarded."""
+        pays no compilation latency). ``buckets=None`` warms EVERY window
+        this engine can request at runtime — all power-of-two-ish buckets
+        below ``max_seq_len`` — so no jit compile ever fires mid-serving;
+        pass an explicit tuple to warm fewer (sequences growing past the
+        largest warmed bucket then compile on first use). Engine state is
+        untouched: the jitted functions are pure and results are
+        discarded."""
+        if buckets is None:
+            buckets = sorted({_bucket(n) for n in range(1, self.max_seq_len + 1)
+                              if _bucket(n) <= self.max_seq_len})
         for b in buckets:
             if b > self.max_seq_len:
                 continue
@@ -259,18 +267,23 @@ class ContinuousBatchEngine:
             tokens = jnp.zeros((1, _bucket(b)), jnp.int32)
             mask = tokens.at[0, :2].set(1)
             fn(self.model.params, tokens, mask)
-        if self.prefill_chunk is not None and self.prefill_chunk < self.max_seq_len:
-            cfn = self._get_chunk_fn()
-            cfn(self.model.params, self.cache_k, self.cache_v,
-                self.cache_ks, self.cache_vs,
-                jnp.zeros((1, self.prefill_chunk), jnp.int32),
-                jnp.int32(self.prefill_chunk), jnp.int32(0), jnp.int32(0))
         variants = (False, True) if sampling else (False,)
         # decode windows start at the smallest bucket and grow with the
         # live sequences; precompile each requested bucket plus full-cache
         wins = sorted({
             _bucket(b) for b in buckets if _bucket(b) < self.max_seq_len
         }) + [None]
+        if self.prefill_chunk is not None and self.prefill_chunk < self.max_seq_len:
+            # _run_chunk requests win=_bucket(start+chunk) as the cursor
+            # advances — warm the same window set it can actually hit
+            for w in wins:
+                if w is not None and w < self.prefill_chunk:
+                    continue
+                cfn = self._get_chunk_fn(w)
+                cfn(self.model.params, self.cache_k, self.cache_v,
+                    self.cache_ks, self.cache_vs,
+                    jnp.zeros((1, self.prefill_chunk), jnp.int32),
+                    jnp.int32(self.prefill_chunk), jnp.int32(0), jnp.int32(0))
         for s in variants:
             for w in wins:
                 step = self._decode_step_fn(sampling=s, win=w)

@@ -389,7 +389,7 @@ def _generate_beam(
 BEAM_PAGED = "auto"   # "auto" | "always" | "never" (tests force paths)
 
 
-def _beam_paged_ok(model, kv_quant) -> bool:
+def _beam_paged_ok(model) -> bool:
     """Gather-free (paged) beam cache fast path: supported for the standard
     rope/GQA pre-norm decoder families with unfused q/k/v projections."""
     if BEAM_PAGED == "never":
@@ -730,7 +730,7 @@ def _generate_beam_paged(
 def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                  eos_token_id, temperature, num_beams, seed, kv_quant,
                  length_penalty=1.0, early_stopping=False,
-                 num_return_sequences=1, pad_token_id=0):
+                 num_return_sequences=1, pad_token_id=0, phased=True):
     """Sharded generate: the WHOLE generate loop (prefill + decode scan) runs
     under shard_map on the model's mesh — every device executes the fused
     quantized matmuls on its local weight shard, the KV cache lives sharded
@@ -739,7 +739,8 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
     exactly. See parallel/tp.py:TPModel."""
     key = (num_beams, max_new_tokens, min_new_tokens, eos_token_id,
            float(temperature or 0.0), kv_quant, float(length_penalty),
-           bool(early_stopping), num_return_sequences, pad_token_id)
+           bool(early_stopping), num_return_sequences, pad_token_id,
+           bool(phased))
     run = model._gen_cache.get(key)
     if run is None:
         lcfg = model.lcfg
@@ -759,7 +760,7 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                     p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
                     eos_token_id, float(temperature or 0.0), model.backend,
                     model.dtype, rng, kv_quant=kv_quant,
-                    pad_token_id=pad_token_id,
+                    pad_token_id=pad_token_id, phased=phased,
                 )
             run = jax.jit(model.shard_generate(core, n_batch_args=2, n_repl_args=1))
         model._gen_cache[key] = run
@@ -813,11 +814,11 @@ def generate(
             model, ids, mask, max_new_tokens, min_new_tokens, eos_token_id,
             temperature, num_beams, seed, kv_quant,
             length_penalty, early_stopping, num_return_sequences,
-            pad_token_id,
+            pad_token_id, phased=phased,
         )
     elif num_beams > 1:
         paged = BEAM_PAGED == "always" or (
-            BEAM_PAGED == "auto" and _beam_paged_ok(model, kv_quant)
+            BEAM_PAGED == "auto" and _beam_paged_ok(model)
         )
         beam_fn = _generate_beam_paged if paged else _generate_beam
         extra = (
