@@ -106,11 +106,19 @@ def dma_all_streams(xin, bk, bn):
 
 
 print(f"K={K} N={N}  weight bytes {wbytes / 1e6:.1f} MB")
-for bk in (512, 1024, 2048):
-    for bn in (1024, 2048, 4096):
-        if (bk // 8) * bn * 4 * 2 > 100 * 1024 * 1024:
+for bk in (512, 1024, 2048, K):
+    for bn in (512, 1024, 2048, 4096):
+        if (bk // 8) * bn * 4 * 2 > 64 * 1024 * 1024:
             continue
-        t = slope_time(lambda xi, a=bk, b=bn: dma_wp_only(xi, a, b), x)
+        try:
+            t = slope_time(lambda xi, a=bk, b=bn: dma_wp_only(xi, a, b), x)
+        except Exception as e:  # keep sweeping: hardware time is precious
+            print(f"wp-only  bk={bk:5d} bn={bn:5d}  FAILED {type(e).__name__}")
+            continue
         print(f"wp-only  bk={bk:5d} bn={bn:5d}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
-t = slope_time(lambda xi: dma_all_streams(xi, 1024, 2048), x)
-print(f"all-streams bk=1024 bn=2048  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
+for bk, bn in ((1024, 1024), (1024, 2048)):
+    try:
+        t = slope_time(lambda xi, a=bk, b=bn: dma_all_streams(xi, a, b), x)
+        print(f"all-streams bk={bk} bn={bn}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
+    except Exception as e:
+        print(f"all-streams bk={bk} bn={bn}  FAILED {type(e).__name__}")

@@ -93,3 +93,33 @@ def test_measured_result_persists(tmp_path, monkeypatch):
                            bench=bench)
     if jax.default_backend() != "tpu":
         assert out == 1024 and not calls
+
+
+def test_failed_sweep_does_not_poison_cache(tmp_path, monkeypatch):
+    """If every candidate raises (transient OOM/compile failure), the
+    default must be returned WITHOUT persisting — a later call retries."""
+    monkeypatch.setenv("AUTOGPTQ_TPU_AUTOTUNE", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def bench(bn):
+        raise RuntimeError("transient")
+
+    out = autotune.pick_bn("ki32", 4096, 4096, 128, 1, default=1024,
+                           bench=bench)
+    assert out == 1024
+    assert "ki32:4096:4096:128:decode" not in autotune._session
+    assert not (tmp_path / "autotune.json").exists()
+
+    # a later successful sweep DOES persist
+    def bench_ok(bn):
+        def one(x):
+            return jnp.zeros((8, bn), jnp.float32)
+        return one
+
+    monkeypatch.setattr(autotune, "slope_time",
+                        lambda f, x, **kw: 1.0 / f(None).shape[1])
+    out = autotune.pick_bn("ki32", 4096, 4096, 128, 1, default=1024,
+                           bench=bench_ok)
+    assert out == 4096  # fastest (largest bn under the fake timer)
+    assert json.loads((tmp_path / "autotune.json").read_text())[
+        "ki32:4096:4096:128:decode"] == 4096

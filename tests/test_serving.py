@@ -104,3 +104,31 @@ def test_warmup_precompiles_and_preserves_state(rng):
             break
     expected = sequential_greedy(model, p, 4)
     np.testing.assert_array_equal(eng.finished[0], expected)
+
+
+def test_warmup_default_covers_every_reachable_variant(rng):
+    """warmup() with no arguments must precompile EVERY jit variant the
+    engine can request at runtime — prefill buckets, chunked-prefill
+    windows, and decode windows — so no compile ever fires mid-serving."""
+    model = Shim()
+    eng = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=128, prefill_chunk=16)
+    eng.warmup(sampling=False)
+    warmed_prefill = set(eng._prefill_fns)
+    warmed_chunk = set(eng._chunk_fns)
+    warmed_decode = set(eng._decode_fns)
+
+    # drive requests whose prompts/lengths walk through chunked prefill and
+    # growing decode windows; no NEW variants may appear
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (40, 5)]
+    for i, p in enumerate(prompts):
+        eng.submit(Request(req_id=i, prompt=p, max_new_tokens=30))
+    for _ in range(200):
+        eng.step()
+        if len(eng.finished) == len(prompts):
+            break
+    assert len(eng.finished) == len(prompts)
+    assert set(eng._prefill_fns) <= warmed_prefill
+    assert set(eng._chunk_fns) <= warmed_chunk
+    assert set(eng._decode_fns) <= warmed_decode
