@@ -92,9 +92,17 @@ def t5_pagecopy(x, params, k_pool, v_pool):
     return (kp[0, 0, 0, 0, :1] + vp[0, 0, 0, 0, :1]).reshape(1, 1)
 
 
+def t4_unembed_topk(x, params, k_pool, v_pool):
+    logits = arch.unembed(params, x[:, None], cfg)[:, -1, :]
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32)).reshape(1, -1)
+    s2k, idx = jax.lax.top_k(lp, 2 * bk)
+    return s2k[:, :1]
+
+
 for name, fn in [("T1 weights-only", t1_weights),
                  ("T2 paged-attn x32", t2_paged_attn),
                  ("T3 scatter x32", t3_scatter),
+                 ("T4 unembed+topk", t4_unembed_topk),
                  ("T5 page copy", t5_pagecopy)]:
     t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pool, v_pool))
     print(f"{name:22s} {t * 1e3:8.3f} ms/step", flush=True)
