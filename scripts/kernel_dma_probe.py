@@ -105,6 +105,49 @@ def dma_all_streams(xin, bk, bn):
     )(xin, wp, s3, z3)
 
 
+def make_dma_wp_linear(bk, bn):
+    """Tile-contiguous layout: each (bk//8, bn) block stored contiguously
+    (Marlin's trick, marlin_repack.cu): DMA becomes a pure sequential
+    stream instead of bn*4-byte rows strided across the N axis. The repack
+    happens HERE, outside the timed loop."""
+    nb_k, nb_n = K // bk, N // bn
+    wl_host = np.asarray(wp).reshape(nb_k, bk // 8, nb_n, bn).transpose(2, 0, 1, 3)
+    wl = jnp.asarray(np.ascontiguousarray(wl_host.reshape(nb_n * nb_k, bk // 8, bn)))
+
+    def body(x_ref, wp_ref, out_ref):
+        ki = pl.program_id(1)
+        t = wp_ref[0, 0:1, :].astype(jnp.float32) + x_ref[:, 0:1].astype(jnp.float32)
+
+        @pl.when(ki == 0)
+        def _():
+            out_ref[...] = t[:, :out_ref.shape[1]]
+
+        @pl.when(ki != 0)
+        def _():
+            out_ref[...] += t[:, :out_ref.shape[1]]
+
+    grid = (nb_n, nb_k)
+
+    def fn(xin):
+        return pl.pallas_call(
+            body,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((M, bk), lambda j, ki: (0, ki), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bk // 8, bn), lambda j, ki: (j * nb_k + ki, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, bn), lambda j, ki: (0, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            cost_estimate=pl.CostEstimate(
+                flops=N * K // 8, bytes_accessed=wp.size * 4, transcendentals=0),
+        )(xin, wl)
+
+    return fn
+
+
 print(f"K={K} N={N}  weight bytes {wbytes / 1e6:.1f} MB")
 for bk in (512, 1024, 2048, K):
     for bn in (512, 1024, 2048, 4096):
@@ -122,3 +165,13 @@ for bk, bn in ((1024, 1024), (1024, 2048)):
         print(f"all-streams bk={bk} bn={bn}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
     except Exception as e:
         print(f"all-streams bk={bk} bn={bn}  FAILED {type(e).__name__}")
+for bk in (512, 1024, 2048):
+    for bn in (1024, 2048, 4096):
+        if (bk // 8) * bn * 4 * 2 > 64 * 1024 * 1024:
+            continue
+        try:
+            t = slope_time(make_dma_wp_linear(bk, bn), x)
+        except Exception as e:
+            print(f"wp-linear bk={bk:5d} bn={bn:5d}  FAILED {type(e).__name__}")
+            continue
+        print(f"wp-linear bk={bk:5d} bn={bn:5d}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
