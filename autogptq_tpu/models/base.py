@@ -148,11 +148,42 @@ class GPTQModel:
         a local directory or an HF Hub repo id (+ ``revision``), resolved
         through the local hub cache (hf_io.resolve_model_dir — the
         reference's get_checkpoints role, modeling/_utils.py:704-770)."""
+        # Reference-signature compat (_base.py:690-715): migrating call
+        # sites may pass the reference's kwargs. model_basename selects the
+        # checkpoint file; torch_dtype maps onto dtype; kernel-selection and
+        # accelerate-placement flags have no TPU meaning (one Pallas backend,
+        # JAX shardings) and are deliberately ignored.
+        model_basename = kwargs.pop("model_basename", None)
+        torch_dtype = kwargs.pop("torch_dtype", None)
+        if torch_dtype is not None:
+            mapped = {
+                "torch.float16": jnp.float16,
+                "torch.bfloat16": jnp.bfloat16,
+                "torch.float32": jnp.float32,
+            }.get(str(torch_dtype))
+            if mapped is not None:
+                dtype = mapped
+        ignored = [
+            f for f in (
+                "device", "device_map", "max_memory", "low_cpu_mem_usage",
+                "use_triton", "use_tritonv2", "use_qigen", "use_marlin",
+                "use_cuda_fp16", "use_safetensors", "trust_remote_code",
+                "warmup_triton", "trainable", "disable_exllama",
+                "disable_exllamav2",
+            ) if kwargs.pop(f, None) is not None
+        ]
+        if ignored:
+            logger.info(
+                "from_quantized: ignoring reference-only kwargs with no TPU "
+                "equivalent: %s", ", ".join(ignored)
+            )
         model_dir = hf_io.resolve_model_dir(model_dir, revision)
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
         qc = BaseQuantizeConfig.from_pretrained(model_dir, **kwargs)
+        if model_basename is not None:
+            qc.model_file_base_name = model_basename
         qc.model_name_or_path = model_dir
         if qc.checkpoint_format == "gemm":
             tensors = _convert_awq_tensors(model_dir, spec, cfg, qc)

@@ -177,6 +177,38 @@ def test_quantize_save_load_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(r_logits, q_logits, rtol=2e-3, atol=2e-3)
 
 
+def test_from_quantized_reference_kwargs_compat(tmp_path, rng):
+    """Call sites migrating from the reference pass its kwargs
+    (_base.py:690-715): model_basename must select the checkpoint file,
+    torch_dtype must map to the JAX dtype, and kernel/placement flags must
+    be accepted and ignored rather than raising."""
+    save_tiny_llama(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    model.quantize(
+        [{"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)])
+    model.save_quantized(str(tmp_path / "q"))
+    # rename the checkpoint to a custom basename the config does NOT record
+    old = tmp_path / "q" / "gptq_model-4bit-32g.safetensors"
+    os.rename(old, tmp_path / "q" / "custom-name.safetensors")
+    reloaded = AutoGPTQForCausalLM.from_quantized(
+        str(tmp_path / "q"),
+        model_basename="custom-name",
+        torch_dtype="torch.float32",
+        device="cuda:0",
+        use_triton=True,
+        use_safetensors=True,
+        trainable=True,
+        disable_exllama=True,
+    )
+    assert reloaded.dtype == jnp.float32
+    ids = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)),
+        np.asarray(model.forward(ids)), rtol=2e-3, atol=2e-3)
+
+
 def test_quantize_desc_act(tmp_path, rng):
     save_tiny_llama(tmp_path / "fp")
     qc = BaseQuantizeConfig(bits=4, group_size=16, desc_act=True, sym=False)
