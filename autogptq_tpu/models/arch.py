@@ -755,10 +755,15 @@ def attention(
         if attn_mask is not None:
             ids32 = attn_mask[:, :t].astype(jnp.float32)
             seg = _fa.SegmentIds(q=ids32, kv=ids32)
+        # Feed the kernel at the model dtype: bf16 q/k/v keeps the MXU at
+        # full rate and halves attention HBM traffic vs an f32 upcast (the
+        # kernel's softmax/accumulation is f32 internally either way). f32
+        # models (numerics tests) still run f32 end-to-end.
+        fa_dt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
         of = _fa.flash_attention(
-            q.swapaxes(1, 2).astype(jnp.float32),
-            kf.swapaxes(1, 2).astype(jnp.float32),
-            vf.swapaxes(1, 2).astype(jnp.float32),
+            q.swapaxes(1, 2).astype(fa_dt),
+            kf.swapaxes(1, 2).astype(fa_dt),
+            vf.swapaxes(1, 2).astype(fa_dt),
             segment_ids=seg,
             causal=True,
             sm_scale=float(scale),
