@@ -89,10 +89,10 @@ def test_paged_beam_kv_quant_runs(model, rng):
 def test_paged_beam_routing_and_fallback(model):
     """auto routes supported models to the paged path; exotic configs fall
     back to the gather path instead of failing."""
-    assert generation._beam_paged_ok(model, kv_quant=False)
+    assert generation._beam_paged_ok(model)
 
     import dataclasses
 
     exotic = Shim()
     exotic.cfg = dataclasses.replace(exotic.cfg, attn_softcap=30.0)
-    assert not generation._beam_paged_ok(exotic, kv_quant=False)
+    assert not generation._beam_paged_ok(exotic)
