@@ -141,6 +141,9 @@ def supported(ql: QuantLinear) -> bool:
         bk = _pick_bk(ql.wp.shape[0] * 8, ql.group_size, ki32=True)
     elif ql.layout == "kb32":
         bk = _pick_bk(ql.wp.shape[0] * 8, ql.group_size, kb32=True)
+    elif ql.layout == "kb32l":
+        k_stored = ql.wp.shape[0] // (ql.n_pad // ql.wp.shape[2]) * 1024
+        bk = _pick_bk(k_stored, ql.group_size, kb32=True)
     elif ql.layout == "k2i32":
         bk = _pick_bk(ql.wp.shape[0] * 16, ql.group_size, k2i32=True)
     elif ql.layout == "kpair":
@@ -432,7 +435,7 @@ def _matmul_ki32(
     return y[:, :out_features]
 
 
-def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill):
+def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill, lin=False):
     """Block-quarter-split 4-bit kernel ("kb32" layout). Same masked-word
     decode as ki32, but the quarter split is over the whole 1024-row K
     superblock instead of each group, so every group is a DIRECT static
@@ -440,7 +443,13 @@ def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_
     (~2 MB of VMEM shuffle per grid step at bk=bn=1024) disappears.
     Measured 14.9 vs ki32's 15.7 us at 4096^2 g128 M=1 on v5e (561 GB/s,
     ~91% of the same-grid pure-DMA ceiling). Packing = _ki32_pack with
-    granularity 1024 (see quantlinear.from_packed)."""
+    granularity 1024 (see quantlinear.from_packed).
+
+    ``lin``: the "kb32l" tile-contiguous storage — wp blocks arrive as
+    [1, BK/8, BN] slices of a linearized [(N/bn)*(K/bk), BK/8, BN] array
+    whose blocks are CONTIGUOUS in HBM (Marlin's repack idea,
+    marlin_repack.cu:8-92), turning the strided block-row DMA into a pure
+    sequential stream."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -448,7 +457,8 @@ def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_
         out_ref[...] = jnp.zeros_like(out_ref)
 
     xv = x_ref[...].astype(dot_dtype)
-    ws = _ki32_decode_words(wp_ref[...])   # 4 x [BK/4, BN], K-contiguous
+    wv = wp_ref[0] if lin else wp_ref[...]
+    ws = _ki32_decode_words(wv)            # 4 x [BK/4, BN], K-contiguous
     quarter = (rows_per_blk * gs) // 4
     gpq = quarter // gs                    # whole groups per quarter
     if prefill:
@@ -537,6 +547,66 @@ def _matmul_kb32(
         ),
         interpret=interpret,
     )(x2d, wp, scales3, sz3)
+
+    return y[:, :out_features]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "dot_dtype")
+)
+def _matmul_kb32l(
+    x2d,
+    wp3,                 # [(n_pad/bn)*(k/1024), 128, bn] tile-contiguous words
+    scales3,
+    sz3,
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    bm,
+    dot_dtype,
+):
+    """kb32 with tile-contiguous storage ("kb32l"): bn is FIXED by the
+    stored block width (wp3.shape[2]); each grid step DMAs one fully
+    sequential HBM block instead of bn*4-byte strided rows."""
+    m, k = x2d.shape
+    gs = group_size if group_size != -1 else k
+    bn = wp3.shape[2]
+    nbk = k // 1024
+    assert wp3.shape[0] == (n_pad // bn) * nbk, "kb32l block count mismatch"
+    rows_per_blk = 1024 // gs
+
+    grid = (_cdiv(m, bm), n_pad // bn, nbk)
+    kernel = functools.partial(
+        _kernel_kb32, rows_per_blk=rows_per_blk, gs=gs,
+        dot_dtype=dot_dtype, prefill=m >= 32, lin=True,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp3.size * 4 + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 1024), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, bn), lambda mi, j, ki, _nbk=nbk: (j * _nbk + ki, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x2d, wp3, scales3, sz3)
 
     return y[:, :out_features]
 
@@ -1354,6 +1424,27 @@ def matmul_pallas(
                     bench=lambda bn: _autotune_bench(ql, m, bn),
                 )
                 tuned = True
+
+    if ql.layout == "kb32l":
+        k_pad = ql.wp.shape[0] // (ql.n_pad // ql.wp.shape[2]) * 1024
+        if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        y = _matmul_kb32l(
+            x2d,
+            ql.wp,
+            ql.scales,
+            ql.zeros,
+            group_size=ql.group_size,
+            n_pad=ql.n_pad,
+            out_features=min(ql.out_features, ql.n_pad),
+            interpret=interpret,
+            bm=bm,
+            dot_dtype=dot_dtype,
+        )
+        y = y.astype(x.dtype)
+        if ql.bias is not None:
+            y = y + ql.bias.astype(y.dtype)
+        return y.reshape(*batch_shape, y.shape[-1])
 
     if ql.layout == "kb32":
         k_pad = ql.wp.shape[0] * 8

@@ -114,7 +114,7 @@ class QuantLinear:
 
     @property
     def planes(self) -> int:
-        if self.layout in ("ki32", "kb32", "kpair", "kquad", "k2i32", "koct"):
+        if self.layout in ("ki32", "kb32", "kb32l", "kpair", "kquad", "k2i32", "koct"):
             return 1
         return _planes(self.bits)
 
@@ -339,8 +339,12 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
             layout = "kquad"  # true 2 bits/weight with the bitcast decode
         else:
             layout = "planar"
-    planes = 1 if layout in ("ki32", "kb32", "kpair", "kquad", "k2i32", "koct") else _planes(bits)
+    planes = 1 if layout in ("ki32", "kb32", "kb32l", "kpair", "kquad", "k2i32", "koct") else _planes(bits)
     n_pad = _round_up(n, 128 * planes)
+    if layout == "kb32l":
+        # tile-contiguous storage: N must cover whole 1024-wide blocks
+        # (padded columns carry zero scales, contributing exactly 0)
+        n_pad = _round_up(n, 1024)
 
     # Fused native repack (load-time hot path): qweight words -> runtime
     # words in ONE multithreaded C++ pass, folding in the kperm gather and
@@ -352,9 +356,9 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
     if native.available():
         # kb32 shares the ki32 entry points: its words ARE the ki32 pack at
         # granularity 1024 (superblock) instead of the group size.
-        if layout in ("ki32", "kb32") and bits == 4 and k % 8 == 0:
+        if layout in ("ki32", "kb32", "kb32l") and bits == 4 and k % 8 == 0:
             fused = "ki32_qw"
-        elif layout in ("ki32", "kb32"):
+        elif layout in ("ki32", "kb32", "kb32l"):
             fused = "ki32_vals"
         elif layout == "k2i32" and bits == 2 and k % 16 == 0:
             fused = "k2i32_qw"
@@ -372,12 +376,12 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         scales = np.pad(scales, ((0, 0), (0, n_pad - n)))
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
-    if layout in ("ki32", "kb32"):
+    if layout in ("ki32", "kb32", "kb32l"):
         # Same K-padding rule as kpair below (whole zero-scale groups).
         from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
 
         k_out = k
-        if layout == "kb32":
+        if layout in ("kb32", "kb32l"):
             # The superblock IS the K tile: K must be a 1024 multiple.
             # gs | 256 | 1024 (selection rule), so padding adds whole
             # zero-scale groups and stays exact with zero-padded x.
@@ -400,7 +404,7 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
                         zeros = np.pad(zeros, ((0, g_pad - g), (0, 0)))
                         g = g_pad
         # kb32's pack granularity is the 1024-row superblock, not the group.
-        gs_k = 1024 if layout == "kb32" else min(gs_eff, k_out)
+        gs_k = 1024 if layout in ("kb32", "kb32l") else min(gs_eff, k_out)
         if fused == "ki32_qw":
             wp = native.repack_ki32(qweight, kperm, k, k_out, n, n_pad, gs_k)
         elif fused == "ki32_vals":
@@ -416,6 +420,24 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
             wp = _ki32_pack(w_int, gs_k)
         if k_out != k and kperm is not None:
             kperm = np.pad(kperm, (0, k_out - k))
+        if layout == "kb32l":
+            # Linearize into tile-contiguous [(n_pad/1024)*(k/1024), 128,
+            # 1024] blocks: each kernel grid step then DMAs one fully
+            # sequential HBM span (see gemm._matmul_kb32l).
+            if not (
+                k_out % 1024 == 0 and gs_eff <= 256 and 256 % gs_eff == 0
+                and gs_eff % 32 == 0 and k % gs_eff == 0
+            ):
+                raise ValueError(
+                    f"kb32l requires group_size | 256, group_size % 32 == 0 "
+                    f"and group-aligned K (got K={k}, gs={gs_eff})"
+                )
+            nbk = wp.shape[0] // 128
+            nbn = n_pad // 1024
+            wp = np.ascontiguousarray(
+                np.asarray(wp).reshape(nbk, 128, nbn, 1024)
+                .transpose(2, 0, 1, 3)
+            ).reshape(nbn * nbk, 128, 1024)
     elif layout == "kpair":
         # Pad K so the Pallas kernel can use a large K tile (bk>=512):
         # measured ~490 GB/s at bk>=512 vs ~374 at bk=256 for the
@@ -545,13 +567,24 @@ def dequantize_xla(ql: QuantLinear, dtype=jnp.bfloat16) -> jnp.ndarray:
 
     Note: rows are in kperm order when desc_act; pair with remapped x.
     """
-    if ql.layout in ("ki32", "kb32"):
-        n_loc = ql.wp.shape[1]
-        if ql.layout == "kb32":
-            gs = 1024  # pack granularity = superblock, not the group size
+    if ql.layout in ("ki32", "kb32", "kb32l"):
+        if ql.layout == "kb32l":
+            # de-linearize the tile-contiguous blocks back to [K/8, n_pad]
+            wp3 = ql.wp
+            bn = wp3.shape[2]
+            nbn = ql.n_pad // bn
+            nbk = wp3.shape[0] // nbn
+            wp2 = wp3.reshape(nbn, nbk, 128, bn).transpose(1, 2, 0, 3)
+            wp2 = wp2.reshape(nbk * 128, nbn * bn)
+            gs = 1024
         else:
-            gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
-        w = ql.wp.view(jnp.uint32).reshape(-1, gs // 8, n_loc)  # [G, gs/8, N]
+            wp2 = ql.wp
+            if ql.layout == "kb32":
+                gs = 1024  # pack granularity = superblock, not the group size
+            else:
+                gs = ql.group_size if ql.group_size != -1 else ql.wp.shape[0] * 8
+        n_loc = wp2.shape[1]
+        w = wp2.view(jnp.uint32).reshape(-1, gs // 8, n_loc)  # [G, gs/8, N]
         quarters = []
         for m in range(4):
             pair = w >> np.uint32(4 * m)

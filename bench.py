@@ -37,16 +37,25 @@ BENCH_LAYOUT = _os.environ.get("BENCH_LAYOUT", "kb32")
 
 def device_quant_linear(key, k, n, bits=4, group_size=128):
     """Build a runtime-layout QuantLinear directly on device (kb32 for
-    4-bit — the from_packed default for K >= 1024; BENCH_LAYOUT=ki32 for
-    A/B. Any random int32 bit pattern is a valid code word; both layouts
-    share word shape [K_pad/8, N])."""
+    4-bit — the from_packed default for K >= 1024; BENCH_LAYOUT=ki32 or
+    kb32l for A/B. Any random int32 bit pattern is a valid code word; ki32
+    and kb32 share word shape [K_pad/8, N], kb32l linearizes the same
+    words into tile-contiguous [(N_pad/1024)*(K_pad/1024), 128, 1024]
+    blocks)."""
     n_pad = -(-n // 128) * 128
     k_pad = k if k % 1024 == 0 else -(-k // 1024) * 1024
     g = k_pad // group_size
     k1, k2, k3 = jax.random.split(key, 3)
-    wp = jax.random.randint(
-        k1, (k_pad // 8, n_pad), jnp.iinfo(jnp.int32).min,
-        jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    if BENCH_LAYOUT == "kb32l":
+        n_pad = -(-n // 1024) * 1024
+        wp = jax.random.randint(
+            k1, ((n_pad // 1024) * (k_pad // 1024), 128, 1024),
+            jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32)
+    else:
+        wp = jax.random.randint(
+            k1, (k_pad // 8, n_pad), jnp.iinfo(jnp.int32).min,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     scales = jax.random.uniform(k2, (g, 1, n_pad), jnp.float32, 0.005, 0.02)
     zeros = jax.random.randint(k3, (g, 1, n_pad), 1, 2**bits, dtype=jnp.int32)
     return QuantLinear(

@@ -217,3 +217,68 @@ def test_phased_decode_matches_monolithic(rng):
     b = generation.generate(m, prompt, max_new_tokens=150, kv_quant=True,
                             phased=False)
     np.testing.assert_array_equal(a, b)
+
+
+# -- kb32l: tile-contiguous (linearized) storage, opt-in --------------------
+
+
+def _make_both(rng, k, n, gs, bits=4, desc_act=False):
+    """Same packed checkpoint -> (kb32 node, kb32l node)."""
+    iw = rng.integers(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    g = k // gs
+    scales = (rng.random((g, n)) * 0.05 + 0.01).astype(np.float16)
+    zeros = rng.integers(1, 2 ** bits, size=(g, n)).astype(np.int64)
+    g_idx = (np.arange(k) // gs).astype(np.int32)
+    if desc_act:
+        g_idx = rng.permutation(g_idx)
+    packed = quantlinear.PackedQuantLinear(
+        qweight=jnp.asarray(packing.pack_qweight(iw, bits)),
+        qzeros=jnp.asarray(packing.pack_qzeros(zeros, bits)),
+        scales=jnp.asarray(scales),
+        g_idx=jnp.asarray(g_idx),
+        bias=None,
+        bits=bits, group_size=gs, in_features=k, out_features=n,
+    )
+    return (quantlinear.from_packed(packed, layout="kb32"),
+            quantlinear.from_packed(packed, layout="kb32l"))
+
+
+@pytest.mark.parametrize("k,n,gs", [(1024, 128, 128), (2048, 1024, 64),
+                                    (1024, 1312, 256)])
+@pytest.mark.parametrize("m", [1, 64])
+def test_kb32l_matches_kb32(rng, k, n, gs, m):
+    """The linearized layout must agree with kb32 (independent path) via
+    BOTH the XLA delinearize fallback and the interpret-mode kernel —
+    including non-1024-multiple N (padded columns carry zero scales)."""
+    ql, qll = _make_both(rng, k, n, gs)
+    assert qll.layout == "kb32l" and qll.wp.ndim == 3
+    assert qll.wp.shape[1:] == (128, 1024) and qll.n_pad % 1024 == 0
+    x = (rng.standard_normal((m, k)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    via_xla = quantlinear.matmul_xla(jnp.asarray(x), qll)
+    np.testing.assert_allclose(np.asarray(via_xla), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32l_desc_act_and_grad(rng):
+    ql, qll = _make_both(rng, 1024, 256, 128, desc_act=True)
+    assert qll.kperm is not None
+    x = (rng.standard_normal((2, 1024)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+    # backward falls to the XLA dequant path and must match kb32's
+    f = lambda q: lambda xx: quantlinear.matmul(xx, q, backend="xla").sum()
+    g_ref = jax.grad(f(ql))(jnp.asarray(x))
+    g_lin = jax.grad(f(qll))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_lin), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_kb32l_rejects_unsupported_shapes(rng):
+    with pytest.raises(ValueError, match="kb32l"):
+        _make_ql(rng, 1152, 128, 96, layout="kb32l")  # gs does not divide 256
