@@ -282,3 +282,17 @@ def test_kb32l_desc_act_and_grad(rng):
 def test_kb32l_rejects_unsupported_shapes(rng):
     with pytest.raises(ValueError, match="kb32l"):
         _make_ql(rng, 1152, 128, 96, layout="kb32l")  # gs does not divide 256
+
+
+def test_kb32l_numpy_fallback_matches_native(rng, monkeypatch):
+    """from_packed without the native library (NumPy _ki32_pack path) must
+    produce identical kb32l words."""
+    from autogptq_tpu.ops import native as native_mod
+
+    # same rng stream per build so both see identical packed inputs
+    r1, r2 = (np.random.default_rng(7) for _ in range(2))
+    monkeypatch.setattr(native_mod, "available", lambda: False)
+    a = _make_ql(r1, 1024, 256, 128, layout="kb32l")
+    monkeypatch.undo()
+    b = _make_ql(r2, 1024, 256, 128, layout="kb32l")
+    np.testing.assert_array_equal(np.asarray(a.wp), np.asarray(b.wp))
