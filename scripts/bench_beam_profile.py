@@ -59,16 +59,21 @@ def t1_weights(x, params, k_pool, v_pool):
     return x[:, :1]
 
 
-def t2_paged_attn(x, params, k_pool, v_pool):
-    from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+def make_t2_paged_attn(ppcb):
+    def t2(x, params, k_pool, v_pool):
+        from jax.experimental.pallas.ops.tpu.paged_attention import (
+            paged_attention,
+        )
 
-    qv = jnp.broadcast_to(x[:, :D][:, None, :], (bk, H, D)).astype(jnp.bfloat16)
-    acc = jnp.zeros((bk, 1))
-    for i in range(L):
-        o = paged_attention(qv, k_pool[i], v_pool[i], lengths, tables,
-                            pages_per_compute_block=8)
-        acc = acc + o[:, 0, :1].astype(jnp.float32)
-    return acc
+        qv = jnp.broadcast_to(x[:, :D][:, None, :], (bk, H, D)).astype(jnp.bfloat16)
+        acc = jnp.zeros((bk, 1))
+        for i in range(L):
+            o = paged_attention(qv, k_pool[i], v_pool[i], lengths, tables,
+                                pages_per_compute_block=ppcb)
+            acc = acc + o[:, 0, :1].astype(jnp.float32)
+        return acc
+
+    return t2
 
 
 def t3_scatter(x, params, k_pool, v_pool):
@@ -99,10 +104,17 @@ def t4_unembed_topk(x, params, k_pool, v_pool):
     return s2k[:, :1]
 
 
-for name, fn in [("T1 weights-only", t1_weights),
-                 ("T2 paged-attn x32", t2_paged_attn),
-                 ("T3 scatter x32", t3_scatter),
-                 ("T4 unembed+topk", t4_unembed_topk),
-                 ("T5 page copy", t5_pagecopy)]:
-    t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pool, v_pool))
+probes = [("T1 weights-only", t1_weights)]
+for ppcb in (8, 16, 24):
+    if W % ppcb == 0:
+        probes.append((f"T2 paged-attn ppcb={ppcb}", make_t2_paged_attn(ppcb)))
+probes += [("T3 scatter x32", t3_scatter),
+           ("T4 unembed+topk", t4_unembed_topk),
+           ("T5 page copy", t5_pagecopy)]
+for name, fn in probes:
+    try:
+        t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pool, v_pool))
+    except Exception as e:
+        print(f"{name:22s} FAILED {type(e).__name__}: {e}", flush=True)
+        continue
     print(f"{name:22s} {t * 1e3:8.3f} ms/step", flush=True)
