@@ -51,6 +51,20 @@ def _dense_specs(node: DenseLinear, col: bool, tp: str) -> DenseLinear:
 def _quant_specs(node: QuantLinear, col: bool, tp: str, tp_size: int) -> QuantLinear:
     k = node.in_features
     gs = node.group_size if node.group_size != -1 else k
+    if node.layout == "kb32l":
+        # tile-contiguous storage (3-D wp): block rows interleave N and K,
+        # so neither plain column- nor row-sharding applies — replicate
+        # (correct but unsharded; use kb32 for TP deployments)
+        return QuantLinear(
+            wp=P(None, None, None),
+            scales=P(None, None, None),
+            zeros=P(None, None, None),
+            kperm=None if node.kperm is None else P(None),
+            bias=None if node.bias is None else P(None),
+            bits=node.bits, group_size=node.group_size,
+            in_features=k, out_features=node.out_features, n_pad=node.n_pad,
+            layout=node.layout,
+        )
     if col:
         return QuantLinear(
             wp=P(None, tp),
