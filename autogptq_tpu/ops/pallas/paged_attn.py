@@ -1,0 +1,171 @@
+"""Multi-head-per-DMA paged attention for decode (one query token/row).
+
+The stock Pallas paged-attention kernel iterates (batch, kv_head) in its
+grid and issues ONE async copy PER PAGE PER HEAD
+(paged_attention_kernel.py:75-79) — 4 KB transfers for ps=16, d=128 bf16.
+At beam/serving batch sizes with MHA models that is thousands of tiny DMAs
+per layer, and decode attention runs far below HBM speed. This kernel makes
+the PAGE the DMA unit instead:
+
+- pools are PAGE-MAJOR ``[n_pages, hkv, ps, d]`` so one page holds every
+  kv head's slab contiguously (128 KB for hkv=32, ps=16, d=128 bf16);
+- the grid is ``(batch_rows, window_pages)`` and the page block is fetched
+  via a scalar-prefetched page-table index_map — Pallas double-buffers
+  consecutive page fetches automatically (no manual copy machinery);
+- scores are computed DENSELY as ``q [H, D] @ page [hkv*ps, D]^T`` — one
+  MXU dot per page for scores and one for the weighted values — with a
+  block-diagonal (query-head -> its kv head) + length mask; off-head
+  probabilities are exactly 0, so the single ``p @ v`` dot contracts to
+  the right per-head sums. Flops are hkv-times redundant, but decode
+  attention is DMA-bound: trading free MXU cycles for 32x fewer, 32x
+  larger DMAs is the whole point.
+
+Callers keep traffic length-proportional by slicing the page table to a
+(power-of-two-bucketed) window of pages covering the live positions — the
+same growing-window idea as utils.generation._window_phases.
+
+The reference has no counterpart (no serving layer); the vLLM-style role
+mirrors serving_paged.py. Exactness: tests compare against the dense jnp
+path bit-for-bit shapes and HF-token-exact beam search.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, ps, hkv, rep, h_pad, scale, w_total):
+    b = pl.program_id(0)
+    w = pl.program_id(1)
+
+    @pl.when(w == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+
+    @pl.when(w * ps < length)
+    def _compute():
+        d = q_ref.shape[-1]
+        cols = hkv * ps
+        q = q_ref[0].astype(jnp.float32)                      # [h_pad, D]
+        kf = k_ref[0].astype(jnp.float32).reshape(cols, d)
+        s = jax.lax.dot_general(
+            q, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                             # [h_pad, cols]
+        qh = jax.lax.broadcasted_iota(jnp.int32, (h_pad, cols), 0) // rep
+        kcol = jax.lax.broadcasted_iota(jnp.int32, (h_pad, cols), 1)
+        kh = kcol // ps
+        pos = w * ps + kcol % ps
+        mask = (qh == kh) & (pos < length)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)             # [h_pad, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m_prev - m_new)                       # [h_pad, 1]
+        vf = v_ref[0].astype(jnp.float32).reshape(cols, d)
+        pv = jax.lax.dot_general(
+            p, vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [h_pad, D]
+        acc_ref[...] = acc_ref[...] * alpha + pv
+        m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_ref.shape
+        )
+
+    @pl.when(w == w_total - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-30)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_attention_mh(
+    q: jnp.ndarray,        # [B, H, D] one query token per row
+    k_pages: jnp.ndarray,  # [P, Hkv, ps, D] page-major pool
+    v_pages: jnp.ndarray,  # [P, Hkv, ps, D]
+    lengths: jnp.ndarray,  # [B] int32 valid tokens per row
+    tables: jnp.ndarray,   # [B, W] int32 page ids (W = the live window)
+    *,
+    sm_scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, H, D] attention outputs. ``tables``'s width W bounds the
+    pages read per row — slice it to the live window before calling."""
+    b, h, d = q.shape
+    n_pages, hkv, ps, _ = k_pages.shape
+    w_total = tables.shape[1]
+    rep = h // hkv
+    h_pad = max(8, -(-h // 8) * 8)
+    if h_pad != h:
+        q = jnp.pad(q, ((0, 0), (0, h_pad - h), (0, 0)))
+
+    kernel = functools.partial(
+        _mh_kernel, ps=ps, hkv=hkv, rep=rep, h_pad=h_pad,
+        scale=float(sm_scale), w_total=w_total,
+    )
+    grid = (b, w_total)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
+                pl.BlockSpec(
+                    (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((h_pad, 128), jnp.float32),   # running max
+                pltpu.VMEM((h_pad, 128), jnp.float32),   # running denom
+                pltpu.VMEM((h_pad, d), jnp.float32),     # weighted sum
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h_pad, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), tables.astype(jnp.int32), q, k_pages, v_pages)
+    return out[:, :h]
+
+
+def paged_attention_mh_ref(q, k_pages, v_pages, lengths, tables, *, sm_scale):
+    """Dense jnp reference (exact math, any backend): gathers the window's
+    pages and does masked softmax attention."""
+    b, h, d = q.shape
+    _, hkv, ps, _ = k_pages.shape
+    w = tables.shape[1]
+    rep = h // hkv
+    kg = k_pages[tables]                         # [B, W, Hkv, ps, D]
+    vg = v_pages[tables]
+    kg = kg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
+    vg = vg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
+    qh = q.reshape(b, hkv, rep, d).astype(jnp.float32)
+    s = jnp.einsum("bhrd,bhtd->bhrt", qh, kg.astype(jnp.float32)) * sm_scale
+    pos = jnp.arange(w * ps)[None, :]
+    mask = pos < lengths[:, None]
+    s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhrt,bhtd->bhrd", p, vg.astype(jnp.float32))
+    return o.reshape(b, h, d)
