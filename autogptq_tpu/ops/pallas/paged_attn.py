@@ -41,8 +41,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, o_ref,
-               m_ref, l_ref, acc_ref, *, ps, hkv, rep, h_pad, scale, w_total):
+def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
+               ps, hkv, rep, h_pad, scale, w_total, quantized):
+    if quantized:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
     b = pl.program_id(0)
     w = pl.program_id(1)
 
@@ -60,6 +64,8 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, o_ref,
         cols = hkv * ps
         q = q_ref[0].astype(jnp.float32)                      # [h_pad, D]
         kf = k_ref[0].astype(jnp.float32).reshape(cols, d)
+        if quantized:  # int8 pages, per-(page, head, position) scales
+            kf = kf * (ks_ref[0][:, None] * (1.0 / 127.5))
         s = jax.lax.dot_general(
             q, kf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -77,6 +83,8 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, o_ref,
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)                       # [h_pad, 1]
         vf = v_ref[0].astype(jnp.float32).reshape(cols, d)
+        if quantized:
+            vf = vf * (vs_ref[0][:, None] * (1.0 / 127.5))
         pv = jax.lax.dot_general(
             p, vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -101,12 +109,16 @@ def paged_attention_mh(
     v_pages: jnp.ndarray,  # [P, Hkv, ps, D]
     lengths: jnp.ndarray,  # [B] int32 valid tokens per row
     tables: jnp.ndarray,   # [B, W] int32 page ids (W = the live window)
+    k_scales: jnp.ndarray | None = None,   # [P, Hkv*ps] f32 (int8 pools)
+    v_scales: jnp.ndarray | None = None,
     *,
     sm_scale: float,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, H, D] attention outputs. ``tables``'s width W bounds the
-    pages read per row — slice it to the live window before calling."""
+    pages read per row — slice it to the live window before calling. int8
+    pools pass per-(page, head, position) ``k_scales``/``v_scales``
+    (dequant = q * s / 127.5, the serving int8 convention)."""
     b, h, d = q.shape
     n_pages, hkv, ps, _ = k_pages.shape
     w_total = tables.shape[1]
@@ -114,26 +126,35 @@ def paged_attention_mh(
     h_pad = max(8, -(-h // 8) * 8)
     if h_pad != h:
         q = jnp.pad(q, ((0, 0), (0, h_pad - h), (0, 0)))
+    quantized = k_scales is not None
 
     kernel = functools.partial(
         _mh_kernel, ps=ps, hkv=hkv, rep=rep, h_pad=h_pad,
-        scale=float(sm_scale), w_total=w_total,
+        scale=float(sm_scale), w_total=w_total, quantized=quantized,
     )
     grid = (b, w_total)
+    page_spec = pl.BlockSpec(
+        (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
+    )
+    in_specs = [
+        pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
+        page_spec,
+        page_spec,
+    ]
+    operands = [lengths.astype(jnp.int32), tables.astype(jnp.int32),
+                q, k_pages, v_pages]
+    if quantized:
+        scale_spec = pl.BlockSpec(
+            (1, hkv * ps), lambda b_, w_, L, T: (T[b_, w_], 0)
+        )
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scales, v_scales]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
-                pl.BlockSpec(
-                    (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((h_pad, 128), jnp.float32),   # running max
@@ -146,19 +167,25 @@ def paged_attention_mh(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), tables.astype(jnp.int32), q, k_pages, v_pages)
+    )(*operands)
     return out[:, :h]
 
 
-def paged_attention_mh_ref(q, k_pages, v_pages, lengths, tables, *, sm_scale):
+def paged_attention_mh_ref(q, k_pages, v_pages, lengths, tables,
+                           k_scales=None, v_scales=None, *, sm_scale):
     """Dense jnp reference (exact math, any backend): gathers the window's
     pages and does masked softmax attention."""
     b, h, d = q.shape
     _, hkv, ps, _ = k_pages.shape
     w = tables.shape[1]
     rep = h // hkv
-    kg = k_pages[tables]                         # [B, W, Hkv, ps, D]
-    vg = v_pages[tables]
+    kg = k_pages[tables].astype(jnp.float32)     # [B, W, Hkv, ps, D]
+    vg = v_pages[tables].astype(jnp.float32)
+    if k_scales is not None:
+        ks = k_scales[tables].reshape(b, w, hkv, ps, 1) / 127.5
+        vs = v_scales[tables].reshape(b, w, hkv, ps, 1) / 127.5
+        kg = kg * ks
+        vg = vg * vs
     kg = kg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
     vg = vg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
     qh = q.reshape(b, hkv, rep, d).astype(jnp.float32)

@@ -80,3 +80,25 @@ def test_mh_kernel_window_slice_equivalence(rng):
         q, kp, vp, lengths, tables[:, :4], sm_scale=d ** -0.5, interpret=True)
     np.testing.assert_allclose(np.asarray(sliced), np.asarray(full),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mh_kernel_int8_scales(rng):
+    """int8 pools + per-(page, head, position) scales: kernel vs the dense
+    reference with the same dequant convention."""
+    b, h, hkv, d, ps, w, n_pages = 2, 8, 4, 128, 16, 4, 9
+    q = jnp.asarray(rng.standard_normal((b, h, d)) * 0.3, jnp.float32)
+    kq = jnp.asarray(rng.integers(-127, 128, size=(n_pages, hkv, ps, d)),
+                     jnp.int8)
+    vq = jnp.asarray(rng.integers(-127, 128, size=(n_pages, hkv, ps, d)),
+                     jnp.int8)
+    ks = jnp.asarray(rng.random((n_pages, hkv * ps)) * 0.4 + 0.1, jnp.float32)
+    vs = jnp.asarray(rng.random((n_pages, hkv * ps)) * 0.4 + 0.1, jnp.float32)
+    lengths = jnp.asarray([30, 64], jnp.int32)
+    tables = jnp.asarray(rng.integers(0, n_pages, size=(b, w)), jnp.int32)
+    ref = paged_attn.paged_attention_mh_ref(
+        q, kq, vq, lengths, tables, ks, vs, sm_scale=d ** -0.5)
+    got = paged_attn.paged_attention_mh(
+        q, kq, vq, lengths, tables, ks, vs, sm_scale=d ** -0.5,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
