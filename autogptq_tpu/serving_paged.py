@@ -3,17 +3,18 @@
 The slot engine in serving.py preallocates ``max_slots x max_seq_len`` cache
 rows per slot — at 8 slots x 4k context on a 7B model that is ~17 GB of
 bf16 cache, more than a v5e's HBM. This engine shares ONE page pool across
-all slots: each sequence owns a page table into
-``[L, Hkv, total_pages, page_size, D]`` pools, pages are allocated
+all slots: each sequence owns a page table into PAGE-MAJOR
+``[L, total_pages, Hkv, page_size, D]`` pools, pages are allocated
 on demand as a sequence grows and freed the moment it retires, so cache
 memory scales with the TOKENS ACTUALLY RESIDENT rather than
 slots x max_seq_len.
 
-Decode attention over the paged pools runs the stock Pallas paged-attention
-kernel on TPU (jax.experimental.pallas.ops.tpu.paged_attention — the
-TPU analog of vLLM's PagedAttention CUDA kernel); everywhere else (CPU
-tests) an exact jnp reference gathers the pages. Both paths produce the
-same tokens as the contiguous-cache engine.
+Decode attention over the paged pools runs the multi-head-per-DMA kernel
+(ops/pallas/paged_attn.py — the TPU analog of vLLM's PagedAttention CUDA
+kernel, fetching one whole page per DMA instead of the stock kernel's
+per-(page, head) 4 KB copies); everywhere else (CPU tests) an exact jnp
+reference gathers the pages. Both paths produce the same tokens as the
+contiguous-cache engine.
 
 Scope: standard decoder families (rope/GQA, no alibi/softcap/sliding-window
 /MLA); quantized or dense weights; greedy + the same per-request sampling as
@@ -62,37 +63,6 @@ def _check_cfg(cfg) -> None:
         )
 
 
-def _paged_attention_jnp(q, k_pages, v_pages, lengths, page_indices, scale):
-    """Exact reference: gather each sequence's pages and run masked
-    attention. q [B, H, D]; pages [Hkv, P, page, D]; page_indices
-    [B, pages_per_seq]. Returns [B, H, D]."""
-    b, h, d = q.shape
-    hkv = k_pages.shape[0]
-    page = k_pages.shape[2]
-    pps = page_indices.shape[1]
-    s = pps * page
-
-    # [B, Hkv, pages_per_seq, page, D] -> [B, S, Hkv, D]
-    def gather(pages):
-        g = jnp.take(pages, page_indices, axis=1)      # [Hkv, B, pps, page, D]
-        return g.transpose(1, 2, 3, 0, 4).reshape(b, s, hkv, d)
-
-    keys = gather(k_pages)
-    values = gather(v_pages)
-    rep = h // hkv
-    qh = q.reshape(b, hkv, rep, d)
-    logits = jnp.einsum(
-        "bhrd,bshd->bhrs", qh.astype(jnp.float32), keys.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale
-    mask = jnp.arange(s)[None, :] < lengths[:, None]   # [B, S]
-    logits = jnp.where(mask[:, None, None, :], logits, -1e30)
-    probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhrs,bshd->bhrd", probs, values.astype(jnp.float32),
-                     precision=jax.lax.Precision.HIGHEST)
-    return out.reshape(b, h, d)
-
-
 @dataclasses.dataclass
 class _PagedSlot:
     req: Optional[Request] = None
@@ -137,7 +107,10 @@ class PagedContinuousBatchEngine:
             use_kernel if use_kernel is not None
             else jax.default_backend() == "tpu"
         )
-        shape = (cfg.num_layers, cfg.num_kv_heads, total_pages, page_size,
+        # PAGE-MAJOR pools: one page holds every kv head's slab contiguously,
+        # so the mh attention kernel fetches a whole page per DMA (the stock
+        # kernel's head-major layout forced one 4 KB copy per (page, head))
+        shape = (cfg.num_layers, total_pages, cfg.num_kv_heads, page_size,
                  cfg.head_dim)
         self.k_pages = jnp.zeros(shape, model.dtype)
         self.v_pages = jnp.zeros(shape, model.dtype)
@@ -245,10 +218,10 @@ class PagedContinuousBatchEngine:
                 npages = span // pg
 
                 def segs(a):
-                    return a.reshape(L, npages, pg, hkv, d).transpose(0, 3, 1, 2, 4)
+                    return a.reshape(L, npages, pg, hkv, d).transpose(0, 1, 3, 2, 4)
 
-                pool_k = pool_k.at[:, :, pids].set(segs(k).astype(pool_k.dtype))
-                pool_v = pool_v.at[:, :, pids].set(segs(v).astype(pool_v.dtype))
+                pool_k = pool_k.at[:, pids].set(segs(k).astype(pool_k.dtype))
+                pool_v = pool_v.at[:, pids].set(segs(v).astype(pool_v.dtype))
                 return pool_k, pool_v
 
             self._scatter_fn = scatter
@@ -315,20 +288,18 @@ class PagedContinuousBatchEngine:
     # -- decode ----------------------------------------------------------
 
     def _attend(self, q, kp, vp, lengths, tables, scale):
-        if self.use_kernel:
-            from jax.experimental.pallas.ops.tpu.paged_attention import (
-                paged_attention,
-            )
+        from .ops.pallas.paged_attn import (
+            paged_attention_mh,
+            paged_attention_mh_ref,
+        )
 
-            # the stock kernel does not scale qk internally — pre-scale q;
-            # pages_per_compute_block must divide pages_per_seq
-            ppcb = max(d for d in (8, 4, 2, 1) if self.pages_per_seq % d == 0)
-            return paged_attention(
-                (q.astype(jnp.float32) * scale).astype(q.dtype),
-                kp, vp, lengths, tables,
-                pages_per_compute_block=ppcb,
+        if self.use_kernel:  # True on TPU; "interpret" = real kernel on CPU
+            return paged_attention_mh(
+                q, kp, vp, lengths, tables, sm_scale=float(scale),
+                interpret=self.use_kernel == "interpret",
             )
-        return _paged_attention_jnp(q, kp, vp, lengths, tables, scale)
+        return paged_attention_mh_ref(
+            q, kp, vp, lengths, tables, sm_scale=float(scale))
 
     def _decode_step_fn(self, sampling: bool):
         fn = self._decode_fns.get(sampling)
@@ -365,11 +336,11 @@ class PagedContinuousBatchEngine:
                         q = (q.astype(jnp.float32)
                              * logn[:, None, None, None]).astype(x.dtype)
                     # write current K/V into each slot's active page: the
-                    # mixed (scalar, :, [B], [B]) index puts the broadcast
+                    # mixed (scalar, [B], :, [B]) index puts the broadcast
                     # advanced dims first -> the updated block is [B, Hkv, D]
-                    k_pages = k_pages.at[idx, :, page_of, off].set(
+                    k_pages = k_pages.at[idx, page_of, :, off].set(
                         kk[:, 0].astype(k_pages.dtype))
-                    v_pages = v_pages.at[idx, :, page_of, off].set(
+                    v_pages = v_pages.at[idx, page_of, :, off].set(
                         vv[:, 0].astype(v_pages.dtype))
                     of = self._attend(
                         q[:, 0], k_pages[idx], v_pages[idx],

@@ -449,8 +449,16 @@ def _generate_beam_paged(
       G0 + (r*k+j)*GMAX + c    generated page c of beam (r, j) — each beam
                                only ever WRITES its own pages, so sibling
                                beams sharing history never conflict.
+
+    Pools are PAGE-MAJOR ([L, P, Hkv, ps, D]) and attention runs the
+    multi-head-per-DMA kernel (ops/pallas/paged_attn.py): one 128 KB
+    contiguous DMA per page instead of the stock kernel's 4 KB per
+    (page, head) copy.
     """
-    from ..serving_paged import _paged_attention_jnp
+    from ..ops.pallas.paged_attn import (
+        paged_attention_mh,
+        paged_attention_mh_ref,
+    )
 
     b, t = tokens.shape
     k = num_beams
@@ -467,8 +475,7 @@ def _generate_beam_paged(
     gmax = _cdiv(max_new_tokens, ps) + 1    # own (write) pages per beam
     g0 = 1 + b * pps
     n_pages = g0 + bk * gmax
-    width = _cdiv(pps + gmax, 8) * 8        # table width (kernel blocks of 8)
-    ppcb = max(q for q in (8, 4, 2, 1) if width % q == 0)
+    width = _cdiv(pps + gmax, 8) * 8        # table width (rounded for tiling)
     cache_dtype = jnp.int8 if kv_quant else dtype
 
     # ---- prefill once per row through the ordinary contiguous path ----
@@ -490,8 +497,8 @@ def _generate_beam_paged(
     def _to_pages(a):                       # [L, B, t, Hkv, D] -> pool block
         g = jnp.take_along_axis(a, src[None, :, :, None, None], axis=2)
         L = a.shape[0]
-        g = g.reshape(L, b, pps, ps, hkv, d).transpose(0, 4, 1, 2, 3, 5)
-        return g.reshape(L, hkv, b * pps, ps, d)
+        g = g.reshape(L, b, pps, ps, hkv, d).transpose(0, 1, 2, 4, 3, 5)
+        return g.reshape(L, b * pps, hkv, ps, d)    # page-major
 
     def _quant(x):                          # per-(slot, head) int8, D-wise
         s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -500,20 +507,20 @@ def _generate_beam_paged(
         return jnp.clip(q, -127, 127).astype(jnp.int8), s
 
     L = cfg.num_layers
-    k_pool = jnp.zeros((L, hkv, n_pages, ps, d), cache_dtype)
-    v_pool = jnp.zeros((L, hkv, n_pages, ps, d), cache_dtype)
-    ks_pool = jnp.ones((L, hkv, n_pages, ps, 1), jnp.float32) if kv_quant else None
-    vs_pool = jnp.ones((L, hkv, n_pages, ps, 1), jnp.float32) if kv_quant else None
+    k_pool = jnp.zeros((L, n_pages, hkv, ps, d), cache_dtype)
+    v_pool = jnp.zeros((L, n_pages, hkv, ps, d), cache_dtype)
+    ks_pool = jnp.ones((L, n_pages, hkv, ps, 1), jnp.float32) if kv_quant else None
+    vs_pool = jnp.ones((L, n_pages, hkv, ps, 1), jnp.float32) if kv_quant else None
     if kv_quant:
         kq, ksc = _quant(_to_pages(cache_b.k))
         vq, vsc = _quant(_to_pages(cache_b.v))
-        k_pool = k_pool.at[:, :, 1:g0].set(kq)
-        v_pool = v_pool.at[:, :, 1:g0].set(vq)
-        ks_pool = ks_pool.at[:, :, 1:g0].set(ksc)
-        vs_pool = vs_pool.at[:, :, 1:g0].set(vsc)
+        k_pool = k_pool.at[:, 1:g0].set(kq)
+        v_pool = v_pool.at[:, 1:g0].set(vq)
+        ks_pool = ks_pool.at[:, 1:g0].set(ksc)
+        vs_pool = vs_pool.at[:, 1:g0].set(vsc)
     else:
-        k_pool = k_pool.at[:, :, 1:g0].set(_to_pages(cache_b.k).astype(cache_dtype))
-        v_pool = v_pool.at[:, :, 1:g0].set(_to_pages(cache_b.v).astype(cache_dtype))
+        k_pool = k_pool.at[:, 1:g0].set(_to_pages(cache_b.k).astype(cache_dtype))
+        v_pool = v_pool.at[:, 1:g0].set(_to_pages(cache_b.v).astype(cache_dtype))
 
     # ---- per-beam page tables ----
     rows_bk = jnp.arange(bk) // k                                   # [bk]
@@ -533,7 +540,7 @@ def _generate_beam_paged(
     bdst = g0 + jnp.arange(bk) * gmax
 
     def _copy_pages(pool, srcp, dstp):
-        return pool.at[:, :, dstp].set(pool[:, :, srcp])
+        return pool.at[:, dstp].set(pool[:, srcp])
 
     k_pool = _copy_pages(k_pool, bsrc, bdst)
     v_pool = _copy_pages(v_pool, bsrc, bdst)
@@ -577,25 +584,15 @@ def _generate_beam_paged(
     cur_tok0 = top_tok.reshape(bk)
 
     def _attend(q, kp, vp, ksp, vsp, lengths, tables):
-        if use_kernel:
-            from jax.experimental.pallas.ops.tpu.paged_attention import (
-                paged_attention,
+        ks = None if ksp is None else ksp.reshape(n_pages, hkv * ps)
+        vs = None if vsp is None else vsp.reshape(n_pages, hkv * ps)
+        if use_kernel:  # True on TPU; "interpret" runs the REAL kernel on CPU
+            return paged_attention_mh(
+                q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale),
+                interpret=use_kernel == "interpret",
             )
-            from jax.experimental.pallas.ops.tpu.paged_attention.quantization_utils import (  # noqa: E501
-                QuantizedTensor,
-            )
-
-            kk = QuantizedTensor(kp, ksp) if kv_quant else kp
-            vv = QuantizedTensor(vp, vsp) if kv_quant else vp
-            return paged_attention(
-                (q.astype(jnp.float32) * scale).astype(dtype),
-                kk, vv, lengths, tables,
-                pages_per_compute_block=ppcb,
-            )
-        if kv_quant:
-            kp = kp.astype(jnp.float32) * ksp / 127.5
-            vp = vp.astype(jnp.float32) * vsp / 127.5
-        return _paged_attention_jnp(q, kp, vp, lengths, tables, scale)
+        return paged_attention_mh_ref(
+            q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale))
 
     def _fwd_step(pools, tables, cur_tok, pos):
         """One decode token per beam over the paged pools; writes the token's
@@ -620,16 +617,16 @@ def _generate_beam_paged(
             if kv_quant:
                 kq, ksc = _quant(kk[:, 0])
                 vq, vsc = _quant(vv[:, 0])
-                k_pool = k_pool.at[idx, :, page_of, off].set(kq)
-                v_pool = v_pool.at[idx, :, page_of, off].set(vq)
-                ks_pool = ks_pool.at[idx, :, page_of, off].set(ksc)
-                vs_pool = vs_pool.at[idx, :, page_of, off].set(vsc)
+                k_pool = k_pool.at[idx, page_of, :, off].set(kq)
+                v_pool = v_pool.at[idx, page_of, :, off].set(vq)
+                ks_pool = ks_pool.at[idx, page_of, :, off].set(ksc)
+                vs_pool = vs_pool.at[idx, page_of, :, off].set(vsc)
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              ks_pool[idx], vs_pool[idx], pos + 1, tables)
             else:
-                k_pool = k_pool.at[idx, :, page_of, off].set(
+                k_pool = k_pool.at[idx, page_of, :, off].set(
                     kk[:, 0].astype(cache_dtype))
-                v_pool = v_pool.at[idx, :, page_of, off].set(
+                v_pool = v_pool.at[idx, page_of, :, off].set(
                     vv[:, 0].astype(cache_dtype))
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              None, None, pos + 1, tables)

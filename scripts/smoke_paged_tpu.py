@@ -1,11 +1,12 @@
 """Paged-attention KERNEL path smoke on the real TPU.
 
-Correctness gate: the stock Pallas paged-attention kernel vs the exact jnp
-gather reference on random pages — NUMERIC comparison (token equality over
-long greedy runs is meaningless on random weights: the two paths round in
-different orders, ~5e-4 abs diff, and a single argmax flip cascades; same
-finding as the round-1 flash-attention note). Measured: max abs diff
-5.7e-4 on 0.2-scale outputs (0.3% relative).
+Correctness gate: the multi-head-per-DMA paged-attention kernel
+(ops/pallas/paged_attn.py, page-major pools) vs the exact jnp gather
+reference on random pages — NUMERIC comparison (token equality over long
+greedy runs is meaningless on random weights: the two paths round in
+different orders and a single argmax flip cascades). Also slope-times the
+kernel at beam-4 7B shapes (the stock per-(page, head)-DMA kernel this
+replaces was the suspected beam bottleneck).
 
 Then runs the paged ENGINE with use_kernel=True end-to-end for a
 throughput number.
@@ -23,11 +24,12 @@ sys.path.insert(0, ".")
 import jax.numpy as jnp  # noqa: E402
 
 import bench  # noqa: E402
-from autogptq_tpu.serving import Request  # noqa: E402
-from autogptq_tpu.serving_paged import (  # noqa: E402
-    PagedContinuousBatchEngine,
-    _paged_attention_jnp,
+from autogptq_tpu.ops.pallas.paged_attn import (  # noqa: E402
+    paged_attention_mh,
+    paged_attention_mh_ref,
 )
+from autogptq_tpu.serving import Request  # noqa: E402
+from autogptq_tpu.serving_paged import PagedContinuousBatchEngine  # noqa: E402
 
 
 class Shim:
@@ -37,24 +39,36 @@ class Shim:
 
 
 def check_kernel_numerics() -> None:
-    from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
-
     rng = np.random.default_rng(0)
-    B, H, HKV, D, PAGE, PPS, P = 4, 32, 32, 128, 16, 8, 64
+    B, H, HKV, D, PAGE, PPS, P = 4, 32, 32, 128, 16, 40, 256
     q = jnp.asarray(rng.standard_normal((B, H, D)) * 0.3, jnp.bfloat16)
-    kp = jnp.asarray(rng.standard_normal((HKV, P, PAGE, D)) * 0.3, jnp.bfloat16)
-    vp = jnp.asarray(rng.standard_normal((HKV, P, PAGE, D)) * 0.3, jnp.bfloat16)
-    lengths = jnp.asarray([25, 49, 97, 34], jnp.int32)
+    kp = jnp.asarray(rng.standard_normal((P, HKV, PAGE, D)) * 0.3, jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((P, HKV, PAGE, D)) * 0.3, jnp.bfloat16)
+    lengths = jnp.asarray([25, 490, 397, 634], jnp.int32)
     tables = jnp.asarray(rng.integers(1, P, size=(B, PPS)), jnp.int32)
     scale = D ** -0.5
-    ref = np.asarray(_paged_attention_jnp(q, kp, vp, lengths, tables, scale),
-                     np.float32)
-    out = np.asarray(paged_attention(
-        (q.astype(jnp.float32) * scale).astype(q.dtype), kp, vp, lengths,
-        tables, pages_per_compute_block=4), np.float32)
+    ref = np.asarray(
+        paged_attention_mh_ref(q, kp, vp, lengths, tables, sm_scale=scale),
+        np.float32)
+    out = np.asarray(
+        paged_attention_mh(q, kp, vp, lengths, tables, sm_scale=scale),
+        np.float32)
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
-    assert rel < 2e-2, f"paged kernel diverges from reference: rel={rel}"
-    print(f"paged kernel vs jnp reference: max rel diff {rel:.2e} OK",
+    assert rel < 2e-2, f"mh paged kernel diverges from reference: rel={rel}"
+    print(f"mh paged kernel vs jnp reference: max rel diff {rel:.2e} OK",
+          flush=True)
+
+    from scripts.bench_util import slope_time
+
+    t = slope_time(
+        lambda qq: paged_attention_mh(qq, kp, vp, lengths, tables,
+                                      sm_scale=scale)[:, 0, :1],
+        q, n1=50, n2=1050, reps=3)
+    live = float(np.asarray(lengths, np.float32).sum())
+    bytes_ = live * HKV * D * 2 * 2          # K+V bf16, live tokens
+    read = B * PPS * PAGE * HKV * D * 2 * 2  # window reads (incl. dead pages)
+    print(f"mh kernel 1-layer beam-shape: {t * 1e6:.2f} us  "
+          f"live {bytes_ / t / 1e9:.1f} GB/s  window {read / t / 1e9:.1f} GB/s",
           flush=True)
 
 

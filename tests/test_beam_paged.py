@@ -96,3 +96,32 @@ def test_paged_beam_routing_and_fallback(model):
     exotic = Shim()
     exotic.cfg = dataclasses.replace(exotic.cfg, attn_softcap=30.0)
     assert not generation._beam_paged_ok(exotic)
+
+
+def test_paged_beam_real_kernel_interpret(model, rng):
+    """The REAL mh paged-attention kernel (interpret mode) must produce the
+    exact gather-path tokens — covers the kernel plumbing the CPU ref path
+    skips (page-major pools, scale reshapes, window width)."""
+    prompts = [rng.integers(1, model.cfg.vocab_size, size=(n,)).astype(np.int32)
+               for n in (5, 9)]
+    ids, mask = generation._prep_inputs(prompts, 0)
+    ref = generation._generate_beam(
+        model.params, jnp.asarray(ids), jnp.asarray(mask), model.cfg,
+        10, 0, 7, 3, model.backend, model.dtype)
+    got = generation._generate_beam_paged(
+        model.params, jnp.asarray(ids), jnp.asarray(mask), model.cfg,
+        10, 0, 7, 3, model.backend, model.dtype, use_kernel="interpret")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_paged_beam_real_kernel_interpret_int8(model, rng):
+    """int8 paged cache through the real kernel (interpret) matches the
+    jnp-ref paged path (same quantization scheme, same pools)."""
+    prompts = [rng.integers(1, model.cfg.vocab_size, size=(7,)).astype(np.int32)]
+    ids, mask = generation._prep_inputs(prompts, 0)
+    args = (model.params, jnp.asarray(ids), jnp.asarray(mask), model.cfg,
+            8, 0, 7, 2, model.backend, model.dtype)
+    ref = generation._generate_beam_paged(*args, kv_quant=True, use_kernel=False)
+    got = generation._generate_beam_paged(*args, kv_quant=True,
+                                          use_kernel="interpret")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -180,3 +180,16 @@ def test_paged_stream_no_duplicates_under_preemption(model, rng):
                    Request(1, p2, max_new_tokens=8)])
     for rid in out:
         np.testing.assert_array_equal(np.asarray(streams[rid], np.int32), out[rid])
+
+
+def test_paged_engine_real_kernel_interpret(model, rng):
+    """The engine through the REAL mh paged-attention kernel (interpret
+    mode) must reproduce sequential generation exactly."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=32, page_size=8, pages_per_seq=8,
+        use_kernel="interpret")
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 11)]
+    out = eng.run([Request(i, p, max_new_tokens=6) for i, p in enumerate(prompts)])
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(out[i], np.asarray(sequential_greedy(model, p, 6)))
