@@ -66,6 +66,30 @@ def _window_phases(t: int, max_new_tokens: int, total: int):
     return phases
 
 
+def _page_phases(t: int, max_new_tokens: int, width: int, ps: int):
+    """Static growing PAGE windows for the paged-beam decode scan — the
+    page-space analog of :func:`_window_phases`. Phase ``(s0, s1, wb)``
+    runs steps ``[s0, s1)`` with the attention page table sliced to its
+    first ``wb`` entries (``wb * ps >= t + s1``, so every live position is
+    covered). The mh paged-attention kernel walks the table width
+    unconditionally (dead entries point at live-ish pages whose data is
+    masked), so slicing the table keeps its DMA traffic proportional to
+    the LIVE context instead of the preallocated width."""
+    phases = []
+    s = 1
+    while s < max_new_tokens:
+        wb = 8
+        while wb * ps < t + s + 1:
+            wb *= 2
+        if wb >= width:
+            phases.append((s, max_new_tokens, width))
+            break
+        s1 = min(max_new_tokens, wb * ps - t)
+        phases.append((s, s1, wb))
+        s = s1
+    return phases
+
+
 def _slice_cache(c: KVCache, w: int) -> KVCache:
     sl = lambda a: jax.lax.slice_in_dim(a, 0, w, axis=2)
     return KVCache(
@@ -410,7 +434,7 @@ def _beam_paged_ok(model) -> bool:
     static_argnames=(
         "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams",
         "backend", "dtype", "kv_quant", "length_penalty", "early_stopping",
-        "num_return_sequences", "page_size", "use_kernel",
+        "num_return_sequences", "page_size", "use_kernel", "phased",
     ),
 )
 def _generate_beam_paged(
@@ -430,6 +454,7 @@ def _generate_beam_paged(
     num_return_sequences=1,
     page_size=16,
     use_kernel=False,
+    phased=True,
 ):
     """Beam search with a GATHER-FREE KV cache: HF BeamSearchScorer
     semantics identical to :func:`_generate_beam`, but instead of physically
@@ -594,10 +619,12 @@ def _generate_beam_paged(
         return paged_attention_mh_ref(
             q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale))
 
-    def _fwd_step(pools, tables, cur_tok, pos):
+    def _fwd_step(pools, tables, cur_tok, pos, wb):
         """One decode token per beam over the paged pools; writes the token's
-        K/V into each beam's current (owned) page, then attends."""
+        K/V into each beam's current (owned) page, then attends over the
+        first ``wb`` (static) table entries — the live page window."""
         k_pool, v_pool, ks_pool, vs_pool = pools
+        att_tables = tables[:, :wb]
         x = arch.embed(params, cur_tok[:, None], pos[:, None], cfg, dtype)
         rows = jnp.arange(bk)
         page_of = tables[rows, pos // ps]
@@ -622,14 +649,14 @@ def _generate_beam_paged(
                 ks_pool = ks_pool.at[idx, page_of, :, off].set(ksc)
                 vs_pool = vs_pool.at[idx, page_of, :, off].set(vsc)
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
-                             ks_pool[idx], vs_pool[idx], pos + 1, tables)
+                             ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
             else:
                 k_pool = k_pool.at[idx, page_of, :, off].set(
                     kk[:, 0].astype(cache_dtype))
                 v_pool = v_pool.at[idx, page_of, :, off].set(
                     vv[:, 0].astype(cache_dtype))
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
-                             None, None, pos + 1, tables)
+                             None, None, pos + 1, att_tables)
             of = of.reshape(bk, 1, h * d).astype(x.dtype)
             x = x + arch.apply_linear(ap["o_proj"], of, backend)
             h2 = arch.apply_norm(bp["post_norm"], x, cfg)
@@ -637,12 +664,12 @@ def _generate_beam_paged(
         logits = arch.unembed(params, x, cfg)[:, -1, :]
         return (k_pool, v_pool, ks_pool, vs_pool), logits
 
-    def step_fn(state, step):
+    def step_fn(state, step, wb=width):
         (k_pool, v_pool, ks_pool, vs_pool, tables, cur_tok, scores, out,
          done_scores, done_tokens, frozen) = state
         pos = plen_bk + step - 1            # slot of the incoming token
         pools, logits = _fwd_step(
-            (k_pool, v_pool, ks_pool, vs_pool), tables, cur_tok, pos)
+            (k_pool, v_pool, ks_pool, vs_pool), tables, cur_tok, pos, wb)
         k_pool, v_pool, ks_pool, vs_pool = pools
         lp = jax.nn.log_softmax(logits.astype(jnp.float32))
         lp = mask_eos(lp, step).reshape(b, k, vocab)
@@ -712,7 +739,15 @@ def _generate_beam_paged(
 
     state = (k_pool, v_pool, ks_pool, vs_pool, tables0, cur_tok0,
              beam_scores0, out0, done_scores0, done_tokens0, frozen0)
-    state, _ = jax.lax.scan(step_fn, state, jnp.arange(1, max_new_tokens))
+    page_phases = (
+        _page_phases(t, max_new_tokens, width, ps)
+        if phased else [(1, max_new_tokens, width)]
+    )
+    for s0, s1, wb in page_phases:
+        if s1 <= s0:
+            continue
+        state, _ = jax.lax.scan(
+            functools.partial(step_fn, wb=wb), state, jnp.arange(s0, s1))
     scores, out = state[6], state[7]
     done_scores, done_tokens, frozen = state[8], state[9], state[10]
 
@@ -819,7 +854,8 @@ def generate(
         )
         beam_fn = _generate_beam_paged if paged else _generate_beam
         extra = (
-            {"use_kernel": jax.default_backend() == "tpu"} if paged else {}
+            {"use_kernel": jax.default_backend() == "tpu", "phased": phased}
+            if paged else {}
         )
         new = beam_fn(
             model.params,

@@ -125,3 +125,21 @@ def test_paged_beam_real_kernel_interpret_int8(model, rng):
     got = generation._generate_beam_paged(*args, kv_quant=True,
                                           use_kernel="interpret")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_paged_beam_phased_window_token_exact(model, rng):
+    """Growing page-window phases must not change tokens (phased=False is
+    the monolithic full-width scan), through both the ref path and the
+    real kernel in interpret mode, with a prompt long enough to cross
+    several page-window boundaries."""
+    prompts = [rng.integers(1, model.cfg.vocab_size, size=(n,)).astype(np.int32)
+               for n in (21, 9)]
+    ids, mask = generation._prep_inputs(prompts, 0)
+    args = (model.params, jnp.asarray(ids), jnp.asarray(mask), model.cfg,
+            150, 0, 7, 3, model.backend, model.dtype)
+    mono = generation._generate_beam_paged(*args, phased=False)
+    ph = generation._generate_beam_paged(*args, phased=True)
+    np.testing.assert_array_equal(np.asarray(ph), np.asarray(mono))
+    ph_k = generation._generate_beam_paged(*args, phased=True,
+                                           use_kernel="interpret")
+    np.testing.assert_array_equal(np.asarray(ph_k), np.asarray(mono))
