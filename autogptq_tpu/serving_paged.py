@@ -409,12 +409,25 @@ class PagedContinuousBatchEngine:
 
         sampling = any(self._temps[i] > 0 for i, a in enumerate(active) if a)
         fn = self._decode_step_fn(sampling)
+        # Static page window covering every live position (lengths are
+        # host-known): the attention kernel walks the table width it is
+        # given, so slicing the tables keeps its DMA length-proportional
+        # (the page-space analog of serving.py's window-bucketed decode).
+        # Bucketed to powers of two so recompiles stay rare; the in-window
+        # write ordinal lengths // pg < wb is guaranteed by construction.
+        need = max(
+            int(self.lengths[i]) + 1 for i, a in enumerate(active) if a
+        )
+        wb = 8
+        while wb * self.page_size < need:
+            wb *= 2
+        wb = min(wb, self.pages_per_seq)
         min_left = np.array([
             max(0, self._min_new[i] - len(st.generated))
             for i, st in enumerate(self.slots)
         ], np.int32)
         args = [self.model.params, self.k_pages, self.v_pages,
-                jnp.asarray(self.tables), jnp.asarray(self.lengths),
+                jnp.asarray(self.tables[:, :wb]), jnp.asarray(self.lengths),
                 jnp.asarray(self.cur_tokens),
                 jnp.asarray(self._eos), jnp.asarray(min_left)]
         if sampling:
