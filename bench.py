@@ -33,6 +33,9 @@ BASELINE_TOK_S = 25.53
 import os as _os
 
 BENCH_LAYOUT = _os.environ.get("BENCH_LAYOUT", "kb32")
+# Known-good layout to fall back to if BENCH_LAYOUT fails to compile/run
+# (kb32 is probe-validated but its e2e path has had less hardware time).
+FALLBACK_LAYOUT = "ki32"
 
 
 def device_quant_linear(key, k, n, bits=4, group_size=128):
@@ -128,6 +131,7 @@ class _Shim:
 
 
 def main():
+    global BENCH_LAYOUT
     new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     prompt_len = 16
     params, cfg = build_model()
@@ -147,8 +151,20 @@ def main():
     model = _Shim(params, cfg)
     prompt = np.arange(prompt_len, dtype=np.int32)[None, :] % 1000
 
-    # warmup / compile
-    out = generation.generate(model, prompt, max_new_tokens=new_tokens)
+    # warmup / compile — if the configured layout fails (e.g. a Mosaic
+    # compile error on a shape the probes never covered), rebuild with the
+    # known-good fallback layout rather than recording nothing.
+    try:
+        out = generation.generate(model, prompt, max_new_tokens=new_tokens)
+    except Exception as e:  # noqa: BLE001 — any device failure triggers fallback
+        if BENCH_LAYOUT == FALLBACK_LAYOUT:
+            raise
+        print(f"# layout {BENCH_LAYOUT} failed ({type(e).__name__}); "
+              f"falling back to {FALLBACK_LAYOUT}", file=sys.stderr)
+        BENCH_LAYOUT = FALLBACK_LAYOUT
+        params, cfg = build_model()
+        model = _Shim(params, cfg)
+        out = generation.generate(model, prompt, max_new_tokens=new_tokens)
     assert out.shape[1] == prompt_len + new_tokens
 
     times = []
