@@ -154,15 +154,25 @@ class GPTQModel:
         # accelerate-placement flags have no TPU meaning (one Pallas backend,
         # JAX shardings) and are deliberately ignored.
         model_basename = kwargs.pop("model_basename", None)
+        override_qc = kwargs.pop("quantize_config", None)
         torch_dtype = kwargs.pop("torch_dtype", None)
         if torch_dtype is not None:
+            # Accept both the repr form ("torch.float16") and the plain HF
+            # string form ("float16"); "auto" keeps the default.
+            key = str(torch_dtype).removeprefix("torch.")
             mapped = {
-                "torch.float16": jnp.float16,
-                "torch.bfloat16": jnp.bfloat16,
-                "torch.float32": jnp.float32,
-            }.get(str(torch_dtype))
+                "float16": jnp.float16,
+                "bfloat16": jnp.bfloat16,
+                "float32": jnp.float32,
+                "auto": dtype,
+            }.get(key)
             if mapped is not None:
                 dtype = mapped
+            else:
+                logger.warning(
+                    "from_quantized: unrecognized torch_dtype=%r ignored "
+                    "(keeping %s)", torch_dtype, jnp.dtype(dtype).name
+                )
         ignored = [
             f for f in (
                 "device", "device_map", "max_memory", "low_cpu_mem_usage",
@@ -181,7 +191,13 @@ class GPTQModel:
         hf_cfg = hf_io.load_hf_config(model_dir)
         spec = get_family(hf_cfg["model_type"], hf_cfg)
         cfg = spec.arch_fn(hf_cfg)
-        qc = BaseQuantizeConfig.from_pretrained(model_dir, **kwargs)
+        if override_qc is not None:
+            # Reference call sites pass quantize_config= to override a
+            # broken/missing on-disk config (_base.py:811-815 only reads the
+            # file when the caller gave none) — honor the same precedence.
+            qc = override_qc
+        else:
+            qc = BaseQuantizeConfig.from_pretrained(model_dir, **kwargs)
         if model_basename is not None:
             qc.model_file_base_name = model_basename
         qc.model_name_or_path = model_dir

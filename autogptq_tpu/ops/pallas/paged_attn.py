@@ -171,6 +171,20 @@ def paged_attention_mh(
     return out[:, :h]
 
 
+def page_window_bucket(need: int, page_size: int, width: int) -> int:
+    """Power-of-two page-table window (>= 8 pages) whose span covers ``need``
+    positions, clamped to the preallocated table ``width``. The mh kernel
+    walks the full table width it is given, so callers slice their tables to
+    this bucket to keep DMA traffic proportional to the LIVE context. Shared
+    by the paged-beam decode phases (utils/generation._page_phases) and the
+    paged serving engine so the coverage contract (bucket * page_size >=
+    live length, unless clamped at the full table) lives in one place."""
+    wb = 8
+    while wb * page_size < need:
+        wb *= 2
+    return min(wb, width)
+
+
 def paged_attention_mh_ref(q, k_pages, v_pages, lengths, tables,
                            k_scales=None, v_scales=None, *, sm_scale):
     """Dense jnp reference (exact math, any backend): gathers the window's
@@ -189,10 +203,12 @@ def paged_attention_mh_ref(q, k_pages, v_pages, lengths, tables,
     kg = kg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
     vg = vg.transpose(0, 2, 1, 3, 4).reshape(b, hkv, w * ps, d)
     qh = q.reshape(b, hkv, rep, d).astype(jnp.float32)
-    s = jnp.einsum("bhrd,bhtd->bhrt", qh, kg.astype(jnp.float32)) * sm_scale
+    s = jnp.einsum("bhrd,bhtd->bhrt", qh, kg.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale
     pos = jnp.arange(w * ps)[None, :]
     mask = pos < lengths[:, None]
     s = jnp.where(mask[:, None, None, :], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhrt,bhtd->bhrd", p, vg.astype(jnp.float32))
+    o = jnp.einsum("bhrt,bhtd->bhrd", p, vg.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     return o.reshape(b, h, d)

@@ -377,6 +377,17 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         zeros = np.pad(zeros, ((0, 0), (0, n_pad - n)))
 
     if layout in ("ki32", "kb32", "kb32l"):
+        if layout == "kb32l" and not (
+            gs_eff <= 256 and 256 % gs_eff == 0 and gs_eff % 32 == 0
+            and k % gs_eff == 0
+        ):
+            # Validate BEFORE the (expensive, multithreaded) native repack
+            # below — an unsupported shape must fail fast, not after paying
+            # the full per-layer repack cost.
+            raise ValueError(
+                f"kb32l requires group_size | 256, group_size % 32 == 0 "
+                f"and group-aligned K (got K={k}, gs={gs_eff})"
+            )
         # Same K-padding rule as kpair below (whole zero-scale groups).
         from .pallas.gemm import _pick_bk  # local: avoid import cycle at top
 
@@ -423,15 +434,8 @@ def from_packed(packed: PackedQuantLinear, layout: Optional[str] = None) -> Quan
         if layout == "kb32l":
             # Linearize into tile-contiguous [(n_pad/1024)*(k/1024), 128,
             # 1024] blocks: each kernel grid step then DMAs one fully
-            # sequential HBM span (see gemm._matmul_kb32l).
-            if not (
-                k_out % 1024 == 0 and gs_eff <= 256 and 256 % gs_eff == 0
-                and gs_eff % 32 == 0 and k % gs_eff == 0
-            ):
-                raise ValueError(
-                    f"kb32l requires group_size | 256, group_size % 32 == 0 "
-                    f"and group-aligned K (got K={k}, gs={gs_eff})"
-                )
+            # sequential HBM span (see gemm._matmul_kb32l). Shape support
+            # was validated up front (before the repack work).
             nbk = wp.shape[0] // 128
             nbn = n_pad // 1024
             wp = np.ascontiguousarray(

@@ -41,6 +41,7 @@ import numpy as np
 
 from .models import arch
 from .models.arch import KVCache
+from .ops.pallas.paged_attn import page_window_bucket
 from .serving import Request, _bucket, _greedy_tokens, _sample_tokens
 
 
@@ -365,6 +366,45 @@ class PagedContinuousBatchEngine:
                 step, donate_argnums=(1, 2))
         return fn
 
+    def warmup(self, sampling: bool = True) -> None:
+        """Pre-compile every jit variant the engine can hit mid-serving
+        (the contiguous engine's warmup() counterpart). The decode step
+        re-traces at every page-window bucket crossing (``tables[:, :wb]``
+        changes shape as live contexts grow), so without this a live
+        deployment stalls for an XLA compile each time the longest sequence
+        doubles its window. Warms: prefill buckets, the whole-prefill
+        scatter per bucket, and the decode step for every reachable window
+        bucket x (greedy[, sampling]). Engine state is untouched — only the
+        reserved null page's contents change, and those are never
+        attended."""
+        max_ctx = self.pages_per_seq * self.page_size
+        pg = self.page_size
+        scatter = self._get_scatter_fn()
+        for bkt in sorted({_bucket(n) for n in range(1, max_ctx + 1)
+                           if _bucket(n) <= max_ctx}):
+            fn = self._get_prefill_fn(bkt)
+            tokens = jnp.zeros((1, bkt), jnp.int32)
+            mask = jnp.zeros((1, bkt), jnp.int32).at[0, :2].set(1)
+            k, v, _ = fn(self.model.params, tokens, mask)
+            pids = np.zeros((-(-bkt // pg),), np.int32)  # all → null page
+            self.k_pages, self.v_pages = scatter(
+                self.k_pages, self.v_pages, k, v, pids)
+        wins = sorted({page_window_bucket(n, pg, self.pages_per_seq)
+                       for n in range(1, max_ctx + 1)})
+        zeros = jnp.zeros((self.max_slots,), jnp.int32)
+        for s in (False, True) if sampling else (False,):
+            step = self._decode_step_fn(s)
+            for wb in wins:
+                args = [self.model.params, self.k_pages, self.v_pages,
+                        jnp.zeros((self.max_slots, wb), jnp.int32),
+                        zeros, zeros,
+                        jnp.full((self.max_slots,), -1, jnp.int32), zeros]
+                if s:
+                    args += [jnp.zeros((self.max_slots,), jnp.float32),
+                             jnp.ones((self.max_slots,), jnp.float32),
+                             zeros, zeros, zeros]
+                self.k_pages, self.v_pages, _, _ = step(*args)
+
     def step(self) -> list[int]:
         self._admit()
         active = [st.req is not None for st in self.slots]
@@ -418,10 +458,7 @@ class PagedContinuousBatchEngine:
         need = max(
             int(self.lengths[i]) + 1 for i, a in enumerate(active) if a
         )
-        wb = 8
-        while wb * self.page_size < need:
-            wb *= 2
-        wb = min(wb, self.pages_per_seq)
+        wb = page_window_bucket(need, self.page_size, self.pages_per_seq)
         min_left = np.array([
             max(0, self._min_new[i] - len(st.generated))
             for i, st in enumerate(self.slots)

@@ -75,12 +75,12 @@ def _page_phases(t: int, max_new_tokens: int, width: int, ps: int):
     unconditionally (dead entries point at live-ish pages whose data is
     masked), so slicing the table keeps its DMA traffic proportional to
     the LIVE context instead of the preallocated width."""
+    from ..ops.pallas.paged_attn import page_window_bucket
+
     phases = []
     s = 1
     while s < max_new_tokens:
-        wb = 8
-        while wb * ps < t + s + 1:
-            wb *= 2
+        wb = page_window_bucket(t + s + 1, ps, width)
         if wb >= width:
             phases.append((s, max_new_tokens, width))
             break

@@ -130,13 +130,13 @@ class _Shim:
         self.dtype = dtype
 
 
-def main():
-    global BENCH_LAYOUT
-    new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    prompt_len = 16
-    params, cfg = build_model()
+def _build_with_knobs():
+    """Build the bench model and apply the A/B env knobs. Used by both the
+    primary build and the layout-fallback rebuild so a fallback run still
+    benchmarks the requested configuration (fusion / quantized lm_head)."""
     import os
 
+    params, cfg = build_model()
     if os.environ.get("BENCH_FUSE"):  # static qkv+gateup fusion (A/B knob)
         from autogptq_tpu.models.params import fuse_qkv_gateup
 
@@ -146,6 +146,14 @@ def main():
 
         params["lm_head"] = device_quant_linear(
             _jax.random.PRNGKey(99), cfg.hidden_size, cfg.vocab_size)
+    return params, cfg
+
+
+def main():
+    global BENCH_LAYOUT
+    new_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    prompt_len = 16
+    params, cfg = _build_with_knobs()
     from autogptq_tpu.utils import generation
 
     model = _Shim(params, cfg)
@@ -162,7 +170,7 @@ def main():
         print(f"# layout {BENCH_LAYOUT} failed ({type(e).__name__}); "
               f"falling back to {FALLBACK_LAYOUT}", file=sys.stderr)
         BENCH_LAYOUT = FALLBACK_LAYOUT
-        params, cfg = build_model()
+        params, cfg = _build_with_knobs()
         model = _Shim(params, cfg)
         out = generation.generate(model, prompt, max_new_tokens=new_tokens)
     assert out.shape[1] == prompt_len + new_tokens

@@ -76,6 +76,28 @@ def make_t2_paged_attn(ppcb):
     return t2
 
 
+def make_t2_mh(wb):
+    """T2 variant for the SHIPPED decode path: the multi-head-per-DMA kernel
+    over page-major pools, tables sliced to the live window wb (what
+    _generate_beam_paged / serving_paged actually execute per step)."""
+    from autogptq_tpu.ops.pallas.paged_attn import paged_attention_mh
+
+    k_pm = jnp.zeros((P, HKV, ps, D), jnp.bfloat16)
+    v_pm = jnp.zeros((P, HKV, ps, D), jnp.bfloat16)
+    tw = tables[:, :wb]
+
+    def t2(x, params, k_pool, v_pool):
+        qv = jnp.broadcast_to(x[:, :D][:, None, :], (bk, H, D)).astype(jnp.bfloat16)
+        acc = jnp.zeros((bk, 1))
+        for _ in range(L):
+            o = paged_attention_mh(qv, k_pm, v_pm, lengths, tw,
+                                   sm_scale=D ** -0.5)
+            acc = acc + o[:, 0, :1].astype(jnp.float32)
+        return acc
+
+    return t2
+
+
 def t3_scatter(x, params, k_pool, v_pool):
     kp, vp = k_pool, v_pool
     rows = jnp.arange(bk)
@@ -107,7 +129,13 @@ def t4_unembed_topk(x, params, k_pool, v_pool):
 probes = [("T1 weights-only", t1_weights)]
 for ppcb in (8, 16, 24):
     if W % ppcb == 0:
-        probes.append((f"T2 paged-attn ppcb={ppcb}", make_t2_paged_attn(ppcb)))
+        # baseline: the stock head-major kernel beam used BEFORE round 3
+        probes.append((f"T2 stock ppcb={ppcb}", make_t2_paged_attn(ppcb)))
+from autogptq_tpu.ops.pallas.paged_attn import page_window_bucket  # noqa: E402
+
+wb_live = page_window_bucket(int(lengths[0]) + 1, ps, W)
+for wb in sorted({wb_live, W}):
+    probes.append((f"T2 mh wb={wb}", make_t2_mh(wb)))
 probes += [("T3 scatter x32", t3_scatter),
            ("T4 unembed+topk", t4_unembed_topk),
            ("T5 page copy", t5_pagecopy)]

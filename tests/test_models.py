@@ -256,3 +256,37 @@ def test_sharded_checkpoint_save_load(tmp_path, rng):
         np.asarray(reloaded.forward(ids)), np.asarray(model.forward(ids)),
         rtol=2e-3, atol=2e-3,
     )
+
+
+def test_from_quantized_config_override_and_plain_dtype(tmp_path, rng):
+    """Two more reference-compat corners (_base.py:690-715, 811-815):
+    an explicit quantize_config= must take precedence over (here: replace a
+    missing) on-disk config, and the plain HF dtype strings
+    ("float16"/"bfloat16"/"float32"/"auto") must map like the repr forms."""
+    save_tiny_llama(tmp_path / "fp")
+    qc = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+    model = AutoGPTQForCausalLM.from_pretrained(
+        str(tmp_path / "fp"), quantize_config=qc, dtype=jnp.float32)
+    model.quantize(
+        [{"input_ids": rng.integers(0, 256, size=(16,))} for _ in range(2)])
+    model.save_quantized(str(tmp_path / "q"))
+    os.remove(tmp_path / "q" / "quantize_config.json")
+
+    qc2 = BaseQuantizeConfig(bits=4, group_size=32, desc_act=False)
+    reloaded = AutoGPTQForCausalLM.from_quantized(
+        str(tmp_path / "q"),
+        quantize_config=qc2,
+        torch_dtype="float32",      # plain HF string form
+    )
+    assert reloaded.dtype == jnp.float32
+    assert reloaded.quantize_config is qc2
+    ids = rng.integers(0, 256, size=(1, 8)).astype(np.int32)
+    np.testing.assert_allclose(
+        np.asarray(reloaded.forward(ids)),
+        np.asarray(model.forward(ids)), rtol=2e-3, atol=2e-3)
+    # "auto" keeps the default dtype instead of silently vanishing
+    auto_m = AutoGPTQForCausalLM.from_quantized(
+        str(tmp_path / "q"), quantize_config=BaseQuantizeConfig(
+            bits=4, group_size=32, desc_act=False),
+        torch_dtype="auto")
+    assert auto_m.dtype == jnp.bfloat16

@@ -193,3 +193,28 @@ def test_paged_engine_real_kernel_interpret(model, rng):
     out = eng.run([Request(i, p, max_new_tokens=6) for i, p in enumerate(prompts)])
     for i, p in enumerate(prompts):
         np.testing.assert_array_equal(out[i], np.asarray(sequential_greedy(model, p, 6)))
+
+
+def test_paged_warmup_precompiles_all_window_buckets(model, rng):
+    """warmup() must precompile every decode-step variant the engine can
+    request at runtime: the decode fn re-traces at each page-window bucket
+    crossing (tables[:, :wb] grows with the live context), which on real
+    hardware is a 1-2 min mid-serving XLA stall unless warmed here."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=64, page_size=8, pages_per_seq=16,
+    )
+    eng.warmup(sampling=False)
+    warmed_prefill = set(eng._prefill_fns)
+    warmed_decode = eng._decode_fns[False]._cache_size()
+    assert all(st.req is None for st in eng.slots)   # state untouched
+    assert eng.pages_in_use() == 0
+
+    # 30-token prompt + 50 new crosses the 8->16 page-window bucket
+    # (need > 64 positions) and two prefill buckets; no NEW compiles may
+    # fire and the output must still equal sequential greedy decoding.
+    p = rng.integers(0, model.cfg.vocab_size, size=(30,)).astype(np.int32)
+    res = eng.run([Request(0, p, max_new_tokens=50)])
+    assert set(eng._prefill_fns) == warmed_prefill
+    assert eng._decode_fns[False]._cache_size() == warmed_decode
+    np.testing.assert_array_equal(
+        res[0], np.asarray(sequential_greedy(model, p, 50)))
