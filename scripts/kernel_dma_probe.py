@@ -148,6 +148,83 @@ def make_dma_wp_linear(bk, bn):
     return fn
 
 
+def make_dma_manual(bk, bn, nbuf, linear=True):
+    """Manual nbuf-deep DMA pipeline (Marlin's 4-stage cp.async analog,
+    marlin_cuda_kernel.cu:55-101): wp stays in HBM (memory_space=ANY) and
+    the kernel streams K-chunks through an nbuf-slot VMEM scratch with
+    explicit make_async_copy start/wait. Mosaic's automatic BlockSpec
+    pipeline is 2-deep; this measures whether 3-4 stages raise the DMA
+    ceiling. linear=True additionally stores each (rows, bn) chunk
+    contiguously so every copy is one sequential HBM span."""
+    nb_k, nb_n = K // bk, N // bn
+    rows = bk // 8
+    if linear:
+        wl_host = (np.asarray(wp).reshape(nb_k, rows, nb_n, bn)
+                   .transpose(2, 0, 1, 3))
+        w_in = jnp.asarray(np.ascontiguousarray(
+            wl_host.reshape(nb_n, nb_k * rows, bn)))
+    else:
+        w_in = wp
+
+    def body(x_ref, wp_hbm, out_ref):
+        j = pl.program_id(0)
+
+        def inner(scratch, sem_ref):
+            def get_dma(slot, i):
+                if linear:
+                    src = wp_hbm.at[j, pl.ds(i * rows, rows), :]
+                else:
+                    src = wp_hbm.at[pl.ds(i * rows, rows),
+                                    pl.ds(j * bn, bn)]
+                return pltpu.make_async_copy(
+                    src, scratch.at[slot], sem_ref.at[slot])
+
+            for p in range(min(nbuf, nb_k)):
+                get_dma(p, p).start()
+
+            def loop_body(i, acc):
+                slot = jax.lax.rem(i, nbuf)
+                get_dma(slot, i).wait()
+                t = scratch[slot][0:1, :].astype(jnp.float32)
+
+                @pl.when(i + nbuf < nb_k)
+                def _():
+                    get_dma(slot, i + nbuf).start()
+
+                return acc + t
+
+            acc = jax.lax.fori_loop(
+                0, nb_k, loop_body,
+                jnp.zeros((1, bn), jnp.float32))
+            out_ref[...] = acc + x_ref[:, 0:1].astype(jnp.float32)
+
+        pl.run_scoped(
+            inner,
+            scratch=pltpu.VMEM((nbuf, rows, bn), jnp.int32),
+            sem_ref=pltpu.SemaphoreType.DMA((nbuf,)),
+        )
+
+    def fn(xin):
+        return pl.pallas_call(
+            body,
+            grid=(nb_n,),
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec((M, bn), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            cost_estimate=pl.CostEstimate(
+                flops=N * K // 8, bytes_accessed=wp.size * 4,
+                transcendentals=0),
+        )(xin, w_in)
+
+    return fn
+
+
 print(f"K={K} N={N}  weight bytes {wbytes / 1e6:.1f} MB")
 for bk in (512, 1024, 2048, K):
     for bn in (512, 1024, 2048, 4096):
@@ -175,3 +252,15 @@ for bk in (512, 1024, 2048):
             print(f"wp-linear bk={bk:5d} bn={bn:5d}  FAILED {type(e).__name__}")
             continue
         print(f"wp-linear bk={bk:5d} bn={bn:5d}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
+for linear in (True, False):
+    tag = "lin" if linear else "str"
+    for bk, bn in ((512, 1024), (1024, 1024), (1024, 2048), (512, 2048)):
+        for nbuf in (2, 3, 4):
+            try:
+                t = slope_time(make_dma_manual(bk, bn, nbuf, linear), x)
+            except Exception as e:
+                print(f"manual-{tag} bk={bk:5d} bn={bn:5d} nbuf={nbuf}  "
+                      f"FAILED {type(e).__name__}")
+                continue
+            print(f"manual-{tag} bk={bk:5d} bn={bn:5d} nbuf={nbuf}  "
+                  f"{t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
