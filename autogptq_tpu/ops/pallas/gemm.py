@@ -28,6 +28,7 @@ same kernels serve explicit tensor parallelism (parallel/tp.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -607,6 +608,125 @@ def _matmul_kb32l(
         ),
         interpret=interpret,
     )(x2d, wp3, scales3, sz3)
+
+    return y[:, :out_features]
+
+
+def _kernel_kb32l_manual(x_ref, wp_hbm, s_ref, z_ref, out_ref, scratch, sems,
+                         *, nbk, rows_per_blk, gs, dot_dtype, nbuf):
+    """Decode-regime kb32l with a MANUAL ``nbuf``-deep DMA pipeline
+    (Marlin's 4-stage cp.async analog, marlin_cuda_kernel.cu:55-101).
+    Mosaic's automatic BlockSpec pipeline double-buffers; here wp stays in
+    HBM and the kernel streams tile-contiguous superblocks through an
+    nbuf-slot VMEM scratch with explicit async copies, so up to ``nbuf``
+    sequential-span fetches are in flight while the (nearly free) decode +
+    per-group dots run. Math is identical to _kernel_kb32's decode branch.
+    Opt-in via AUTOGPTQ_TPU_KB32L_MANUAL=<nbuf> (see matmul_pallas)."""
+    j = pl.program_id(0)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            wp_hbm.at[j * nbk + i], scratch.at[slot], sems.at[slot])
+
+    for p in range(min(nbuf, nbk)):
+        get_dma(p, p).start()
+
+    out_ref[...] = jnp.zeros_like(out_ref)
+    gpq = (rows_per_blk * gs) // 4 // gs    # whole groups per quarter
+
+    def loop_body(i, carry):
+        slot = jax.lax.rem(i, nbuf)
+        get_dma(slot, i).wait()
+        ws = _ki32_decode_words(scratch[slot])
+        xv = x_ref[pl.ds(i, 1)][0].astype(dot_dtype)        # [M, 1024]
+        sblk = s_ref[pl.ds(i * rows_per_blk, rows_per_blk)]  # [R, 1, BN]
+        zblk = z_ref[pl.ds(i * rows_per_blk, rows_per_blk)]
+        part = None
+        for r in range(rows_per_blk):
+            mq, off = r // gpq, (r % gpq) * gs
+            wg = ws[mq][off:off + gs]
+            xr = xv[:, r * gs:(r + 1) * gs]
+            acc = jax.lax.dot_general(
+                xr, wg,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xs = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+            s = sblk[r, 0, :]
+            s128 = s * 128.0
+            zadj = s128 + s * zblk[r, 0, :].astype(jnp.int32).astype(jnp.float32)
+            term = acc * s128[None, :] - xs * zadj[None, :]
+            part = term if part is None else part + term
+        out_ref[...] += part
+
+        # refill this slot for superblock i+nbuf AFTER its data was consumed
+        @pl.when(i + nbuf < nbk)
+        def _():
+            get_dma(slot, i + nbuf).start()
+
+        return carry
+
+    jax.lax.fori_loop(0, nbk, loop_body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "nbuf", "dot_dtype")
+)
+def _matmul_kb32l_manual(
+    x2d,
+    wp3,                 # [(n_pad/bn)*(k/1024), 128, bn] tile-contiguous words
+    scales3,
+    sz3,
+    *,
+    group_size,
+    n_pad,
+    out_features,
+    interpret,
+    nbuf,
+    dot_dtype,
+):
+    """Decode-regime (M < 32) kb32l launcher with the manual pipeline:
+    grid over column tiles only; the K superblocks stream inside the
+    kernel. x is pre-reshaped to [nbk, M, 1024] so the kernel indexes
+    K-blocks on an untiled leading axis."""
+    m, k = x2d.shape
+    gs = group_size if group_size != -1 else k
+    bn = wp3.shape[2]
+    nbk = k // 1024
+    assert wp3.shape[0] == (n_pad // bn) * nbk, "kb32l block count mismatch"
+    rows_per_blk = 1024 // gs
+    x3 = jnp.transpose(x2d.reshape(m, nbk, 1024), (1, 0, 2))
+
+    kernel = functools.partial(
+        _kernel_kb32l_manual, nbk=nbk, rows_per_blk=rows_per_blk, gs=gs,
+        dot_dtype=dot_dtype, nbuf=nbuf,
+    )
+    flops = 2 * m * k * n_pad
+    bytes_accessed = wp3.size * 4 + m * k * x2d.dtype.itemsize + m * n_pad * 4
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_pad // bn,),
+        in_specs=[
+            pl.BlockSpec((nbk, m, 1024), lambda j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((k // gs, 1, bn), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // gs, 1, bn), lambda j: (0, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, 128, bn), jnp.int32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x3, wp3, scales3, sz3)
 
     return y[:, :out_features]
 
@@ -1429,6 +1549,25 @@ def matmul_pallas(
         k_pad = ql.wp.shape[0] // (ql.n_pad // ql.wp.shape[2]) * 1024
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
             x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
+        manual = os.environ.get("AUTOGPTQ_TPU_KB32L_MANUAL", "")
+        if manual and m < 32:
+            # opt-in manual nbuf-deep DMA pipeline (decode regime only)
+            y = _matmul_kb32l_manual(
+                x2d,
+                ql.wp,
+                ql.scales,
+                ql.zeros,
+                group_size=ql.group_size,
+                n_pad=ql.n_pad,
+                out_features=min(ql.out_features, ql.n_pad),
+                interpret=interpret,
+                nbuf=max(2, int(manual)),
+                dot_dtype=dot_dtype,
+            )
+            y = y.astype(x.dtype)
+            if ql.bias is not None:
+                y = y + ql.bias.astype(y.dtype)
+            return y.reshape(*batch_shape, y.shape[-1])
         y = _matmul_kb32l(
             x2d,
             ql.wp,

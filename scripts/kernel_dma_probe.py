@@ -210,7 +210,7 @@ def make_dma_manual(bk, bn, nbuf, linear=True):
             grid=(nb_n,),
             in_specs=[
                 pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((M, bn), lambda j: (0, j),
                                    memory_space=pltpu.VMEM),

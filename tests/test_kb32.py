@@ -296,3 +296,32 @@ def test_kb32l_numpy_fallback_matches_native(rng, monkeypatch):
     monkeypatch.undo()
     b = _make_ql(r2, 1024, 256, 128, layout="kb32l")
     np.testing.assert_array_equal(np.asarray(a.wp), np.asarray(b.wp))
+
+
+@pytest.mark.parametrize("k,n,gs,nbuf", [(1024, 128, 128, 3), (2048, 1024, 64, 2),
+                                         (4096, 1312, 256, 4), (2048, 128, 128, 8)])
+@pytest.mark.parametrize("m", [1, 8])
+def test_kb32l_manual_pipeline_matches(rng, monkeypatch, k, n, gs, nbuf, m):
+    """The manual nbuf-deep DMA-pipelined decode launcher
+    (AUTOGPTQ_TPU_KB32L_MANUAL=<nbuf>) must agree with the standard kb32l
+    kernel and the XLA reference — including nbuf > nbk (prologue clamps),
+    non-1024-multiple N, and every decode batch size."""
+    ql, qll = _make_both(rng, k, n, gs)
+    x = (rng.standard_normal((m, k)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    monkeypatch.setenv("AUTOGPTQ_TPU_KB32L_MANUAL", str(nbuf))
+    got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+def test_kb32l_manual_pipeline_prefill_falls_through(rng, monkeypatch):
+    """M >= 32 stays on the standard (prefill-regime) kb32l kernel even
+    with the manual knob set."""
+    ql, qll = _make_both(rng, 1024, 128, 128)
+    x = (rng.standard_normal((64, 1024)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    monkeypatch.setenv("AUTOGPTQ_TPU_KB32L_MANUAL", "3")
+    got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)
