@@ -18,8 +18,19 @@ run() {
 run bench_kb32  python bench.py
 run bench_ki32  env BENCH_LAYOUT=ki32 python bench.py
 run bench_kb32l env BENCH_LAYOUT=kb32l python bench.py
+# quantized-lm_head-as-default decision (VERDICT weak #10): +4% was the
+# round-2 number; re-measure on the winning layout
+run bench_lmq   env BENCH_QUANT_LMHEAD=1 python bench.py
+# shape autotune pass: measures N-tiles for the real 7B shapes (incl. the
+# K=11008/11264 down_proj off the 4096^2 sweet spot) and persists the
+# profile; compare against the heuristic-tile runs above
+run bench_autotune env AUTOGPTQ_TPU_AUTOTUNE=1 python bench.py
 
-# 2. DMA ceiling probe (block sweep, side streams, tile-contiguous)
+# manual nbuf-deep pipelined kb32l decode (Marlin 4-stage analog)
+run bench_kb32l_m3 env BENCH_LAYOUT=kb32l AUTOGPTQ_TPU_KB32L_MANUAL=3 python bench.py
+run bench_kb32l_m4 env BENCH_LAYOUT=kb32l AUTOGPTQ_TPU_KB32L_MANUAL=4 python bench.py
+
+# 2. DMA ceiling probe (block sweep, side streams, tile-contiguous, manual)
 run dma_probe python scripts/kernel_dma_probe.py
 
 # 3. beam step decomposition (T1 weights / T2 paged-attn / T3 scatter /
