@@ -26,7 +26,10 @@ run bench_lmq   env BENCH_QUANT_LMHEAD=1 python bench.py
 # profile; compare against the heuristic-tile runs above
 run bench_autotune env AUTOGPTQ_TPU_AUTOTUNE=1 python bench.py
 
-# manual nbuf-deep pipelined kb32l decode (Marlin 4-stage analog)
+# manual nbuf-deep pipelined kb32l decode (Marlin 4-stage analog):
+# numerics/race smoke FIRST (interpret mode can't catch on-device DMA
+# ordering), then the e2e A/B
+run smoke_kb32l_m python scripts/smoke_kb32l_manual.py
 run bench_kb32l_m3 env BENCH_LAYOUT=kb32l AUTOGPTQ_TPU_KB32L_MANUAL=3 python bench.py
 run bench_kb32l_m4 env BENCH_LAYOUT=kb32l AUTOGPTQ_TPU_KB32L_MANUAL=4 python bench.py
 
