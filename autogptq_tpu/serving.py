@@ -28,6 +28,7 @@ kernel runs on local shards).
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from typing import Optional
 
@@ -54,6 +55,33 @@ class Request:
     top_k: int = 0
     seed: int = 0
     min_new_tokens: int = 0
+
+
+@dataclasses.dataclass
+class EngineStats:
+    """Host-side serving counters for production observability (the
+    reference has no serving layer — net-new; the vLLM-style role). All
+    times are HOST-perceived: through an async dispatch path they measure
+    dispatch+sync cost per engine step, which is what a deployment's
+    request clock sees."""
+
+    steps: int = 0                 # decode steps dispatched
+    step_time_s: float = 0.0       # wall time inside step()
+    tokens_generated: int = 0      # decode tokens appended to live slots
+    prefills: int = 0              # whole prompts ingested
+    prefill_tokens: int = 0        # prompt tokens ingested
+    requests_completed: int = 0
+    preemptions: int = 0           # paged engine: recompute-preempted reqs
+    pages_high_water: int = 0      # paged engine: max pages in use at once
+
+    def decode_tok_s(self) -> float:
+        """Aggregate decode throughput (tokens per second of step() wall)."""
+        return self.tokens_generated / self.step_time_s if self.step_time_s else 0.0
+
+    def snapshot(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["decode_tok_s"] = round(self.decode_tok_s(), 2)
+        return d
 
 
 @dataclasses.dataclass
@@ -191,6 +219,7 @@ class ContinuousBatchEngine:
         self.slots = [_SlotState() for _ in range(max_slots)]
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
+        self.stats = EngineStats()
         self._prefill_fns: dict[int, object] = {}
         self._decode_fns: dict[bool, object] = {}
         self._chunk_fns = {}
@@ -378,6 +407,8 @@ class ContinuousBatchEngine:
 
     def _prefill(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
+        self.stats.prefills += 1
+        self.stats.prefill_tokens += p
         bucket = _bucket(p)
         if bucket > self.max_seq_len:
             raise ValueError(f"prompt of {p} tokens exceeds max_seq_len")
@@ -483,6 +514,8 @@ class ContinuousBatchEngine:
 
     def _start_chunked(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
+        self.stats.prefills += 1
+        self.stats.prefill_tokens += p
         if p + req.max_new_tokens > self.max_seq_len - 1:
             raise ValueError(
                 f"chunked request needs prompt+max_new_tokens <= "
@@ -661,9 +694,13 @@ class ContinuousBatchEngine:
                 jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                 jnp.asarray(steps),
             ]
+        t0 = time.perf_counter()
         (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
          new_lengths, nxt) = step(*args)
         nxt_np = np.asarray(nxt)
+        self.stats.steps += 1
+        self.stats.step_time_s += time.perf_counter() - t0
+        self.stats.tokens_generated += int(sum(active))
 
         # keep parked cursors parked: mid-prefill slots must not advance
         lengths_np = np.array(new_lengths)
@@ -703,6 +740,7 @@ class ContinuousBatchEngine:
                 self._eos[slot] = -1
                 self._min_new[slot] = 0
                 self.lengths = self.lengths.at[slot].set(0)
+        self.stats.requests_completed += len(done_ids)
         return done_ids
 
     def run(self, requests: list[Request]) -> dict[int, np.ndarray]:

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from collections import deque
 from typing import Optional
 
@@ -42,7 +43,8 @@ import numpy as np
 from .models import arch
 from .models.arch import KVCache
 from .ops.pallas.paged_attn import page_window_bucket
-from .serving import Request, _bucket, _greedy_tokens, _sample_tokens
+from .serving import (EngineStats, Request, _bucket, _greedy_tokens,
+                      _sample_tokens)
 
 
 def paged_cfg_ok(cfg) -> bool:
@@ -132,6 +134,7 @@ class PagedContinuousBatchEngine:
         self.slots = [_PagedSlot() for _ in range(max_slots)]
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
+        self.stats = EngineStats()
         self._streamed: dict[int, int] = {}   # req_id -> tokens emitted
         self._prefill_fns: dict[int, object] = {}
         self._scatter_fn = None
@@ -153,7 +156,10 @@ class PagedContinuousBatchEngine:
 
     def _alloc(self, n: int) -> list[int]:
         assert len(self._free) >= n
-        return [self._free.pop() for _ in range(n)]
+        out = [self._free.pop() for _ in range(n)]
+        self.stats.pages_high_water = max(
+            self.stats.pages_high_water, self.total_pages - 1 - len(self._free))
+        return out
 
     def _free_slot_pages(self, slot: int) -> None:
         used = self.tables[slot][self.tables[slot] != 0]
@@ -245,6 +251,8 @@ class PagedContinuousBatchEngine:
             mask = np.zeros((1, bucket), np.int32)
             tokens[0, :p] = req.prompt
             mask[0, :p] = 1
+            self.stats.prefills += 1
+            self.stats.prefill_tokens += p
             k, v, lrow = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
 
             pages = self._alloc(self._pages_needed(p + 1))
@@ -434,6 +442,7 @@ class PagedContinuousBatchEngine:
                             "increase total_pages"
                         )
                     v = victims[-1]
+                    self.stats.preemptions += 1
                     self.queue.appendleft(self.slots[v].req)
                     self.slots[v].req = None
                     self.slots[v].generated = []
@@ -472,8 +481,12 @@ class PagedContinuousBatchEngine:
             args += [jnp.asarray(self._temps), jnp.asarray(self._top_ps),
                      jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                      jnp.asarray(steps)]
+        t0 = time.perf_counter()
         self.k_pages, self.v_pages, _, nxt = fn(*args)
         nxt_np = np.asarray(nxt)        # the ONE device sync per step
+        self.stats.steps += 1
+        self.stats.step_time_s += time.perf_counter() - t0
+        self.stats.tokens_generated += int(sum(active))
 
         done_ids = []
         for slot, st in enumerate(self.slots):
@@ -503,6 +516,7 @@ class PagedContinuousBatchEngine:
                 self._min_new[slot] = 0
                 self._free_slot_pages(slot)
                 self.lengths[slot] = 0
+        self.stats.requests_completed += len(done_ids)
         return done_ids
 
     def run(self, requests: list[Request]) -> dict[int, np.ndarray]:

@@ -47,6 +47,7 @@ def run_contiguous(model, rng):
     tot = sum(len(v) for v in out.values())
     print(f"contiguous engine: {tot} tokens in {dt:.2f}s = "
           f"{tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)", flush=True)
+    print(f"  stats: {eng.stats.snapshot()}", flush=True)
 
 
 def run_paged(model, rng):
@@ -62,6 +63,7 @@ def run_paged(model, rng):
     tot = sum(len(v) for v in out.values())
     print(f"paged engine:      {tot} tokens in {dt:.2f}s = "
           f"{tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)", flush=True)
+    print(f"  stats: {eng.stats.snapshot()}", flush=True)
 
 
 def main():

@@ -132,3 +132,25 @@ def test_warmup_default_covers_every_reachable_variant(rng):
     assert set(eng._prefill_fns) <= warmed_prefill
     assert set(eng._chunk_fns) <= warmed_chunk
     assert set(eng._decode_fns) <= warmed_decode
+
+
+def test_engine_stats_counters(rng):
+    """EngineStats tracks steps, tokens, prefills, and completions; warmup
+    does not pollute the counters."""
+    model = Shim()
+    eng = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128)
+    assert eng.stats.steps == 0
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 9)]
+    eng.run([Request(i, p, max_new_tokens=6) for i, p in enumerate(prompts)])
+    st = eng.stats
+    assert st.requests_completed == 2
+    assert st.prefills == 2
+    assert st.prefill_tokens == 14
+    # 2 slots x 6 tokens, co-scheduled: 12 slot-tokens over >= 6 steps
+    assert st.tokens_generated == 12
+    assert 6 <= st.steps <= 12
+    assert st.step_time_s > 0
+    snap = st.snapshot()
+    assert snap["decode_tok_s"] > 0
+    assert snap["preemptions"] == 0

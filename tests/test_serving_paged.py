@@ -218,3 +218,25 @@ def test_paged_warmup_precompiles_all_window_buckets(model, rng):
     assert eng._decode_fns[False]._cache_size() == warmed_decode
     np.testing.assert_array_equal(
         res[0], np.asarray(sequential_greedy(model, p, 50)))
+
+
+def test_paged_engine_stats(model, rng):
+    """Paged EngineStats additionally tracks preemptions and the page
+    high-water mark."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=6, page_size=8, pages_per_seq=4,
+    )
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (7, 9)]
+    # tight pool (5 usable pages; both sequences grow to 3 pages = 6)
+    # forces a recompute preemption
+    out = eng.run([Request(i, p, max_new_tokens=14) for i, p in enumerate(prompts)])
+    st = eng.stats
+    assert st.requests_completed == 2
+    assert st.prefills >= 2                 # preempted prompts re-prefill
+    assert st.tokens_generated >= 28
+    assert st.steps > 0 and st.step_time_s > 0
+    assert 0 < st.pages_high_water <= 5
+    assert st.preemptions >= 1
+    for i, p in enumerate(prompts):
+        np.testing.assert_array_equal(out[i], sequential_greedy(model, p, 14))
