@@ -1549,8 +1549,11 @@ def matmul_pallas(
         k_pad = ql.wp.shape[0] // (ql.n_pad // ql.wp.shape[2]) * 1024
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
             x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
-        manual = os.environ.get("AUTOGPTQ_TPU_KB32L_MANUAL", "")
-        if manual and m < 32:
+        try:
+            nbuf_env = int(os.environ.get("AUTOGPTQ_TPU_KB32L_MANUAL", "0"))
+        except ValueError:
+            nbuf_env = 0          # "off"/"false"/garbage -> disabled
+        if nbuf_env > 0 and m < 32:
             # opt-in manual nbuf-deep DMA pipeline (decode regime only)
             y = _matmul_kb32l_manual(
                 x2d,
@@ -1561,7 +1564,7 @@ def matmul_pallas(
                 n_pad=ql.n_pad,
                 out_features=min(ql.out_features, ql.n_pad),
                 interpret=interpret,
-                nbuf=max(2, int(manual)),
+                nbuf=max(2, nbuf_env),
                 dot_dtype=dot_dtype,
             )
             y = y.astype(x.dtype)

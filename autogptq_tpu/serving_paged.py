@@ -158,7 +158,7 @@ class PagedContinuousBatchEngine:
         assert len(self._free) >= n
         out = [self._free.pop() for _ in range(n)]
         self.stats.pages_high_water = max(
-            self.stats.pages_high_water, self.total_pages - 1 - len(self._free))
+            self.stats.pages_high_water, self.pages_in_use())
         return out
 
     def _free_slot_pages(self, slot: int) -> None:
@@ -388,8 +388,11 @@ class PagedContinuousBatchEngine:
         max_ctx = self.pages_per_seq * self.page_size
         pg = self.page_size
         scatter = self._get_scatter_fn()
-        for bkt in sorted({_bucket(n) for n in range(1, max_ctx + 1)
-                           if _bucket(n) <= max_ctx}):
+        # NOTE: no "<= max_ctx" filter — submit() admits prompts up to
+        # max_ctx-1 tokens whose _bucket() may EXCEED max_ctx (e.g. a
+        # 70-token prompt at max_ctx=96 prefills at bucket 128); filtering
+        # would leave that compile to fire mid-serving.
+        for bkt in sorted({_bucket(n) for n in range(1, max_ctx)}):
             fn = self._get_prefill_fn(bkt)
             tokens = jnp.zeros((1, bkt), jnp.int32)
             mask = jnp.zeros((1, bkt), jnp.int32).at[0, :2].set(1)

@@ -84,8 +84,8 @@ for bits in (2, 3, 4, 8):
         y = np.asarray(jax.jit(f)(xb), dtype=np.float32)
         rel = np.abs(y - y_ref).max() / (np.abs(y_ref).max() + 1e-9)
         t = slope_time(f, xb)
-        stored = sb if ql is ql_new else bits   # planar stores true width
-        gbps = (K * N * stored / 8) / t / 1e9
+        # planar ALSO nibble-pads 3-bit (_planes(3)=2 -> 4 bits/weight)
+        gbps = (K * N * sb / 8) / t / 1e9
         eff = (K * N * bits / 8) / t / 1e9
         print(f"{name:14s} relerr={rel:.3e}  {t*1e6:8.1f} us  "
               f"storedBW {gbps:7.1f} GB/s  effBW {eff:7.1f} GB/s",

@@ -325,3 +325,16 @@ def test_kb32l_manual_pipeline_prefill_falls_through(rng, monkeypatch):
     got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
                                atol=np.abs(np.asarray(ref)).max() * 2e-2)
+
+
+@pytest.mark.parametrize("val", ["0", "off", ""])
+def test_kb32l_manual_knob_disabled_values(rng, monkeypatch, val):
+    """AUTOGPTQ_TPU_KB32L_MANUAL=0/off/'' must DISABLE the manual pipeline
+    (and never crash) — '0' was truthy and non-numeric values raised."""
+    ql, qll = _make_both(rng, 1024, 128, 128)
+    x = (rng.standard_normal((1, 1024)) * 0.1).astype(np.float32)
+    ref = quantlinear.matmul_xla(jnp.asarray(x), ql)
+    monkeypatch.setenv("AUTOGPTQ_TPU_KB32L_MANUAL", val)
+    got = gemm.matmul_pallas(jnp.asarray(x), qll, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2,
+                               atol=np.abs(np.asarray(ref)).max() * 2e-2)

@@ -240,3 +240,19 @@ def test_paged_engine_stats(model, rng):
     assert st.preemptions >= 1
     for i, p in enumerate(prompts):
         np.testing.assert_array_equal(out[i], sequential_greedy(model, p, 14))
+
+
+def test_paged_warmup_covers_overhang_prefill_bucket(model, rng):
+    """A prompt near max context prefills at a bucket LARGER than
+    pages_per_seq * page_size; warmup must precompile it too (it was
+    filtered out, leaving a mid-serving compile)."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=32, page_size=8, pages_per_seq=12,
+    )
+    eng.warmup(sampling=False)
+    warmed = set(eng._prefill_fns)
+    p = rng.integers(0, model.cfg.vocab_size, size=(70,)).astype(np.int32)
+    res = eng.run([Request(0, p, max_new_tokens=5)])
+    assert set(eng._prefill_fns) == warmed      # no new prefill compiles
+    np.testing.assert_array_equal(
+        res[0], np.asarray(sequential_greedy(model, p, 5)))
