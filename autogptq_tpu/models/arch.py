@@ -650,7 +650,9 @@ def attention(
             ks = vs = None
         cks = cvs = None
         if start.ndim == 1:
-            # Continuous batching: per-slot write cursors (T must be 1).
+            # Continuous batching: per-slot write cursors. T == 1 is the
+            # serving decode step; T > 1 is the speculative verify window
+            # (slot i writes its T tokens at start[i] + [0..T)).
             # Variable-GQA families size the cache for the MAX kv-head
             # count; pad this layer's heads so the vector-indexed write
             # matches the cache width (the read path slices [:hkv] back).
@@ -668,15 +670,24 @@ def attention(
             # always in-bounds; this makes the serving engine's parked
             # cursors (max_seq_len - 1, beyond any sliced decode window)
             # safe under window-bucketed steps.
-            ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0], mode="drop")
-            cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0], mode="drop")
-            if kv_int8:
-                cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0], mode="drop")
-                cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0], mode="drop")
+            if t == 1:
+                ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0], mode="drop")
+                cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0], mode="drop")
+                if kv_int8:
+                    cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0], mode="drop")
+                    cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0], mode="drop")
+            else:
+                idx = start[:, None] + jnp.arange(t)[None, :]      # [B, T]
+                r2 = rows[:, None]
+                ck = cache.k[layer_idx].at[r2, idx].set(kq, mode="drop")
+                cv = cache.v[layer_idx].at[r2, idx].set(vq, mode="drop")
+                if kv_int8:
+                    cks = cache.k_scale[layer_idx].at[r2, idx].set(ks, mode="drop")
+                    cvs = cache.v_scale[layer_idx].at[r2, idx].set(vs, mode="drop")
             s = ck.shape[1]
             kv_slot = jnp.arange(s)
-            q_slot = start[:, None, None]                  # [B, 1, 1]
-            mask = kv_slot[None, None, :] <= q_slot        # [B, 1, S]
+            q_slot = (start[:, None] + jnp.arange(t)[None, :])[:, :, None]
+            mask = kv_slot[None, None, :] <= q_slot        # [B, T, S]
         else:
             ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq, (0, start, 0, 0))
             cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq, (0, start, 0, 0))
@@ -1139,6 +1150,10 @@ def forward(
         start = cache.length if cache is not None else 0
         if attn_mask is not None and cache is None:
             positions = jnp.maximum(jnp.cumsum(attn_mask, axis=-1) - 1, 0)
+        elif getattr(start, "ndim", 0) == 1:
+            # per-slot write cursors (continuous batching / speculative
+            # verify): slot i's T tokens sit at positions start[i] + [0, T)
+            positions = start[:, None] + jnp.arange(t, dtype=start.dtype)[None, :]
         else:
             positions = jnp.broadcast_to(jnp.arange(t)[None, :] + start, (b, t))
 

@@ -164,6 +164,8 @@ class ContinuousBatchEngine:
         kv_quant: bool = False,
         prefill_chunk: Optional[int] = 512,
         on_token=None,
+        draft_model=None,
+        spec_gamma: int = 4,
     ):
         # on_token(req_id, token_id): streaming callback, invoked for every
         # generated token as soon as its engine step retires (host-side)
@@ -224,6 +226,29 @@ class ContinuousBatchEngine:
         self._decode_fns: dict[bool, object] = {}
         self._chunk_fns = {}
         self._pf_rr = 0  # round-robin over mid-prefill slots
+        # -- speculative decoding (draft model proposes spec_gamma tokens
+        # per engine step; ONE target forward verifies them — greedy slots
+        # emit the exact target stream, see utils/speculative.py for the
+        # single-sequence variant). Engages only when every active slot is
+        # greedy with min_new satisfied and nothing is mid-prefill;
+        # otherwise the plain one-token step runs.
+        self.draft = draft_model
+        self.spec_gamma = spec_gamma
+        self._spec_fn = None
+        self._draft_prefill_fns: dict[int, object] = {}
+        if draft_model is not None:
+            if self.is_tp:
+                raise NotImplementedError(
+                    "speculative serving requires an unsharded target (tp=1)")
+            if kv_quant:
+                raise NotImplementedError(
+                    "speculative serving does not support the int8 KV cache")
+            if model.cfg.vocab_size != draft_model.cfg.vocab_size:
+                raise ValueError(
+                    "draft and target models must share a vocabulary")
+            dk, dv = arch.cache_shapes(draft_model.cfg, max_slots, max_seq_len)
+            self.d_cache_k = jnp.zeros(dk, draft_model.dtype)
+            self.d_cache_v = jnp.zeros(dv, draft_model.dtype)
 
     # ------------------------------------------------------------------
 
@@ -402,8 +427,48 @@ class ContinuousBatchEngine:
         st.req = req
         st.generated = [first_tok]
         st.prefilling = False
+        if self.draft is not None:
+            self._draft_prefill(slot, req.prompt)
         if self.on_token is not None:
             self.on_token(req.req_id, first_tok)
+
+    def _get_draft_prefill_fn(self, bucket: int):
+        fn = self._draft_prefill_fns.get(bucket)
+        if fn is None:
+            dm = self.draft
+            dcfg = dm.cfg
+
+            def prefill(params, tokens, mask):
+                cache = KVCache.create(dcfg, 1, bucket, dtype=dm.dtype)
+                _, cache = arch.forward(
+                    params, tokens, dcfg, cache=cache,
+                    backend=dm.backend, attn_mask=mask, dtype=dm.dtype,
+                    positions=jnp.maximum(jnp.cumsum(mask, -1) - 1, 0),
+                    fresh_prefill=True,
+                )
+                return cache.k[:, 0], cache.v[:, 0]
+
+            self._draft_prefill_fns[bucket] = fn = jax.jit(prefill)
+        return fn
+
+    def _draft_prefill(self, slot: int, prompt) -> None:
+        """Fill the DRAFT cache with the slot's prompt (whole-prompt bucket
+        even when the target prefills chunked — the draft is small). The
+        draft cursor is shared with the target (self.lengths)."""
+        p = len(prompt)
+        bucket = _bucket(p)
+        fn = self._get_draft_prefill_fn(bucket)
+        tokens = np.zeros((1, bucket), np.int32)
+        mask = np.zeros((1, bucket), np.int32)
+        tokens[0, :p] = prompt
+        mask[0, :p] = 1
+        k, v = fn(self.draft.params, jnp.asarray(tokens), jnp.asarray(mask))
+        self.d_cache_k = jax.lax.dynamic_update_slice(
+            self.d_cache_k, k[:, None].astype(self.d_cache_k.dtype),
+            (0, slot, 0, 0, 0))
+        self.d_cache_v = jax.lax.dynamic_update_slice(
+            self.d_cache_v, v[:, None].astype(self.d_cache_v.dtype),
+            (0, slot, 0, 0, 0))
 
     def _prefill(self, slot: int, req: Request) -> None:
         p = len(req.prompt)
@@ -642,6 +707,116 @@ class ContinuousBatchEngine:
             self._decode_fns[(sampling, win)] = fn
         return fn
 
+    def _get_spec_fn(self):
+        """One jitted speculative step for ALL slots: a spec_gamma-step
+        draft scan (vector cursors) proposes tokens, ONE target forward
+        over each slot's [cur, d_1..d_g] window verifies them (the
+        multi-token vector-cursor write path in arch.attention). Greedy
+        acceptance: longest draft prefix matching the target argmax, plus
+        the target's correction/bonus token — the emitted stream is
+        token-identical to the plain one-token step."""
+        if self._spec_fn is None:
+            model = self.model
+            dm = self.draft
+            fcfg = self._fwd_cfg
+            dcfg = dm.cfg
+            g = self.spec_gamma
+            g1 = g + 1
+
+            def spec(t_params, d_params, t_ck, t_cv, d_ck, d_cv, lengths, cur):
+                dcache = KVCache(k=d_ck, v=d_cv, length=lengths,
+                                 k_scale=None, v_scale=None)
+
+                def d_step(carry, _):
+                    dc, tok = carry
+                    lg, dc = arch.forward(
+                        d_params, tok[:, None], dcfg, cache=dc,
+                        backend=dm.backend, dtype=dm.dtype,
+                    )
+                    nxt = jnp.argmax(lg[:, -1, :], axis=-1).astype(jnp.int32)
+                    return (dc, nxt), nxt
+
+                # g+1 draft steps: the last token is discarded (the target
+                # supplies the bonus/correction) but its forward writes the
+                # draft K/V row needed after a full acceptance
+                (dcache, _), drafts = jax.lax.scan(
+                    d_step, (dcache, cur), None, length=g1)
+                drafts = drafts[:g]                       # [g, B]
+                window = jnp.concatenate(
+                    [cur[None, :], drafts], axis=0).T     # [B, g1]
+                tcache = KVCache(k=t_ck, v=t_cv, length=lengths,
+                                 k_scale=None, v_scale=None)
+                lg, tcache = arch.forward(
+                    t_params, window, fcfg, cache=tcache,
+                    backend=model.backend, dtype=model.dtype,
+                )
+                t_next = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, g1]
+                match = drafts.T == t_next[:, :g]
+                n_acc = jnp.sum(
+                    jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+                return (tcache.k, tcache.v, dcache.k, dcache.v, t_next, n_acc)
+
+            self._spec_fn = jax.jit(spec)
+        return self._spec_fn
+
+    def _spec_step(self, active) -> list[int]:
+        fn = self._get_spec_fn()
+        t0 = time.perf_counter()
+        (self.cache_k, self.cache_v, self.d_cache_k, self.d_cache_v,
+         t_next, n_acc) = fn(
+            self.model.params, self.draft.params,
+            self.cache_k, self.cache_v, self.d_cache_k, self.d_cache_v,
+            self.lengths, self.cur_tokens)
+        t_next_np = np.asarray(t_next)
+        n_acc_np = np.asarray(n_acc)
+        self.stats.steps += 1
+        self.stats.step_time_s += time.perf_counter() - t0
+
+        lengths_np = np.array(self.lengths)
+        cur_np = np.array(self.cur_tokens)
+        done_ids = []
+        for slot, st in enumerate(self.slots):
+            if not active[slot]:
+                continue
+            req = st.req
+            emitted = int(n_acc_np[slot]) + 1
+            retired = False
+            appended = 0
+            # replay the plain step's per-token append/stream/retire logic
+            # over the emitted window; tokens past a retirement are exactly
+            # the tokens the sequential engine would never have generated
+            for j in range(emitted):
+                tok = int(t_next_np[slot, j])
+                st.generated.append(tok)
+                appended += 1
+                hit_eos = (req.eos_token_id is not None
+                           and st.generated[-2] == req.eos_token_id)
+                if (self.on_token is not None and not hit_eos
+                        and len(st.generated) - 1 < req.max_new_tokens):
+                    self.on_token(req.req_id, tok)
+                if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
+                    out = st.generated[: req.max_new_tokens]
+                    if req.eos_token_id is not None and req.eos_token_id in out:
+                        out = out[: out.index(req.eos_token_id) + 1]
+                    self.finished[req.req_id] = np.asarray(out, np.int32)
+                    done_ids.append(req.req_id)
+                    st.req = None
+                    st.generated = []
+                    self._temps[slot] = 0.0
+                    self._eos[slot] = -1
+                    self._min_new[slot] = 0
+                    lengths_np[slot] = 0
+                    retired = True
+                    break
+            self.stats.tokens_generated += appended
+            if not retired:
+                lengths_np[slot] += emitted
+                cur_np[slot] = int(t_next_np[slot, emitted - 1])
+        self.lengths = jnp.asarray(lengths_np)
+        self.cur_tokens = jnp.asarray(cur_np)
+        self.stats.requests_completed += len(done_ids)
+        return done_ids
+
     def step(self) -> list[int]:
         """Admit queued requests, advance at most ONE prefill chunk, run one
         decode step for all active slots, retire finished sequences. Returns
@@ -661,6 +836,16 @@ class ContinuousBatchEngine:
             if pf_slots:
                 return []  # prefill still in flight
             return []
+
+        # speculative fast path: every active slot greedy with min_new
+        # satisfied and nothing mid-prefill (the plain step handles parked
+        # cursors, sampling, and EOS suppression; spec would not)
+        if (self.draft is not None and not pf_slots and all(
+            self._temps[i] == 0.0
+            and self._min_new[i] <= len(self.slots[i].generated)
+            for i, a in enumerate(active) if a
+        )):
+            return self._spec_step(active)
 
         sampling = any(
             self._temps[i] > 0.0 for i, a in enumerate(active) if a

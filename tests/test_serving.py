@@ -11,13 +11,14 @@ from autogptq_tpu.serving import ContinuousBatchEngine, Request  # noqa: E402
 
 
 class Shim:
-    def __init__(self):
+    def __init__(self, seed=0):
         import importlib.util
 
         spec = importlib.util.spec_from_file_location("ge4", "__graft_entry__.py")
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        self.params, self.cfg = mod._tiny_quantized_llama(hidden=128, inter=256, layers=2, group_size=32)
+        self.params, self.cfg = mod._tiny_quantized_llama(
+            hidden=128, inter=256, layers=2, group_size=32, seed=seed)
         self.backend = "xla"
         self.dtype = jnp.float32
 
@@ -154,3 +155,84 @@ def test_engine_stats_counters(rng):
     snap = st.snapshot()
     assert snap["decode_tok_s"] > 0
     assert snap["preemptions"] == 0
+
+
+# -- speculative serving (draft-model proposals verified in-engine) ---------
+
+
+def _draft_shim():
+    """A DIFFERENT tiny model (same vocab) — low acceptance exercises the
+    correction path."""
+    return Shim(seed=123)
+
+
+def test_spec_serving_matches_plain_engine(rng):
+    model = Shim()
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 9, 3)]
+    mk = lambda: [Request(i, p, max_new_tokens=n)
+                  for i, (p, n) in enumerate(zip(prompts, (12, 7, 9)))]
+    plain = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128).run(mk())
+
+    # draft == target: near-full acceptance; draft != target: corrections
+    for draft in (model, _draft_shim()):
+        eng = ContinuousBatchEngine(
+            model, max_slots=2, max_seq_len=128, draft_model=draft,
+            spec_gamma=3)
+        got = eng.run(mk())
+        for rid in plain:
+            np.testing.assert_array_equal(got[rid], plain[rid])
+        assert eng.stats.tokens_generated >= 28   # 12+7+9 tokens emitted
+        # speculative steps emit multiple tokens: fewer steps than tokens
+        # when the draft is the target itself
+        if draft is model:
+            assert eng.stats.steps < 28
+
+
+def test_spec_serving_eos_and_streaming(rng):
+    model = Shim()
+    p = rng.integers(0, model.cfg.vocab_size, size=(6,)).astype(np.int32)
+    plain = ContinuousBatchEngine(model, max_slots=1, max_seq_len=128).run(
+        [Request(0, p, max_new_tokens=12)])
+    eos = int(plain[0][4])       # force an EOS mid-stream
+    plain_eos = ContinuousBatchEngine(model, max_slots=1, max_seq_len=128).run(
+        [Request(0, p, max_new_tokens=12, eos_token_id=eos)])
+    streams = {}
+    eng = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=128, draft_model=model, spec_gamma=4,
+        on_token=lambda rid, t: streams.setdefault(rid, []).append(t))
+    got = eng.run([Request(0, p, max_new_tokens=12, eos_token_id=eos)])
+    np.testing.assert_array_equal(got[0], plain_eos[0])
+    np.testing.assert_array_equal(np.asarray(streams[0], np.int32), got[0])
+
+
+def test_spec_serving_falls_back_for_sampling_and_min_new(rng):
+    model = Shim()
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 7)]
+    mk = lambda: [
+        Request(0, prompts[0], max_new_tokens=8),
+        Request(1, prompts[1], max_new_tokens=8, temperature=0.9, seed=7),
+    ]
+    plain = ContinuousBatchEngine(model, max_slots=2, max_seq_len=128).run(mk())
+    eng = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=128, draft_model=model)
+    got = eng.run(mk())
+    for rid in plain:
+        np.testing.assert_array_equal(got[rid], plain[rid])
+    assert eng._spec_fn is None   # sampling slot present -> never engaged
+
+
+def test_spec_serving_with_chunked_prefill(rng):
+    """Long prompt: target prefills in chunks, draft prefills whole; the
+    speculative stream must still equal the plain engine's."""
+    model = Shim()
+    p = rng.integers(0, model.cfg.vocab_size, size=(40,)).astype(np.int32)
+    mk = lambda: [Request(0, p, max_new_tokens=10)]
+    plain = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=128, prefill_chunk=16).run(mk())
+    eng = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=128, prefill_chunk=16,
+        draft_model=_draft_shim(), spec_gamma=3)
+    got = eng.run(mk())
+    np.testing.assert_array_equal(got[0], plain[0])
