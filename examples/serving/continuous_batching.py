@@ -40,6 +40,10 @@ def main():
                          "pool; cache memory scales with resident tokens)")
     ap.add_argument("--total_pages", type=int, default=128)
     ap.add_argument("--page_size", type=int, default=16)
+    ap.add_argument("--draft_model_dir", default=None,
+                    help="quantized draft model for SPECULATIVE serving "
+                         "(greedy workloads; token-identical output)")
+    ap.add_argument("--spec_gamma", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -81,9 +85,12 @@ def main():
             pages_per_seq=-(-args.max_seq_len // args.page_size),
         )
     else:
+        draft = (AutoGPTQForCausalLM.from_quantized(args.draft_model_dir)
+                 if args.draft_model_dir else None)
         engine = ContinuousBatchEngine(
             model, max_slots=args.max_slots, max_seq_len=args.max_seq_len,
             kv_quant=args.kv_quant, prefill_chunk=args.prefill_chunk,
+            draft_model=draft, spec_gamma=args.spec_gamma,
         )
     reqs = [
         Request(
@@ -103,6 +110,7 @@ def main():
         text = tok.decode(out) if tok is not None else out.tolist()
         print(f"[req {rid}] {len(out)} tokens: {text}")
     print(f"{total} tokens in {dt:.2f}s = {total / dt:.1f} aggregate tok/s")
+    print(f"engine stats: {engine.stats.snapshot()}")
 
 
 if __name__ == "__main__":
