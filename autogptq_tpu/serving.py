@@ -240,9 +240,6 @@ class ContinuousBatchEngine:
             if self.is_tp:
                 raise NotImplementedError(
                     "speculative serving requires an unsharded target (tp=1)")
-            if kv_quant:
-                raise NotImplementedError(
-                    "speculative serving does not support the int8 KV cache")
             if model.cfg.vocab_size != draft_model.cfg.vocab_size:
                 raise ValueError(
                     "draft and target models must share a vocabulary")
@@ -723,7 +720,8 @@ class ContinuousBatchEngine:
             g = self.spec_gamma
             g1 = g + 1
 
-            def spec(t_params, d_params, t_ck, t_cv, d_ck, d_cv, lengths, cur):
+            def spec(t_params, d_params, t_ck, t_cv, t_cks, t_cvs,
+                     d_ck, d_cv, lengths, cur):
                 dcache = KVCache(k=d_ck, v=d_cv, length=lengths,
                                  k_scale=None, v_scale=None)
 
@@ -745,7 +743,7 @@ class ContinuousBatchEngine:
                 window = jnp.concatenate(
                     [cur[None, :], drafts], axis=0).T     # [B, g1]
                 tcache = KVCache(k=t_ck, v=t_cv, length=lengths,
-                                 k_scale=None, v_scale=None)
+                                 k_scale=t_cks, v_scale=t_cvs)
                 lg, tcache = arch.forward(
                     t_params, window, fcfg, cache=tcache,
                     backend=model.backend, dtype=model.dtype,
@@ -754,7 +752,8 @@ class ContinuousBatchEngine:
                 match = drafts.T == t_next[:, :g]
                 n_acc = jnp.sum(
                     jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-                return (tcache.k, tcache.v, dcache.k, dcache.v, t_next, n_acc)
+                return (tcache.k, tcache.v, tcache.k_scale, tcache.v_scale,
+                        dcache.k, dcache.v, t_next, n_acc)
 
             self._spec_fn = jax.jit(spec)
         return self._spec_fn
@@ -762,10 +761,11 @@ class ContinuousBatchEngine:
     def _spec_step(self, active) -> list[int]:
         fn = self._get_spec_fn()
         t0 = time.perf_counter()
-        (self.cache_k, self.cache_v, self.d_cache_k, self.d_cache_v,
-         t_next, n_acc) = fn(
+        (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+         self.d_cache_k, self.d_cache_v, t_next, n_acc) = fn(
             self.model.params, self.draft.params,
-            self.cache_k, self.cache_v, self.d_cache_k, self.d_cache_v,
+            self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+            self.d_cache_k, self.d_cache_v,
             self.lengths, self.cur_tokens)
         t_next_np = np.asarray(t_next)
         n_acc_np = np.asarray(n_acc)

@@ -236,3 +236,22 @@ def test_spec_serving_with_chunked_prefill(rng):
         draft_model=_draft_shim(), spec_gamma=3)
     got = eng.run(mk())
     np.testing.assert_array_equal(got[0], plain[0])
+
+
+def test_spec_serving_int8_kv_matches_plain_int8(rng):
+    """Speculative serving composes with the int8 KV cache: output equals
+    the plain int8-KV engine exactly (both quantize per written row, and
+    the multi-token vector-cursor write carries the scales)."""
+    model = Shim()
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 8)]
+    mk = lambda: [Request(i, p, max_new_tokens=9)
+                  for i, p in enumerate(prompts)]
+    plain = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=128, kv_quant=True).run(mk())
+    eng = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=128, kv_quant=True,
+        draft_model=_draft_shim(), spec_gamma=3)
+    got = eng.run(mk())
+    for rid in plain:
+        np.testing.assert_array_equal(got[rid], plain[rid])
