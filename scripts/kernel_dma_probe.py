@@ -242,7 +242,7 @@ for bk, bn in ((1024, 1024), (1024, 2048)):
         print(f"all-streams bk={bk} bn={bn}  {t * 1e6:8.2f} us  {wbytes / t / 1e9:7.1f} GB/s")
     except Exception as e:
         print(f"all-streams bk={bk} bn={bn}  FAILED {type(e).__name__}")
-for bk in (512, 1024, 2048):
+for bk in (512, 1024, 2048, K):
     for bn in (1024, 2048, 4096):
         if (bk // 8) * bn * 4 * 2 > 64 * 1024 * 1024:
             continue
