@@ -73,6 +73,8 @@ class EngineStats:
     requests_completed: int = 0
     preemptions: int = 0           # paged engine: recompute-preempted reqs
     pages_high_water: int = 0      # paged engine: max pages in use at once
+    prefix_hit_tokens: int = 0     # paged engine: prompt tokens served from
+                                   # the prefix cache (prefill compute skipped)
 
     def decode_tok_s(self) -> float:
         """Aggregate decode throughput (tokens per second of step() wall)."""

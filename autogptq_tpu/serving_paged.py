@@ -33,7 +33,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Optional
 
 import jax
@@ -87,6 +87,7 @@ class PagedContinuousBatchEngine:
         pages_per_seq: int = 32,
         use_kernel: Optional[bool] = None,
         on_token=None,
+        enable_prefix_cache: bool = False,
     ):
         _check_cfg(model.cfg)
         if "q_proj" not in model.params["layers"][0].get("attn", {}):
@@ -132,6 +133,11 @@ class PagedContinuousBatchEngine:
         self._eos = np.full((max_slots,), -1, np.int32)
         self._min_new = np.zeros((max_slots,), np.int32)
         self.slots = [_PagedSlot() for _ in range(max_slots)]
+        # drain mode: set on preemption, cleared when a request completes
+        # (or the pool empties). Without it, cheap re-admissions (e.g. a
+        # prefix-cache hit needing one page) defeat the pool back-pressure
+        # and two growing sequences can preempt each other forever.
+        self._drain = False
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
         self.stats = EngineStats()
@@ -139,6 +145,21 @@ class PagedContinuousBatchEngine:
         self._prefill_fns: dict[int, object] = {}
         self._scatter_fn = None
         self._decode_fns: dict[bool, object] = {}
+        # -- automatic prefix caching (vLLM-style, opt-in) ----------------
+        # Full prompt pages are content-addressed by a chain hash; a new
+        # request reuses the K/V pages of the longest cached full-page
+        # prefix and prefills ONLY the suffix (one cache-continuation
+        # forward over the gathered prefix). Retired sequences' registered
+        # pages stay resident with refcount 0 (LRU-evicted under pool
+        # pressure), so repeated system prompts skip both the prefill
+        # compute and the page memory.
+        self.enable_prefix_cache = enable_prefix_cache
+        self._hash_to_pid: dict = {}          # chain hash -> page id
+        self._pid_hash: dict[int, object] = {}  # page id -> chain hash
+        self._ref: dict[int, int] = {}        # registered page -> live refs
+        self._cached = OrderedDict()          # LRU of refcount-0 pages
+        self._gather_fns: dict[int, object] = {}
+        self._suffix_fns: dict[tuple, object] = {}
 
     def _emit(self, req_id: int, idx: int, tok: int) -> None:
         """Stream token ``idx`` once per request — preemption replays the
@@ -161,9 +182,43 @@ class PagedContinuousBatchEngine:
             self.stats.pages_high_water, self.pages_in_use())
         return out
 
+    def pages_cached(self) -> int:
+        """Registered pages resident with no live reference (evictable)."""
+        return len(self._cached)
+
+    def _evict_one(self) -> None:
+        pid, _ = self._cached.popitem(last=False)   # LRU
+        h = self._pid_hash.pop(pid)
+        del self._hash_to_pid[h]
+        self._ref.pop(pid, None)
+        self._free.append(pid)
+
+    def _ensure_free(self, n: int) -> None:
+        while len(self._free) < n and self._cached:
+            self._evict_one()
+        assert len(self._free) >= n
+
+    def _chain_hashes(self, prompt) -> list:
+        pg = self.page_size
+        hs, h = [], 0
+        arr = np.asarray(prompt)
+        for i in range(len(arr) // pg):
+            h = hash((h, tuple(int(t) for t in arr[i * pg:(i + 1) * pg])))
+            hs.append(h)
+        return hs
+
     def _free_slot_pages(self, slot: int) -> None:
         used = self.tables[slot][self.tables[slot] != 0]
-        self._free.extend(int(p) for p in used)
+        for pid in (int(x) for x in used):
+            if pid in self._pid_hash:
+                # registered (shared-capable) page: drop this slot's ref;
+                # at zero it becomes CACHED (reusable by a later identical
+                # prefix) rather than free
+                self._ref[pid] -= 1
+                if self._ref[pid] <= 0:
+                    self._cached[pid] = None
+            else:
+                self._free.append(pid)
         self.tables[slot] = 0
 
     # -- admission / prefill --------------------------------------------
@@ -206,6 +261,68 @@ class PagedContinuousBatchEngine:
             self._prefill_fns[bucket] = fn = jax.jit(prefill)
         return fn
 
+    def _get_prefix_gather_fn(self, ns: int):
+        """Gather ``ns`` pages (null-padded pid list) into contiguous
+        [L, ns*page_size, Hkv, D] K/V for the suffix continuation forward.
+        Keyed by the power-of-two page-count bucket."""
+        fn = self._gather_fns.get(ns)
+        if fn is None:
+            def gather(k_pages, v_pages, pids):
+                def g(pool):
+                    x = pool[:, pids]                 # [L, ns, Hkv, pg, D]
+                    L, n, hkv, pgs, d = x.shape
+                    return x.transpose(0, 1, 3, 2, 4).reshape(
+                        L, n * pgs, hkv, d)
+
+                return g(k_pages), g(v_pages)
+
+            self._gather_fns[ns] = fn = jax.jit(gather)
+        return fn
+
+    def _get_suffix_prefill_fn(self, sb: int, pb: int):
+        """Cache-continuation prefill of a [1, sb] suffix against a
+        [L, pb, Hkv, D] gathered prefix whose first ``shared_len`` rows are
+        real (the rest masked). Returns the suffix K/V rows (page-aligned:
+        shared_len is a page multiple) and the last valid position's
+        logits. The compute saved vs whole-prompt prefill is exactly the
+        shared prefix."""
+        key = (sb, pb)
+        fn = self._suffix_fns.get(key)
+        if fn is None:
+            model = self.model
+            cfg = self.cfg
+
+            def sfx(params, tokens, mask, pk, pv, shared_len):
+                S = pb + sb
+                base = KVCache.create(cfg, 1, S, dtype=model.dtype)
+                ck = jax.lax.dynamic_update_slice(
+                    base.k, pk[:, None].astype(base.k.dtype),
+                    (0, 0, 0, 0, 0))
+                cv = jax.lax.dynamic_update_slice(
+                    base.v, pv[:, None].astype(base.v.dtype),
+                    (0, 0, 0, 0, 0))
+                cache = KVCache(k=ck, v=cv, length=shared_len,
+                                k_scale=None, v_scale=None)
+                valid = jnp.sum(mask, -1)
+                attn_mask = (
+                    jnp.arange(S)[None, :] < shared_len + valid[:, None]
+                ).astype(jnp.int32)
+                positions = shared_len + jnp.arange(sb, dtype=jnp.int32)[None, :]
+                logits, cache = arch.forward(
+                    params, tokens, cfg, cache=cache,
+                    backend=model.backend, attn_mask=attn_mask,
+                    dtype=model.dtype, positions=positions,
+                )
+                sk = jax.lax.dynamic_slice_in_dim(
+                    cache.k[:, 0], shared_len, sb, axis=1)
+                sv = jax.lax.dynamic_slice_in_dim(
+                    cache.v[:, 0], shared_len, sb, axis=1)
+                lrow = logits[jnp.arange(1), valid - 1]
+                return sk, sv, lrow
+
+            self._suffix_fns[key] = fn = jax.jit(sfx)
+        return fn
+
     def _get_scatter_fn(self):
         """Scatter a WHOLE prefill's K/V ([L, bucket, Hkv, D]) into its
         pages in one dispatch (pids beyond the allocated count point at the
@@ -235,31 +352,80 @@ class PagedContinuousBatchEngine:
         return self._scatter_fn
 
     def _admit(self) -> None:
-        while self.queue:
+        if self._drain and all(st.req is None for st in self.slots):
+            self._drain = False          # nothing left to drain
+        while self.queue and not self._drain:
             free_slots = [i for i, st in enumerate(self.slots) if st.req is None]
             if not free_slots:
                 return
             req = self.queue[0]
             p = len(req.prompt)
-            if self._pages_needed(p + 1) > len(self._free):
+            pg = self.page_size
+
+            # -- prefix cache probe: longest cached run of FULL prompt
+            # pages (capped at p-1 tokens — the last position must be
+            # computed to sample the first token)
+            shared, shared_pids, hashes = 0, [], None
+            if self.enable_prefix_cache:
+                hashes = self._chain_hashes(req.prompt)
+                for h in hashes[: (p - 1) // pg]:
+                    pid = self._hash_to_pid.get(h)
+                    if pid is None:
+                        break
+                    shared_pids.append(pid)
+                    shared += 1
+            need_new = self._pages_needed(p + 1) - shared
+            # availability: free + evictable cached, EXCLUDING the cached
+            # pages this request is about to reuse
+            avail = (len(self._free) + len(self._cached)
+                     - sum(1 for pid in shared_pids if pid in self._cached))
+            if need_new > avail:
                 return                       # wait for pages to free up
             self.queue.popleft()
             slot = free_slots[0]
-            bucket = _bucket(p)
-            fn = self._get_prefill_fn(bucket)
-            tokens = np.zeros((1, bucket), np.int32)
-            mask = np.zeros((1, bucket), np.int32)
-            tokens[0, :p] = req.prompt
-            mask[0, :p] = 1
-            self.stats.prefills += 1
-            self.stats.prefill_tokens += p
-            k, v, lrow = fn(self.model.params, jnp.asarray(tokens), jnp.asarray(mask))
+            for pid in shared_pids:          # activate shared pages
+                self._ref[pid] = self._ref.get(pid, 0) + 1
+                self._cached.pop(pid, None)
+            self._ensure_free(need_new)
 
-            pages = self._alloc(self._pages_needed(p + 1))
+            shared_tok = shared * pg
+            self.stats.prefills += 1
+            self.stats.prefill_tokens += p - shared_tok
+            self.stats.prefix_hit_tokens += shared_tok
+            if shared == 0:
+                bucket = _bucket(p)
+                fn = self._get_prefill_fn(bucket)
+                tokens = np.zeros((1, bucket), np.int32)
+                mask = np.zeros((1, bucket), np.int32)
+                tokens[0, :p] = req.prompt
+                mask[0, :p] = 1
+                k, v, lrow = fn(self.model.params, jnp.asarray(tokens),
+                                jnp.asarray(mask))
+            else:
+                # gather the shared prefix pages and prefill ONLY the suffix
+                sv = p - shared_tok
+                sb = _bucket(sv)
+                ns = 8
+                while ns < shared:
+                    ns *= 2
+                gpids = np.zeros((ns,), np.int32)
+                gpids[:shared] = shared_pids
+                gather = self._get_prefix_gather_fn(ns)
+                pk, pv = gather(self.k_pages, self.v_pages,
+                                jnp.asarray(gpids))
+                sfn = self._get_suffix_prefill_fn(sb, ns * pg)
+                tokens = np.zeros((1, sb), np.int32)
+                mask = np.zeros((1, sb), np.int32)
+                tokens[0, :sv] = req.prompt[shared_tok:]
+                mask[0, :sv] = 1
+                k, v, lrow = sfn(self.model.params, jnp.asarray(tokens),
+                                 jnp.asarray(mask), pk, pv,
+                                 jnp.int32(shared_tok))
+
+            pages = self._alloc(need_new)
             scatter = self._get_scatter_fn()
-            pg = self.page_size
             npages = -(-k.shape[1] // pg)
-            # page j covers prompt tokens [j*pg, (j+1)*pg); entries beyond
+            # page j covers tokens [shared_tok + j*pg, ...); entries beyond
             # the allocated pages (incl. a +1 headroom page fully past the
             # bucket, which the decode-step scatter fills instead) target
             # the reserved null page 0
@@ -269,7 +435,18 @@ class PagedContinuousBatchEngine:
             self.k_pages, self.v_pages = scatter(
                 self.k_pages, self.v_pages, k, v, jnp.asarray(pids))
             self.tables[slot] = 0
-            self.tables[slot, : len(pages)] = pages
+            if shared:
+                self.tables[slot, :shared] = shared_pids
+            self.tables[slot, shared:shared + len(pages)] = pages
+            if self.enable_prefix_cache:
+                # register this prompt's remaining FULL pages for reuse
+                for i in range(shared, p // pg):
+                    h = hashes[i]
+                    pid = int(self.tables[slot, i])
+                    if pid != 0 and h not in self._hash_to_pid:
+                        self._hash_to_pid[h] = pid
+                        self._pid_hash[pid] = h
+                        self._ref[pid] = self._ref.get(pid, 0) + 1
 
             tok = int(np.asarray(_sample_tokens(
                 jnp.reshape(lrow, (1, -1)),
@@ -435,6 +612,9 @@ class PagedContinuousBatchEngine:
             have = int(np.count_nonzero(self.tables[slot]))
             if needed > have:
                 while not self._free:
+                    if self._cached:
+                        self._evict_one()
+                        continue
                     victims = [
                         i for i, s2 in enumerate(self.slots)
                         if s2.req is not None and i != slot
@@ -446,6 +626,7 @@ class PagedContinuousBatchEngine:
                         )
                     v = victims[-1]
                     self.stats.preemptions += 1
+                    self._drain = True
                     self.queue.appendleft(self.slots[v].req)
                     self.slots[v].req = None
                     self.slots[v].generated = []
@@ -520,6 +701,8 @@ class PagedContinuousBatchEngine:
                 self._free_slot_pages(slot)
                 self.lengths[slot] = 0
         self.stats.requests_completed += len(done_ids)
+        if done_ids:
+            self._drain = False          # capacity freed; admissions resume
         return done_ids
 
     def run(self, requests: list[Request]) -> dict[int, np.ndarray]:

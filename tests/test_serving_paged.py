@@ -256,3 +256,89 @@ def test_paged_warmup_covers_overhang_prefill_bucket(model, rng):
     assert set(eng._prefill_fns) == warmed      # no new prefill compiles
     np.testing.assert_array_equal(
         res[0], np.asarray(sequential_greedy(model, p, 5)))
+
+
+# -- automatic prefix caching (opt-in) ---------------------------------------
+
+
+def test_prefix_cache_shares_pages_and_matches(model, rng):
+    """Two co-scheduled requests with the same long prompt: the second
+    reuses the first's full prompt pages (tables overlap) and both outputs
+    equal sequential greedy."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=32, page_size=8, pages_per_seq=8,
+        enable_prefix_cache=True,
+    )
+    p = rng.integers(0, model.cfg.vocab_size, size=(21,)).astype(np.int32)
+    out = eng.run([Request(0, p, max_new_tokens=6),
+                   Request(1, p.copy(), max_new_tokens=6)])
+    want = np.asarray(sequential_greedy(model, p, 6))
+    np.testing.assert_array_equal(out[0], want)
+    np.testing.assert_array_equal(out[1], want)
+    # 21 tokens at page_size 8 -> 2 full pages shareable
+    assert eng.stats.prefix_hit_tokens == 16
+    assert eng.pages_cached() > 0             # retired pages stay cached
+
+
+def test_prefix_cache_reuse_after_retirement(model, rng):
+    """A retired request's prompt pages serve a LATER identical prompt:
+    the second prefill computes only the suffix."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=32, page_size=8, pages_per_seq=8,
+        enable_prefix_cache=True,
+    )
+    p = rng.integers(0, model.cfg.vocab_size, size=(19,)).astype(np.int32)
+    out1 = eng.run([Request(0, p, max_new_tokens=5)])
+    t_before = eng.stats.prefill_tokens
+    out2 = eng.run([Request(1, p.copy(), max_new_tokens=5)])
+    np.testing.assert_array_equal(out1[0], out2[1])
+    # second prefill computed only 19 - 16 = 3 tokens
+    assert eng.stats.prefill_tokens - t_before == 3
+    assert eng.stats.prefix_hit_tokens == 16
+
+
+def test_prefix_cache_partial_prefix_divergence(model, rng):
+    """Prompts sharing only the first page: only that page is reused and
+    both streams stay exact."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=32, page_size=8, pages_per_seq=8,
+        enable_prefix_cache=True,
+    )
+    base = rng.integers(0, model.cfg.vocab_size, size=(20,)).astype(np.int32)
+    other = base.copy()
+    other[10:] = rng.integers(0, model.cfg.vocab_size, size=(10,))
+    out = eng.run([Request(0, base, max_new_tokens=6),
+                   Request(1, other, max_new_tokens=6)])
+    np.testing.assert_array_equal(out[0], np.asarray(sequential_greedy(model, base, 6)))
+    np.testing.assert_array_equal(out[1], np.asarray(sequential_greedy(model, other, 6)))
+    assert eng.stats.prefix_hit_tokens == 8    # exactly one shared page
+
+
+def test_prefix_cache_eviction_under_pressure(model, rng):
+    """Cached (refcount-0) pages are evicted LRU when the pool runs dry;
+    subsequent different prompts still decode exactly."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=8, page_size=8, pages_per_seq=6,
+        enable_prefix_cache=True,
+    )
+    prompts = [rng.integers(0, model.cfg.vocab_size, size=(17,)).astype(np.int32)
+               for _ in range(3)]
+    for i, p in enumerate(prompts):
+        out = eng.run([Request(i, p, max_new_tokens=8)])
+        np.testing.assert_array_equal(
+            out[i], np.asarray(sequential_greedy(model, p, 8)))
+
+
+def test_prefix_cache_preemption_interplay(model, rng):
+    """Recompute-preemption with the prefix cache on: exact outputs, and
+    the replayed request can reuse its own cached prompt pages."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=2, total_pages=6, page_size=4, pages_per_seq=8,
+        enable_prefix_cache=True,
+    )
+    p1 = rng.integers(0, model.cfg.vocab_size, size=(7,)).astype(np.int32)
+    p2 = rng.integers(0, model.cfg.vocab_size, size=(6,)).astype(np.int32)
+    out = eng.run([Request(0, p1, max_new_tokens=8),
+                   Request(1, p2, max_new_tokens=8)])
+    np.testing.assert_array_equal(out[0], np.asarray(sequential_greedy(model, p1, 8)))
+    np.testing.assert_array_equal(out[1], np.asarray(sequential_greedy(model, p2, 8)))
