@@ -236,12 +236,19 @@ class ContinuousBatchEngine:
         # otherwise the plain one-token step runs.
         self.draft = draft_model
         self.spec_gamma = spec_gamma
-        self._spec_fn = None
+        self._spec_fns: dict = {}
         self._draft_prefill_fns: dict[int, object] = {}
         if draft_model is not None:
             if self.is_tp:
                 raise NotImplementedError(
                     "speculative serving requires an unsharded target (tp=1)")
+            if "mla" in (getattr(model.cfg, "attn_variant", None),
+                         getattr(draft_model.cfg, "attn_variant", None)):
+                # _mla_attention_cached's vector-cursor path is T == 1 only
+                # (the latent write/mask are single-token); the g+1-token
+                # verify window would silently corrupt the latent cache
+                raise NotImplementedError(
+                    "speculative serving does not support MLA models")
             if model.cfg.vocab_size != draft_model.cfg.vocab_size:
                 raise ValueError(
                     "draft and target models must share a vocabulary")
@@ -348,6 +355,29 @@ class ContinuousBatchEngine:
                              jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                              jnp.zeros((self.max_slots,), jnp.int32)]
                 step(*args)
+        if self.draft is not None:
+            # speculative variants: draft prefill buckets + the spec step
+            # for every reachable window bucket (the first spec request
+            # must not stall for a compile either)
+            for b in buckets:
+                db = _bucket(b)
+                if db > self.max_seq_len:
+                    continue
+                dfn = self._get_draft_prefill_fn(db)
+                tokens = jnp.zeros((1, db), jnp.int32)
+                dfn(self.draft.params, tokens, tokens.at[0, :2].set(1))
+            g1 = self.spec_gamma + 1
+            spec_wins = sorted({
+                w for w in (_bucket(n + g1)
+                            for n in range(1, self.max_seq_len + 1))
+                if w < self.max_seq_len
+            }) + [None]
+            zeros = jnp.zeros((self.max_slots,), jnp.int32)
+            for w in spec_wins:
+                sfn = self._get_spec_fn(w)
+                sfn(self.model.params, self.draft.params,
+                    self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+                    self.d_cache_k, self.d_cache_v, zeros, zeros)
 
     # -- whole-prompt (bucketed) prefill --------------------------------
 
@@ -462,6 +492,12 @@ class ContinuousBatchEngine:
         tokens[0, :p] = prompt
         mask[0, :p] = 1
         k, v = fn(self.draft.params, jnp.asarray(tokens), jnp.asarray(mask))
+        # a chunk-admitted prompt's bucket can EXCEED max_seq_len (e.g.
+        # p=1300 -> bucket 2048 at max_seq_len 1536); rows past the cache
+        # are bucket padding (p < max_seq_len is guaranteed by admission),
+        # so clip instead of letting dynamic_update_slice throw
+        rows = min(k.shape[1], self.max_seq_len)
+        k, v = k[:, :rows], v[:, :rows]
         self.d_cache_k = jax.lax.dynamic_update_slice(
             self.d_cache_k, k[:, None].astype(self.d_cache_k.dtype),
             (0, slot, 0, 0, 0))
@@ -706,7 +742,7 @@ class ContinuousBatchEngine:
             self._decode_fns[(sampling, win)] = fn
         return fn
 
-    def _get_spec_fn(self):
+    def _get_spec_fn(self, win: int | None = None):
         """One jitted speculative step for ALL slots: a spec_gamma-step
         draft scan (vector cursors) proposes tokens, ONE target forward
         over each slot's [cur, d_1..d_g] window verifies them (the
@@ -714,7 +750,8 @@ class ContinuousBatchEngine:
         acceptance: longest draft prefix matching the target argmax, plus
         the target's correction/bonus token — the emitted stream is
         token-identical to the plain one-token step."""
-        if self._spec_fn is None:
+        fn = self._spec_fns.get(win)
+        if fn is None:
             model = self.model
             dm = self.draft
             fcfg = self._fwd_cfg
@@ -724,6 +761,16 @@ class ContinuousBatchEngine:
 
             def spec(t_params, d_params, t_ck, t_cv, t_cks, t_cvs,
                      d_ck, d_cv, lengths, cur):
+                # window-bucketed like the plain decode step: attend (and
+                # write) only a static cache prefix covering every cursor
+                # plus the g+1-token verify span
+                full_t = (t_ck, t_cv, t_cks, t_cvs)
+                full_d = (d_ck, d_cv)
+                if win is not None:
+                    sl = lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, win, axis=2)
+                    t_ck, t_cv = sl(t_ck), sl(t_cv)
+                    t_cks, t_cvs = sl(t_cks), sl(t_cvs)
+                    d_ck, d_cv = sl(d_ck), sl(d_cv)
                 dcache = KVCache(k=d_ck, v=d_cv, length=lengths,
                                  k_scale=None, v_scale=None)
 
@@ -754,14 +801,59 @@ class ContinuousBatchEngine:
                 match = drafts.T == t_next[:, :g]
                 n_acc = jnp.sum(
                     jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-                return (tcache.k, tcache.v, tcache.k_scale, tcache.v_scale,
-                        dcache.k, dcache.v, t_next, n_acc)
+                tk, tv = tcache.k, tcache.v
+                tks, tvs = tcache.k_scale, tcache.v_scale
+                dk, dv = dcache.k, dcache.v
+                if win is not None:
+                    zero = (0,) * 5
+                    upd = lambda f, p_: None if p_ is None else jax.lax.dynamic_update_slice(f, p_, zero)
+                    tk, tv = upd(full_t[0], tk), upd(full_t[1], tv)
+                    tks, tvs = upd(full_t[2], tks), upd(full_t[3], tvs)
+                    dk, dv = upd(full_d[0], dk), upd(full_d[1], dv)
+                return (tk, tv, tks, tvs, dk, dv, t_next, n_acc)
 
-            self._spec_fn = jax.jit(spec)
-        return self._spec_fn
+            self._spec_fns[win] = fn = jax.jit(spec)
+        return fn
+
+    def _append_token(self, slot: int, tok: int) -> bool:
+        """Append ONE generated token to a live slot: stream it (unless the
+        previous token was EOS or max_new is already met — the post-EOS /
+        overflow token is excluded from the output so it must not be
+        streamed either) and retire the slot when EOS was hit or max_new
+        reached. Returns True when the slot retired. generated[-1] is the
+        token JUST sampled from the previous token's logits. The single
+        source of truth for retirement semantics — used by both the plain
+        and the speculative step."""
+        st = self.slots[slot]
+        req = st.req
+        st.generated.append(tok)
+        hit_eos = (req.eos_token_id is not None
+                   and st.generated[-2] == req.eos_token_id)
+        if (self.on_token is not None and not hit_eos
+                and len(st.generated) - 1 < req.max_new_tokens):
+            self.on_token(req.req_id, tok)
+        if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
+            out = st.generated[: req.max_new_tokens]
+            if req.eos_token_id is not None and req.eos_token_id in out:
+                out = out[: out.index(req.eos_token_id) + 1]
+            self.finished[req.req_id] = np.asarray(out, np.int32)
+            st.req = None
+            st.generated = []
+            self._temps[slot] = 0.0
+            self._eos[slot] = -1
+            self._min_new[slot] = 0
+            return True
+        return False
 
     def _spec_step(self, active) -> list[int]:
-        fn = self._get_spec_fn()
+        need = max(
+            len(st.req.prompt) + len(st.generated)
+            for st, a in zip(self.slots, active) if a
+        ) + self.spec_gamma + 1
+        win = _bucket(need)
+        if win >= self.max_seq_len:
+            win = None
+        fn = self._get_spec_fn(win)
         t0 = time.perf_counter()
         (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
          self.d_cache_k, self.d_cache_v, t_next, n_acc) = fn(
@@ -780,7 +872,7 @@ class ContinuousBatchEngine:
         for slot, st in enumerate(self.slots):
             if not active[slot]:
                 continue
-            req = st.req
+            rid = st.req.req_id
             emitted = int(n_acc_np[slot]) + 1
             retired = False
             appended = 0
@@ -788,25 +880,9 @@ class ContinuousBatchEngine:
             # over the emitted window; tokens past a retirement are exactly
             # the tokens the sequential engine would never have generated
             for j in range(emitted):
-                tok = int(t_next_np[slot, j])
-                st.generated.append(tok)
                 appended += 1
-                hit_eos = (req.eos_token_id is not None
-                           and st.generated[-2] == req.eos_token_id)
-                if (self.on_token is not None and not hit_eos
-                        and len(st.generated) - 1 < req.max_new_tokens):
-                    self.on_token(req.req_id, tok)
-                if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
-                    out = st.generated[: req.max_new_tokens]
-                    if req.eos_token_id is not None and req.eos_token_id in out:
-                        out = out[: out.index(req.eos_token_id) + 1]
-                    self.finished[req.req_id] = np.asarray(out, np.int32)
-                    done_ids.append(req.req_id)
-                    st.req = None
-                    st.generated = []
-                    self._temps[slot] = 0.0
-                    self._eos[slot] = -1
-                    self._min_new[slot] = 0
+                if self._append_token(slot, int(t_next_np[slot, j])):
+                    done_ids.append(rid)
                     lengths_np[slot] = 0
                     retired = True
                     break
@@ -905,27 +981,9 @@ class ContinuousBatchEngine:
         for slot, st in enumerate(self.slots):
             if st.req is None or st.prefilling:
                 continue
-            st.generated.append(int(nxt_np[slot]))
-            req = st.req
-            hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
-            if (self.on_token is not None and not hit_eos
-                    and len(st.generated) - 1 < req.max_new_tokens):
-                # the post-EOS token is excluded from the final output, so
-                # it must not be streamed either
-                self.on_token(req.req_id, int(nxt_np[slot]))
-            # note: generated[-1] is the token JUST sampled from the previous
-            # token's logits; stop once we have max_new_tokens outputs.
-            if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
-                out = st.generated[: req.max_new_tokens]
-                if req.eos_token_id is not None and req.eos_token_id in out:
-                    out = out[: out.index(req.eos_token_id) + 1]
-                self.finished[req.req_id] = np.asarray(out, np.int32)
-                done_ids.append(req.req_id)
-                st.req = None
-                st.generated = []
-                self._temps[slot] = 0.0
-                self._eos[slot] = -1
-                self._min_new[slot] = 0
+            rid = st.req.req_id
+            if self._append_token(slot, int(nxt_np[slot])):
+                done_ids.append(rid)
                 self.lengths = self.lengths.at[slot].set(0)
         self.stats.requests_completed += len(done_ids)
         return done_ids

@@ -153,6 +153,15 @@ class PagedContinuousBatchEngine:
         # pages stay resident with refcount 0 (LRU-evicted under pool
         # pressure), so repeated system prompts skip both the prefill
         # compute and the page memory.
+        if enable_prefix_cache and getattr(cfg, "rope_ntk_seq_len", None):
+            # dynamic NTK derives the rope base from the encoding call's
+            # positions: pages cached by one request would carry a
+            # different alpha than a reusing request's queries (same class
+            # of inconsistency as the ring-attention guard in arch.py)
+            raise NotImplementedError(
+                "prefix caching is not supported with dynamic-NTK rope "
+                "(rope_ntk_seq_len); per-page rope bases would mix"
+            )
         self.enable_prefix_cache = enable_prefix_cache
         self._hash_to_pid: dict = {}          # chain hash -> page id
         self._pid_hash: dict[int, object] = {}  # page id -> chain hash
@@ -160,6 +169,7 @@ class PagedContinuousBatchEngine:
         self._cached = OrderedDict()          # LRU of refcount-0 pages
         self._gather_fns: dict[int, object] = {}
         self._suffix_fns: dict[tuple, object] = {}
+        self._hash_memo: dict[int, list] = {}   # req_id -> chain hashes
 
     def _emit(self, req_id: int, idx: int, tok: int) -> None:
         """Stream token ``idx`` once per request — preemption replays the
@@ -199,11 +209,18 @@ class PagedContinuousBatchEngine:
         assert len(self._free) >= n
 
     def _chain_hashes(self, prompt) -> list:
+        """sha256 digest chain over full pages: collision-resistant content
+        addressing (Python's tuple hash is invertible — in a multi-tenant
+        deployment an adversarial prompt could be crafted to collide with a
+        victim's cached pages and attend its K/V; vLLM moved to sha256 for
+        the same reason)."""
+        import hashlib
+
         pg = self.page_size
-        hs, h = [], 0
-        arr = np.asarray(prompt)
+        hs, h = [], b""
+        arr = np.ascontiguousarray(np.asarray(prompt), dtype=np.int32)
         for i in range(len(arr) // pg):
-            h = hash((h, tuple(int(t) for t in arr[i * pg:(i + 1) * pg])))
+            h = hashlib.sha256(h + arr[i * pg:(i + 1) * pg].tobytes()).digest()
             hs.append(h)
         return hs
 
@@ -236,6 +253,10 @@ class PagedContinuousBatchEngine:
                 f"pages than the pool can ever supply "
                 f"(total_pages={self.total_pages})"
             )
+        if self.enable_prefix_cache and req.req_id not in self._hash_memo:
+            # hash once at submit: a blocked head-of-queue request would
+            # otherwise rehash its whole prompt on every engine step
+            self._hash_memo[req.req_id] = self._chain_hashes(req.prompt)
         self.queue.append(req)
 
     def _pages_needed(self, tokens: int) -> int:
@@ -367,7 +388,10 @@ class PagedContinuousBatchEngine:
             # computed to sample the first token)
             shared, shared_pids, hashes = 0, [], None
             if self.enable_prefix_cache:
-                hashes = self._chain_hashes(req.prompt)
+                hashes = self._hash_memo.get(req.req_id)
+                if hashes is None:
+                    hashes = self._chain_hashes(req.prompt)
+                    self._hash_memo[req.req_id] = hashes
                 for h in hashes[: (p - 1) // pg]:
                     pid = self._hash_to_pid.get(h)
                     if pid is None:
@@ -577,6 +601,24 @@ class PagedContinuousBatchEngine:
             pids = np.zeros((-(-bkt // pg),), np.int32)  # all → null page
             self.k_pages, self.v_pages = scatter(
                 self.k_pages, self.v_pages, k, v, pids)
+        if self.enable_prefix_cache:
+            # prefix-cache variants: page gathers + suffix continuation
+            # prefills — the first cache HIT must not stall for a compile
+            shared_max = max(1, (max_ctx - 1) // pg)
+            ns_list = [8]
+            while ns_list[-1] < shared_max:
+                ns_list.append(ns_list[-1] * 2)
+            sbs = sorted({_bucket(n) for n in range(1, max_ctx)})
+            for ns in ns_list:
+                gf = self._get_prefix_gather_fn(ns)
+                pk, pv = gf(self.k_pages, self.v_pages,
+                            jnp.zeros((ns,), jnp.int32))
+                for sb in sbs:
+                    sfn = self._get_suffix_prefill_fn(sb, ns * pg)
+                    tokens = jnp.zeros((1, sb), jnp.int32)
+                    mask = jnp.zeros((1, sb), jnp.int32).at[0, :1].set(1)
+                    sfn(self.model.params, tokens, mask, pk, pv,
+                        jnp.int32(0))
         wins = sorted({page_window_bucket(n, pg, self.pages_per_seq)
                        for n in range(1, max_ctx + 1)})
         zeros = jnp.zeros((self.max_slots,), jnp.int32)
@@ -692,6 +734,7 @@ class PagedContinuousBatchEngine:
                     out = out[: out.index(req.eos_token_id) + 1]
                 self.finished[req.req_id] = np.asarray(out, np.int32)
                 self._streamed.pop(req.req_id, None)
+                self._hash_memo.pop(req.req_id, None)
                 done_ids.append(req.req_id)
                 st.req = None
                 st.generated = []

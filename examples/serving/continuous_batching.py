@@ -76,6 +76,9 @@ def main():
             for n in rng.integers(4, 48, args.num_random_requests)
         ]
 
+    if args.paged and args.draft_model_dir:
+        ap.error("--draft_model_dir requires the contiguous engine "
+                 "(speculative serving is not supported with --paged)")
     if args.paged:
         from autogptq_tpu.serving_paged import PagedContinuousBatchEngine
 

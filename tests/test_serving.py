@@ -220,7 +220,7 @@ def test_spec_serving_falls_back_for_sampling_and_min_new(rng):
     got = eng.run(mk())
     for rid in plain:
         np.testing.assert_array_equal(got[rid], plain[rid])
-    assert eng._spec_fn is None   # sampling slot present -> never engaged
+    assert eng._spec_fns == {}    # sampling slot present -> never engaged
 
 
 def test_spec_serving_with_chunked_prefill(rng):
@@ -255,3 +255,41 @@ def test_spec_serving_int8_kv_matches_plain_int8(rng):
     got = eng.run(mk())
     for rid in plain:
         np.testing.assert_array_equal(got[rid], plain[rid])
+
+
+def test_spec_warmup_covers_all_variants_and_windows(rng):
+    """warmup() on a speculative engine precompiles the draft prefill
+    buckets and every reachable spec-step window; serving then triggers no
+    new compiles, and the (window-bucketed) spec stream stays exact."""
+    model = Shim()
+    eng = ContinuousBatchEngine(
+        model, max_slots=2, max_seq_len=128, draft_model=_draft_shim(),
+        spec_gamma=3)
+    eng.warmup(sampling=False)
+    warmed_spec = set(eng._spec_fns)
+    warmed_draft = set(eng._draft_prefill_fns)
+    assert len(warmed_spec) > 1          # windowed variants + full-cache
+
+    p = rng.integers(0, model.cfg.vocab_size, size=(30,)).astype(np.int32)
+    plain = ContinuousBatchEngine(model, max_slots=1, max_seq_len=128).run(
+        [Request(0, p, max_new_tokens=60)])
+    got = eng.run([Request(0, p, max_new_tokens=60)])   # crosses windows
+    np.testing.assert_array_equal(got[0], plain[0])
+    assert set(eng._spec_fns) == warmed_spec
+    assert set(eng._draft_prefill_fns) == warmed_draft
+
+
+def test_spec_draft_prefill_bucket_exceeds_max_seq_len(rng):
+    """A chunk-admitted prompt whose bucket exceeds max_seq_len must not
+    crash the draft prefill (K/V clipped to the cache; rows past it are
+    bucket padding)."""
+    model = Shim()
+    p = rng.integers(0, model.cfg.vocab_size, size=(70,)).astype(np.int32)
+    plain = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=96, prefill_chunk=16).run(
+        [Request(0, p, max_new_tokens=10)])
+    eng = ContinuousBatchEngine(
+        model, max_slots=1, max_seq_len=96, prefill_chunk=16,
+        draft_model=_draft_shim(), spec_gamma=3)
+    got = eng.run([Request(0, p, max_new_tokens=10)])
+    np.testing.assert_array_equal(got[0], plain[0])

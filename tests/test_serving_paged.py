@@ -342,3 +342,23 @@ def test_prefix_cache_preemption_interplay(model, rng):
                    Request(1, p2, max_new_tokens=8)])
     np.testing.assert_array_equal(out[0], np.asarray(sequential_greedy(model, p1, 8)))
     np.testing.assert_array_equal(out[1], np.asarray(sequential_greedy(model, p2, 8)))
+
+
+def test_prefix_cache_warmup_no_midserving_compiles(model, rng):
+    """warmup() on a prefix-cache engine precompiles the page gathers and
+    suffix continuation prefills: a later cache HIT triggers no new
+    compiles."""
+    eng = PagedContinuousBatchEngine(
+        model, max_slots=1, total_pages=32, page_size=8, pages_per_seq=8,
+        enable_prefix_cache=True,
+    )
+    eng.warmup(sampling=False)
+    warmed = (set(eng._prefill_fns), set(eng._gather_fns),
+              set(eng._suffix_fns))
+    p = rng.integers(0, model.cfg.vocab_size, size=(19,)).astype(np.int32)
+    out1 = eng.run([Request(0, p, max_new_tokens=5)])
+    out2 = eng.run([Request(1, p.copy(), max_new_tokens=5)])   # cache hit
+    np.testing.assert_array_equal(out1[0], out2[1])
+    assert eng.stats.prefix_hit_tokens == 16
+    assert (set(eng._prefill_fns), set(eng._gather_fns),
+            set(eng._suffix_fns)) == warmed
