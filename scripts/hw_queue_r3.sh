@@ -40,6 +40,7 @@ run dma_probe python scripts/kernel_dma_probe.py
 #    T4 unembed / T5 page copy) + beam e2e
 run beam_profile python scripts/bench_beam_profile.py 512
 run beam_e2e    python scripts/bench_beam.py
+run beam_int8   env BENCH_KV_QUANT=1 python scripts/bench_beam.py
 
 # 4. batched serving efficiency (window-bucketed decode landed this round)
 run batch8 python scripts/bench_batch.py
