@@ -693,6 +693,7 @@ class GPTQModel:
         eos_token_id: Optional[int] = None,
         min_new_tokens: int = 0,
         seed: int = 0,
+        pad_token_id: int = 0,
         kv_quant: bool = False,
         length_penalty: float = 1.0,
         early_stopping: bool = False,
@@ -736,6 +737,7 @@ class GPTQModel:
             eos_token_id=eos_token_id,
             min_new_tokens=min_new_tokens,
             seed=seed,
+            pad_token_id=pad_token_id,
             kv_quant=kv_quant,
             length_penalty=length_penalty,
             early_stopping=early_stopping,

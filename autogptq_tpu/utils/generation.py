@@ -212,6 +212,85 @@ def _gather_beams(tree, idx):
     return jax.tree_util.tree_map(lambda x: x[idx] if x.ndim >= 1 else x, tree)
 
 
+
+def _beam_row_done(done_scores, best_raw, gen_len, p, early_stopping,
+                   max_new_tokens):
+    """HF BeamHypotheses.is_done, vectorized: pool full AND (early_stopping
+    is True, or no candidate can still beat the worst kept hypothesis at
+    the best attainable normalization — generated-length based,
+    generation/beam_search.py:is_done; early_stopping='never' with p > 0
+    normalizes by max_length - prompt = max_new_tokens)."""
+    pool_full = done_scores[:, -1] > NEG_INF / 2
+    if early_stopping is True:
+        return pool_full
+    if early_stopping == "never" and p > 0.0:
+        div = float(max_new_tokens) ** p
+    else:   # False, or 'never' with p <= 0: best length is the current one
+        div = gen_len ** p
+    return pool_full & (done_scores[:, -1] >= best_raw / div)
+
+
+def _beam_pool_seed(lp0, k, eos, p, early_stopping, max_new_tokens):
+    """Step-0 HF BeamSearchScorer.process + is_done. HF normalizes a done
+    hypothesis by its GENERATED length (= 1 here: process passes
+    generated_len = cur_len + 1 - decoder_prompt_len), only finalizes EOS
+    candidates ranked within the top num_beams
+    (is_beam_token_worse_than_top_num_beams), and can mark a row done at
+    the first step. Returns (done_scores, done_tokens, frozen,
+    s2k-with-eos-masked, tok2k)."""
+    b = lp0.shape[0]
+    done_scores = jnp.full((b, k), NEG_INF)
+    done_tokens = jnp.zeros((b, k, max_new_tokens), jnp.int32)
+    frozen = jnp.zeros((b,), bool)
+    s2k, tok2k = jax.lax.top_k(lp0, 2 * k)
+    if eos is not None:
+        is_eos = tok2k == eos
+        rank_ok = jnp.arange(2 * k)[None, :] < k
+        cand = jnp.where(is_eos & rank_ok, s2k, NEG_INF)   # / (1 ** p)
+        pool_s = jnp.concatenate([done_scores, cand], axis=1)
+        pool_t = jnp.concatenate(
+            [done_tokens,
+             jnp.zeros((b, 2 * k, max_new_tokens), jnp.int32)
+             .at[:, :, 0].set(eos)],
+            axis=1)
+        done_scores, di = jax.lax.top_k(pool_s, k)
+        done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
+        frozen = _beam_row_done(done_scores, jnp.max(s2k, axis=1), 1.0,
+                                p, early_stopping, max_new_tokens)
+        s2k = jnp.where(is_eos, NEG_INF, s2k)
+    return done_scores, done_tokens, frozen, s2k, tok2k
+
+
+def _beam_pool_update(step, out, s2k, tok2k, beam2k, done_scores, done_tokens,
+                      frozen, k, eos, p, early_stopping, max_new_tokens):
+    """Per-step HF BeamSearchScorer.process + is_done, vectorized over rows.
+    generated_len = step + 1 (HF: cur_len + 1 - decoder_prompt_len); EOS
+    candidates finalize only when ranked within the top num_beams; is_done
+    compares against the best RAW candidate (including EOS ones). Returns
+    (s2k with EOS masked for live selection, pool scores/tokens, frozen).
+    The single source of truth for both _generate_beam and
+    _generate_beam_paged."""
+    b = s2k.shape[0]
+    k2 = 2 * k
+    is_eos = tok2k == eos
+    rank_ok = jnp.arange(k2)[None, :] < k
+    gen_len = step + 1.0
+    cand_norm = jnp.where(is_eos & rank_ok & ~frozen[:, None],
+                          s2k / (gen_len ** p), NEG_INF)
+    cand_tok = jnp.take_along_axis(out, beam2k[:, :, None], axis=1)
+    cand_tok = jax.lax.dynamic_update_slice(
+        cand_tok, jnp.full((b, k2, 1), eos, jnp.int32), (0, 0, step))
+    pool_s = jnp.concatenate([done_scores, cand_norm], axis=1)
+    pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
+    done_scores, di = jax.lax.top_k(pool_s, k)
+    done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
+    frozen = frozen | _beam_row_done(
+        done_scores, jnp.max(s2k, axis=1), gen_len, p, early_stopping,
+        max_new_tokens)
+    s2k = jnp.where(is_eos, NEG_INF, s2k)
+    return s2k, done_scores, done_tokens, frozen
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -287,24 +366,11 @@ def _generate_beam(
 
     lp0 = mask_eos(logprobs_b, 0)                                   # [B, V]
 
-    # done-hypothesis pool (HF BeamHypotheses, vectorized)
-    done_scores0 = jnp.full((b, k), NEG_INF)            # normalized scores
-    done_tokens0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
-    frozen0 = jnp.zeros((b,), bool)
-    # Step 0, HF-style: take 2k candidates; EOS ones enter the pool, the
-    # best k non-EOS become the live beams.
-    s2k0, tok2k0 = jax.lax.top_k(lp0, 2 * k)                        # [B, 2k]
-    if eos is not None:
-        is_eos0 = tok2k0 == eos
-        cand0 = jnp.where(is_eos0, s2k0 / (float(t) ** p), NEG_INF)
-        pool_s0 = jnp.concatenate([done_scores0, cand0], axis=1)
-        pool_t0 = jnp.concatenate(
-            [done_tokens0,
-             jnp.zeros((b, 2 * k, max_new_tokens), jnp.int32).at[:, :, 0].set(eos)],
-            axis=1)
-        done_scores0, di0 = jax.lax.top_k(pool_s0, k)
-        done_tokens0 = jnp.take_along_axis(pool_t0, di0[:, :, None], axis=1)
-        s2k0 = jnp.where(is_eos0, NEG_INF, s2k0)
+    # done-hypothesis pool (HF BeamHypotheses, vectorized): step 0 takes
+    # 2k candidates; top-num_beams-ranked EOS ones enter the pool, the best
+    # k non-EOS become the live beams (shared helper = HF semantics)
+    done_scores0, done_tokens0, frozen0, s2k0, tok2k0 = _beam_pool_seed(
+        lp0, k, eos, p, early_stopping, max_new_tokens)
     beam_scores0, sel0 = jax.lax.top_k(s2k0, k)                     # [B, k]
     top_tok = jnp.take_along_axis(tok2k0, sel0, axis=1)
 
@@ -334,37 +400,9 @@ def _generate_beam(
         tok2k = (flat_idx % vocab).astype(jnp.int32)
 
         if eos is not None:
-            is_eos = tok2k == eos                                   # [B, 2k]
-            cur_len = float(t) + step                               # HF: len(input_ids)
-            cand_norm = jnp.where(
-                is_eos & ~frozen[:, None], s2k / (cur_len ** p), NEG_INF
-            )
-            # hypothesis tokens: parent beam's output + eos at this step
-            cand_tok = jnp.take_along_axis(
-                out, beam2k[:, :, None], axis=1)                    # [B, 2k, M]
-            cand_tok = jax.lax.dynamic_update_slice(
-                cand_tok,
-                jnp.full((b, k2, 1), eos, jnp.int32),
-                (0, 0, step),
-            )
-            pool_s = jnp.concatenate([done_scores, cand_norm], axis=1)
-            pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
-            done_scores, di = jax.lax.top_k(pool_s, k)
-            done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
-            # HF is_done uses the best raw candidate INCLUDING eos ones,
-            # normalized by cur_len ** p for every p (BeamHypotheses.is_done)
-            best_raw = jnp.max(s2k, axis=1)
-            # live beams: best k NON-eos of the 2k (HF takes them in order)
-            s2k = jnp.where(is_eos, NEG_INF, s2k)
-            # row freeze (BeamHypotheses.is_done): pool full AND either
-            # early_stopping or no candidate can still beat the worst kept
-            pool_full = done_scores[:, -1] > NEG_INF / 2
-            if early_stopping:
-                newly_done = pool_full
-            else:
-                best_possible = best_raw / ((float(t) + step + 1.0) ** p)
-                newly_done = pool_full & (done_scores[:, -1] >= best_possible)
-            frozen = frozen | newly_done
+            s2k, done_scores, done_tokens, frozen = _beam_pool_update(
+                step, out, s2k, tok2k, beam2k, done_scores, done_tokens,
+                frozen, k, eos, p, early_stopping, max_new_tokens)
 
         new_scores, sel = jax.lax.top_k(s2k, k)                     # [B, k]
         beam_idx = jnp.take_along_axis(beam2k, sel, axis=1)
@@ -402,7 +440,8 @@ def _generate_beam(
     # HF finalize: every row that did NOT stop early (is_done/frozen) adds
     # its live beams to the pool, normalized at the final length (add()
     # replaces worse kept hypotheses even when the pool is full).
-    final_norm = scores / (float(total) ** p)
+    # HF finalize passes generated_len = final length - prompt = max_new
+    final_norm = scores / (float(max_new_tokens) ** p)
     live_norm = jnp.where(frozen[:, None], NEG_INF, final_norm)
     pool_s = jnp.concatenate([done_scores, live_norm], axis=1)
     pool_t = jnp.concatenate([done_tokens, out], axis=1)
@@ -496,7 +535,9 @@ def _generate_beam_paged(
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
 
-    pps = _cdiv(total, ps)                  # prompt pages per row
+    pps = _cdiv(t, ps)                      # prompt pages per row (generated
+                                            # tokens live in per-beam OWN
+                                            # pages from ordinal c0 on)
     gmax = _cdiv(max_new_tokens, ps) + 1    # own (write) pages per beam
     g0 = 1 + b * pps
     n_pages = g0 + bk * gmax
@@ -561,7 +602,11 @@ def _generate_beam_paged(
     ).astype(jnp.int32)
     # copy-on-share of the boundary page: generation continues inside the
     # prompt's last (partial) page, which each beam must own before writing
-    bsrc = jnp.clip(1 + rows_bk * pps + c0, 0, n_pages - 1)
+    # page-aligned prompts (plen % ps == 0) have an EMPTY boundary page:
+    # c0 == pps would index the next row's pages, so clamp — the copied
+    # content is fully masked/overwritten in that case
+    bsrc = jnp.clip(1 + rows_bk * pps + jnp.minimum(c0, pps - 1),
+                    0, n_pages - 1)
     bdst = g0 + jnp.arange(bk) * gmax
 
     def _copy_pages(pool, srcp, dstp):
@@ -587,21 +632,8 @@ def _generate_beam_paged(
         return lp
 
     lp0 = mask_eos(logprobs_b, 0)
-    done_scores0 = jnp.full((b, k), NEG_INF)
-    done_tokens0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
-    frozen0 = jnp.zeros((b,), bool)
-    s2k0, tok2k0 = jax.lax.top_k(lp0, 2 * k)
-    if eos is not None:
-        is_eos0 = tok2k0 == eos
-        cand0 = jnp.where(is_eos0, s2k0 / (float(t) ** p), NEG_INF)
-        pool_s0 = jnp.concatenate([done_scores0, cand0], axis=1)
-        pool_t0 = jnp.concatenate(
-            [done_tokens0,
-             jnp.zeros((b, 2 * k, max_new_tokens), jnp.int32).at[:, :, 0].set(eos)],
-            axis=1)
-        done_scores0, di0 = jax.lax.top_k(pool_s0, k)
-        done_tokens0 = jnp.take_along_axis(pool_t0, di0[:, :, None], axis=1)
-        s2k0 = jnp.where(is_eos0, NEG_INF, s2k0)
+    done_scores0, done_tokens0, frozen0, s2k0, tok2k0 = _beam_pool_seed(
+        lp0, k, eos, p, early_stopping, max_new_tokens)
     beam_scores0, sel0 = jax.lax.top_k(s2k0, k)
     top_tok = jnp.take_along_axis(tok2k0, sel0, axis=1)
     out0 = jnp.zeros((b, k, max_new_tokens), jnp.int32)
@@ -682,30 +714,9 @@ def _generate_beam_paged(
         tok2k = (flat_idx % vocab).astype(jnp.int32)
 
         if eos is not None:
-            is_eos = tok2k == eos
-            cur_len = float(t) + step
-            cand_norm = jnp.where(
-                is_eos & ~frozen[:, None], s2k / (cur_len ** p), NEG_INF
-            )
-            cand_tok = jnp.take_along_axis(out, beam2k[:, :, None], axis=1)
-            cand_tok = jax.lax.dynamic_update_slice(
-                cand_tok,
-                jnp.full((b, k2, 1), eos, jnp.int32),
-                (0, 0, step),
-            )
-            pool_s = jnp.concatenate([done_scores, cand_norm], axis=1)
-            pool_t = jnp.concatenate([done_tokens, cand_tok], axis=1)
-            done_scores, di = jax.lax.top_k(pool_s, k)
-            done_tokens = jnp.take_along_axis(pool_t, di[:, :, None], axis=1)
-            best_raw = jnp.max(s2k, axis=1)
-            s2k = jnp.where(is_eos, NEG_INF, s2k)
-            pool_full = done_scores[:, -1] > NEG_INF / 2
-            if early_stopping:
-                newly_done = pool_full
-            else:
-                best_possible = best_raw / ((float(t) + step + 1.0) ** p)
-                newly_done = pool_full & (done_scores[:, -1] >= best_possible)
-            frozen = frozen | newly_done
+            s2k, done_scores, done_tokens, frozen = _beam_pool_update(
+                step, out, s2k, tok2k, beam2k, done_scores, done_tokens,
+                frozen, k, eos, p, early_stopping, max_new_tokens)
 
         new_scores, sel = jax.lax.top_k(s2k, k)
         beam_idx = jnp.take_along_axis(beam2k, sel, axis=1)
@@ -751,7 +762,8 @@ def _generate_beam_paged(
     scores, out = state[6], state[7]
     done_scores, done_tokens, frozen = state[8], state[9], state[10]
 
-    final_norm = scores / (float(total) ** p)
+    # HF finalize passes generated_len = final length - prompt = max_new
+    final_norm = scores / (float(max_new_tokens) ** p)
     live_norm = jnp.where(frozen[:, None], NEG_INF, final_norm)
     pool_s = jnp.concatenate([done_scores, live_norm], axis=1)
     pool_t = jnp.concatenate([done_tokens, out], axis=1)
@@ -826,6 +838,17 @@ def generate(
     if num_beams > 1:
         if num_return_sequences > num_beams:
             raise ValueError("num_return_sequences must be <= num_beams")
+        if temperature and temperature > 0.0:
+            raise NotImplementedError(
+                "beam-sample (num_beams > 1 with temperature > 0) is not "
+                "supported; use beam search (temperature=0) or sampling "
+                "(num_beams=1)"
+            )
+        if early_stopping not in (True, False, "never"):
+            raise ValueError(
+                "early_stopping must be True, False, or 'never' "
+                f"(got {early_stopping!r})"
+            )
     elif num_return_sequences > 1 and not temperature:
         # HF raises the same way: greedy without beams is deterministic, so
         # R > 1 would just duplicate rows.
@@ -870,7 +893,7 @@ def generate(
             model.dtype,
             kv_quant=kv_quant,
             length_penalty=float(length_penalty),
-            early_stopping=bool(early_stopping),
+            early_stopping=early_stopping,   # True | False | "never"
             num_return_sequences=num_return_sequences,
             **extra,
         )
@@ -891,12 +914,18 @@ def generate(
             pad_token_id=pad_token_id,
             phased=phased,
         )
-    new = np.asarray(new)
+    new = np.array(new)
     if num_beams > 1:
         # _generate_beam returns [B, R, M]; flatten HF-style to [B*R, M]
         b, r, m = new.shape
         ids = np.repeat(ids, r, axis=0)
         new = new.reshape(b * r, m)
+        if eos_token_id is not None:
+            # HF finalize pads positions AFTER a hypothesis' EOS with
+            # pad_token_id (the done pool stores zeros there)
+            hit = new == eos_token_id
+            after = np.cumsum(hit, axis=1) - hit.astype(np.int64) > 0
+            new[after] = pad_token_id
     return np.concatenate([ids, new], axis=1)
 
 

@@ -143,3 +143,16 @@ def test_paged_beam_phased_window_token_exact(model, rng):
     ph_k = generation._generate_beam_paged(*args, phased=True,
                                            use_kernel="interpret")
     np.testing.assert_array_equal(np.asarray(ph_k), np.asarray(mono))
+
+
+def test_beam_paged_page_aligned_prompt(model, rng):
+    """Prompt length an exact page multiple: the boundary page is empty and
+    the (clamped) copy-on-share must not corrupt anything; paged == plain."""
+    prompt = rng.integers(0, model.cfg.vocab_size, size=(1, 16)).astype(np.int32)
+    generation.BEAM_PAGED = "never"
+    want = generation.generate(model, prompt, max_new_tokens=7,
+                               num_beams=3, eos_token_id=1)
+    generation.BEAM_PAGED = "always"
+    got = generation.generate(model, prompt, max_new_tokens=7,
+                              num_beams=3, eos_token_id=1)
+    np.testing.assert_array_equal(got, want)

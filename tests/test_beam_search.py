@@ -157,3 +157,82 @@ def test_greedy_num_return_sequences_rejected(hf_pair):
     with pytest.raises(ValueError, match="num_return_sequences"):
         ours.generate(np.ones((1, 4), np.int32), max_new_tokens=3,
                       num_return_sequences=2)
+
+
+@pytest.fixture(scope="module")
+def hf_pair_eosy(tmp_path_factory):
+    """Tiny checkpoint with the EOS logit BIASED UP so EOS hypotheses enter
+    the 2k candidates and the done pool genuinely competes with live beams
+    — the regime where generated-length normalization, the
+    top-num_beams EOS rank gate, and step-0 freezing actually matter
+    (random checkpoints almost never exercise them)."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from autogptq_tpu import AutoGPTQForCausalLM
+    from tests.test_models import save_tiny_llama
+
+    d = tmp_path_factory.mktemp("beameos")
+    hf = save_tiny_llama(d).float().eval()
+    with torch.no_grad():
+        for p in hf.parameters():
+            p.data = p.data.half().float()
+        hf.lm_head.weight.data[1] += 0.35        # bias token 1 (eos) up
+        hf.lm_head.weight.data = hf.lm_head.weight.data.half().float()
+    hf.save_pretrained(str(d), safe_serialization=True)
+    ours = AutoGPTQForCausalLM.from_pretrained(str(d), dtype=jnp.float32)
+    return hf, ours
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        dict(num_beams=3, length_penalty=2.0, early_stopping=False),
+        dict(num_beams=3, length_penalty=1.0, early_stopping=True),
+        dict(num_beams=2, length_penalty=-0.5, early_stopping=False),
+        dict(num_beams=3, length_penalty=2.0, early_stopping="never"),
+        dict(num_beams=4, length_penalty=0.0, early_stopping="never",
+             num_return_sequences=2),
+        dict(num_beams=2, length_penalty=1.5, early_stopping=True),
+    ],
+)
+@pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.parametrize("path", ["paged", "contiguous"])
+def test_beam_eos_pool_matches_hf_generate(hf_pair_eosy, kwargs, seed, path,
+                                           monkeypatch):
+    """Token-exact vs HF generate INCLUDING the post-EOS padding, on a
+    checkpoint where EOS hypotheses actually reach the candidate set —
+    through BOTH beam implementations."""
+    torch = pytest.importorskip("torch")
+    monkeypatch.setattr(generation, "BEAM_PAGED",
+                        "always" if path == "paged" else "never")
+    hf, ours = hf_pair_eosy
+    rng = np.random.default_rng(seed)
+    n = 8
+    prompt = rng.integers(2, 250, size=(1, 6)).astype(np.int64)
+    eos = 1
+
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.from_numpy(prompt),
+            max_new_tokens=n, min_new_tokens=1, eos_token_id=eos,
+            pad_token_id=0, do_sample=False, **kwargs,
+        ).numpy()
+    got = ours.generate(
+        prompt.astype(np.int32), max_new_tokens=n, min_new_tokens=1,
+        eos_token_id=eos, pad_token_id=0, **kwargs,
+    )
+    assert got.shape[0] == ref.shape[0]
+    for i in range(ref.shape[0]):
+        r = ref[i, prompt.shape[1]:]
+        g = got[i, prompt.shape[1]:][: len(r)]
+        np.testing.assert_array_equal(g[: len(r)], r, err_msg=f"row {i}")
+
+
+def test_beam_rejects_bad_early_stopping_and_beam_sample(hf_pair_eosy, rng):
+    _, ours = hf_pair_eosy
+    prompt = rng.integers(2, 250, size=(1, 5)).astype(np.int32)
+    with pytest.raises(ValueError, match="early_stopping"):
+        ours.generate(prompt, max_new_tokens=4, num_beams=2,
+                      early_stopping="sometimes")
+    with pytest.raises(NotImplementedError, match="beam-sample"):
+        ours.generate(prompt, max_new_tokens=4, num_beams=2, temperature=0.7)
