@@ -783,7 +783,7 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
     exactly. See parallel/tp.py:TPModel."""
     key = (num_beams, max_new_tokens, min_new_tokens, eos_token_id,
            float(temperature or 0.0), kv_quant, float(length_penalty),
-           bool(early_stopping), num_return_sequences, pad_token_id,
+           early_stopping, num_return_sequences, pad_token_id,
            bool(phased))
     run = model._gen_cache.get(key)
     if run is None:
@@ -794,7 +794,7 @@ def _tp_generate(model, ids, mask, max_new_tokens, min_new_tokens,
                     p, ids_, mask_, lcfg, max_new_tokens, min_new_tokens,
                     eos_token_id, num_beams, model.backend, model.dtype,
                     kv_quant=kv_quant, length_penalty=float(length_penalty),
-                    early_stopping=bool(early_stopping),
+                    early_stopping=early_stopping,   # True | False | "never"
                     num_return_sequences=num_return_sequences,
                 )
             run = jax.jit(model.shard_generate(core, n_batch_args=2))
