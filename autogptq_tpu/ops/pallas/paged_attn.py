@@ -63,9 +63,15 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
         d = q_ref.shape[-1]
         cols = hkv * ps
         q = q_ref[0].astype(jnp.float32)                      # [h_pad, D]
-        kf = k_ref[0].astype(jnp.float32).reshape(cols, d)
+        kf3 = k_ref[0].astype(jnp.float32)                    # [hkv, ps, D]
         if quantized:  # int8 pages, per-(page, head, position) scales
-            kf = kf * (ks_ref[0][:, None] * (1.0 / 127.5))
+            # scales arrive [hkv, ps] (3-D pool blocks: a (1, N)-block over a
+            # 2-D (P, N) pool is NOT liftable on real TPU hardware — the
+            # second-to-last block dim must divide 8 or equal the array's);
+            # apply them BEFORE the [hkv, ps, D] -> [cols, D] collapse so no
+            # sublane->lane reshape of the scale vector is ever needed
+            kf3 = kf3 * (ks_ref[0][..., None] * (1.0 / 127.5))
+        kf = kf3.reshape(cols, d)
         s = jax.lax.dot_general(
             q, kf, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -82,9 +88,10 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)                       # [h_pad, 1]
-        vf = v_ref[0].astype(jnp.float32).reshape(cols, d)
+        vf3 = v_ref[0].astype(jnp.float32)
         if quantized:
-            vf = vf * (vs_ref[0][:, None] * (1.0 / 127.5))
+            vf3 = vf3 * (vs_ref[0][..., None] * (1.0 / 127.5))
+        vf = vf3.reshape(cols, d)
         pv = jax.lax.dot_general(
             p, vf, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -109,7 +116,7 @@ def paged_attention_mh(
     v_pages: jnp.ndarray,  # [P, Hkv, ps, D]
     lengths: jnp.ndarray,  # [B] int32 valid tokens per row
     tables: jnp.ndarray,   # [B, W] int32 page ids (W = the live window)
-    k_scales: jnp.ndarray | None = None,   # [P, Hkv*ps] f32 (int8 pools)
+    k_scales: jnp.ndarray | None = None,   # [P, Hkv, ps] f32 (int8 pools)
     v_scales: jnp.ndarray | None = None,
     *,
     sm_scale: float,
@@ -145,7 +152,7 @@ def paged_attention_mh(
                 q, k_pages, v_pages]
     if quantized:
         scale_spec = pl.BlockSpec(
-            (1, hkv * ps), lambda b_, w_, L, T: (T[b_, w_], 0)
+            (1, hkv, ps), lambda b_, w_, L, T: (T[b_, w_], 0, 0)
         )
         in_specs += [scale_spec, scale_spec]
         operands += [k_scales, v_scales]

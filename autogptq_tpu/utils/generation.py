@@ -175,7 +175,10 @@ def _generate_greedy(
             params, cur_tok[:, None], cfg, cache=cache,
             positions=cur_pos[:, None], backend=backend, attn_mask=validity, dtype=dtype,
         )
-        key, sub = jax.random.split(key)
+        if temperature and temperature > 0.0:
+            key, sub = jax.random.split(key)
+        else:       # greedy: skip the per-step threefry hash entirely
+            sub = key
         raw = sample(logits[:, -1, :], step, sub).astype(jnp.int32)
         nxt = raw
         if eos_token_id is not None:
@@ -641,8 +644,10 @@ def _generate_beam_paged(
     cur_tok0 = top_tok.reshape(bk)
 
     def _attend(q, kp, vp, ksp, vsp, lengths, tables):
-        ks = None if ksp is None else ksp.reshape(n_pages, hkv * ps)
-        vs = None if vsp is None else vsp.reshape(n_pages, hkv * ps)
+        # [P, hkv, ps]: the kernel's scale blocks must stay 3-D — a (1, N)
+        # block over a 2-D (P, N) pool is unliftable on real TPU hardware
+        ks = None if ksp is None else ksp.reshape(n_pages, hkv, ps)
+        vs = None if vsp is None else vsp.reshape(n_pages, hkv, ps)
         if use_kernel:  # True on TPU; "interpret" runs the REAL kernel on CPU
             return paged_attention_mh(
                 q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale),

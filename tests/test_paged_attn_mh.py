@@ -91,8 +91,8 @@ def test_mh_kernel_int8_scales(rng):
                      jnp.int8)
     vq = jnp.asarray(rng.integers(-127, 128, size=(n_pages, hkv, ps, d)),
                      jnp.int8)
-    ks = jnp.asarray(rng.random((n_pages, hkv * ps)) * 0.4 + 0.1, jnp.float32)
-    vs = jnp.asarray(rng.random((n_pages, hkv * ps)) * 0.4 + 0.1, jnp.float32)
+    ks = jnp.asarray(rng.random((n_pages, hkv, ps)) * 0.4 + 0.1, jnp.float32)
+    vs = jnp.asarray(rng.random((n_pages, hkv, ps)) * 0.4 + 0.1, jnp.float32)
     lengths = jnp.asarray([30, 64], jnp.int32)
     tables = jnp.asarray(rng.integers(0, n_pages, size=(b, w)), jnp.int32)
     ref = paged_attn.paged_attention_mh_ref(
