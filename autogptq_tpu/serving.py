@@ -211,8 +211,13 @@ class ContinuousBatchEngine:
 
             self.cache_k, self.cache_v = put(self.cache_k), put(self.cache_v)
             self.cache_ks, self.cache_vs = put(self.cache_ks), put(self.cache_vs)
-        self.lengths = jnp.zeros((max_slots,), jnp.int32)
-        self.cur_tokens = jnp.zeros((max_slots,), jnp.int32)
+        # host-side cursor mirrors: positions and current tokens are always
+        # host-known (prompt + generated so far), so keeping them in numpy
+        # avoids two device->host syncs per decode step — through the axon
+        # tunnel each sync costs ~30 ms, and even on a local chip it
+        # serializes dispatch
+        self.lengths = np.zeros((max_slots,), np.int32)
+        self.cur_tokens = np.zeros((max_slots,), np.int32)
         # per-slot sampling state (numpy host-side; shipped to the decode fn)
         self._temps = np.zeros((max_slots,), np.float32)
         self._top_ps = np.ones((max_slots,), np.float32)
@@ -301,7 +306,7 @@ class ContinuousBatchEngine:
                 self._temps[slot] = 0.0
                 self._eos[slot] = -1
                 self._min_new[slot] = 0
-                self.lengths = self.lengths.at[slot].set(0)
+                self.lengths[slot] = 0
                 return True
         return False
 
@@ -444,8 +449,8 @@ class ContinuousBatchEngine:
         return int(tok[0])
 
     def _bind_slot(self, slot: int, req: Request, first_tok: int, length: int) -> None:
-        self.lengths = self.lengths.at[slot].set(length)
-        self.cur_tokens = self.cur_tokens.at[slot].set(first_tok)
+        self.lengths[slot] = length
+        self.cur_tokens[slot] = first_tok
         self._temps[slot] = req.temperature
         self._top_ps[slot] = req.top_p
         self._top_ks[slot] = req.top_k
@@ -629,7 +634,7 @@ class ContinuousBatchEngine:
         # park the decode write cursor on the reserved scratch cell: decode
         # steps taken while this slot is mid-prefill write their garbage
         # there (masked from attention by every live sequence's causal mask)
-        self.lengths = self.lengths.at[slot].set(self.max_seq_len - 1)
+        self.lengths[slot] = self.max_seq_len - 1
 
     def _run_chunk(self, slot: int) -> None:
         st = self.slots[slot]
@@ -866,8 +871,8 @@ class ContinuousBatchEngine:
         self.stats.steps += 1
         self.stats.step_time_s += time.perf_counter() - t0
 
-        lengths_np = np.array(self.lengths)
-        cur_np = np.array(self.cur_tokens)
+        lengths_np = self.lengths        # host mirrors, mutated in place
+        cur_np = self.cur_tokens
         done_ids = []
         for slot, st in enumerate(self.slots):
             if not active[slot]:
@@ -890,8 +895,6 @@ class ContinuousBatchEngine:
             if not retired:
                 lengths_np[slot] += emitted
                 cur_np[slot] = int(t_next_np[slot, emitted - 1])
-        self.lengths = jnp.asarray(lengths_np)
-        self.cur_tokens = jnp.asarray(cur_np)
         self.stats.requests_completed += len(done_ids)
         return done_ids
 
@@ -959,23 +962,23 @@ class ContinuousBatchEngine:
             ]
         t0 = time.perf_counter()
         (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
-         new_lengths, nxt) = step(*args)
+         _, nxt) = step(*args)
         nxt_np = np.asarray(nxt)
         self.stats.steps += 1
         self.stats.step_time_s += time.perf_counter() - t0
         self.stats.tokens_generated += int(sum(active))
 
-        # keep parked cursors parked: mid-prefill slots must not advance
-        lengths_np = np.array(new_lengths)
+        # host cursor mirror: the device step advanced every row's cache
+        # cursor by exactly 1 (arch.forward: length + t) — mirror that here
+        # instead of syncing the device lengths back, then re-park
+        # mid-prefill slots (their garbage write went to the scratch cell)
+        self.lengths += 1
         for i, st in enumerate(self.slots):
             if st.prefilling:
-                lengths_np[i] = self.max_seq_len - 1
-        self.lengths = jnp.asarray(lengths_np)
-        cur_np = np.array(self.cur_tokens)
+                self.lengths[i] = self.max_seq_len - 1
         for i, a in enumerate(active):
             if a:
-                cur_np[i] = nxt_np[i]
-        self.cur_tokens = jnp.asarray(cur_np)
+                self.cur_tokens[i] = nxt_np[i]
 
         done_ids = []
         for slot, st in enumerate(self.slots):
@@ -984,7 +987,7 @@ class ContinuousBatchEngine:
             rid = st.req.req_id
             if self._append_token(slot, int(nxt_np[slot])):
                 done_ids.append(rid)
-                self.lengths = self.lengths.at[slot].set(0)
+                self.lengths[slot] = 0
         self.stats.requests_completed += len(done_ids)
         return done_ids
 
