@@ -168,6 +168,7 @@ class ContinuousBatchEngine:
         on_token=None,
         draft_model=None,
         spec_gamma: int = 4,
+        decode_block: int = 1,
     ):
         # on_token(req_id, token_id): streaming callback, invoked for every
         # generated token as soon as its engine step retires (host-side)
@@ -229,8 +230,16 @@ class ContinuousBatchEngine:
         self.queue: deque[Request] = deque()
         self.finished: dict[int, np.ndarray] = {}
         self.stats = EngineStats()
+        # decode_block > 1: run that many decode steps per jitted call when
+        # every active slot is in pure decode (multi-step scheduling) — one
+        # host sync per block. Token streams are unchanged; a request may
+        # retire up to decode_block-1 device steps late (work discarded).
+        if not 1 <= decode_block < max_seq_len:
+            raise ValueError("decode_block must be in [1, max_seq_len)")
+        self.decode_block = decode_block
         self._prefill_fns: dict[int, object] = {}
         self._decode_fns: dict[bool, object] = {}
+        self._block_fns: dict = {}
         self._chunk_fns = {}
         self._pf_rr = 0  # round-robin over mid-prefill slots
         # -- speculative decoding (draft model proposes spec_gamma tokens
@@ -360,6 +369,30 @@ class ContinuousBatchEngine:
                              jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                              jnp.zeros((self.max_slots,), jnp.int32)]
                 step(*args)
+        if self.decode_block > 1:
+            # block windows are bucketed over need + decode_block, so the
+            # reachable set equals the step set (bucket is monotone) minus
+            # windows the headroom guard can never request
+            n = self.decode_block
+            bwins = sorted({
+                _bucket(need + n)
+                for need in range(1, self.max_seq_len - n + 1)
+                if _bucket(need + n) < self.max_seq_len
+            }) + [None]
+            for s in variants:
+                for w in bwins:
+                    fn = self._decode_block_fn(sampling=s, win=w, nsteps=n)
+                    args = [self.model.params, self.cache_k, self.cache_v,
+                            self.cache_ks, self.cache_vs, self.lengths,
+                            self.cur_tokens, jnp.asarray(self._eos),
+                            jnp.zeros((self.max_slots,), jnp.int32)]
+                    if s:
+                        args += [jnp.asarray(self._temps),
+                                 jnp.asarray(self._top_ps),
+                                 jnp.asarray(self._top_ks),
+                                 jnp.asarray(self._seeds),
+                                 jnp.zeros((self.max_slots,), jnp.int32)]
+                    fn(*args)
         if self.draft is not None:
             # speculative variants: draft prefill buckets + the spec step
             # for every reachable window bucket (the first spec request
@@ -747,6 +780,136 @@ class ContinuousBatchEngine:
             self._decode_fns[(sampling, win)] = fn
         return fn
 
+    def _decode_block_fn(self, sampling: bool, win: int | None, nsteps: int):
+        """``nsteps`` decode steps in ONE jitted scan (vLLM-style multi-step
+        scheduling): the engine syncs sampled tokens to the host once per
+        BLOCK instead of once per step, amortizing the per-dispatch latency
+        (~30 ms through the axon tunnel; dispatch+sync overhead exists on
+        local chips too). Streams are token-identical to the one-step path:
+        sampling keys fold (seed, token_index) so they are step-count
+        independent, and min_new EOS suppression decrements in-graph exactly
+        as the host would. A slot that retires mid-block keeps decoding
+        garbage until the block ends; the host discards those tokens at
+        emission (same replay contract as the speculative step)."""
+        key = (sampling, win, nsteps)
+        fn = self._block_fns.get(key)
+        if fn is None:
+            model = self.model
+            fcfg = self._fwd_cfg
+
+            def block(params, cache_k, cache_v, cache_ks, cache_vs, lengths,
+                      cur_tokens, eos_ids, min_left, *samp):
+                if sampling:
+                    temps, top_ps, top_ks, seeds, steps0 = samp
+                full = (cache_k, cache_v, cache_ks, cache_vs)
+                if win is not None:
+                    sl = lambda a: None if a is None else jax.lax.slice_in_dim(a, 0, win, axis=2)
+                    cache_k, cache_v = sl(cache_k), sl(cache_v)
+                    cache_ks, cache_vs = sl(cache_ks), sl(cache_vs)
+
+                def body(carry, j):
+                    ck, cv, cks, cvs, ln, cur, ml = carry
+                    cache = KVCache(
+                        k=ck, v=cv, length=ln, k_scale=cks, v_scale=cvs)
+                    logits, cache = arch.forward(
+                        params, cur[:, None], fcfg, cache=cache,
+                        backend=model.backend, dtype=model.dtype,
+                        positions=ln[:, None],
+                    )
+                    lrow = logits[:, -1, :]
+                    if sampling:
+                        nxt = _sample_tokens(
+                            lrow, temps, top_ps, top_ks, seeds, steps0 + j,
+                            eos_ids, ml,
+                        )
+                    else:
+                        nxt = _greedy_tokens(lrow, eos_ids, ml)
+                    return (cache.k, cache.v, cache.k_scale, cache.v_scale,
+                            cache.length, nxt, jnp.maximum(ml - 1, 0)), nxt
+
+                carry = (cache_k, cache_v, cache_ks, cache_vs,
+                         lengths, cur_tokens, min_left)
+                carry, toks = jax.lax.scan(
+                    body, carry, jnp.arange(nsteps, dtype=jnp.int32))
+                ck, cv, cks, cvs = carry[:4]
+                if win is not None:
+                    zero = (0,) * 5
+                    upd = lambda f, p: None if p is None else jax.lax.dynamic_update_slice(f, p, zero)
+                    ck, cv = upd(full[0], ck), upd(full[1], cv)
+                    cks, cvs = upd(full[2], cks), upd(full[3], cvs)
+                return ck, cv, cks, cvs, toks          # toks [nsteps, B]
+
+            if self.is_tp:
+                from jax.sharding import PartitionSpec as P
+
+                m = self.model
+                h = self._hspec
+                sc = h if self.kv_quant else P()
+                n_extra = 7 if sampling else 2
+                fn = jax.jit(jax.shard_map(
+                    block, mesh=m.mesh,
+                    in_specs=(m.specs, h, h, sc, sc, P(), P()) + (P(),) * n_extra,
+                    out_specs=(h, h, sc, sc, P()),
+                    check_vma=False,
+                ))
+            else:
+                fn = jax.jit(block)
+            self._block_fns[key] = fn
+        return fn
+
+    def _block_step(self, active, sampling: bool, need: int) -> list[int]:
+        """Run one decode BLOCK (decode_block steps, one host sync)."""
+        n = self.decode_block
+        win = _bucket(need + n)
+        if win >= self.max_seq_len:
+            win = None
+        fn = self._decode_block_fn(sampling, win, n)
+        min_left = np.array([
+            max(0, self._min_new[i] - len(st.generated))
+            for i, st in enumerate(self.slots)
+        ], np.int32)
+        args = [
+            self.model.params, self.cache_k, self.cache_v,
+            self.cache_ks, self.cache_vs, self.lengths, self.cur_tokens,
+            jnp.asarray(self._eos), jnp.asarray(min_left),
+        ]
+        if sampling:
+            steps = np.array(
+                [len(st.generated) for st in self.slots], np.int32)
+            args += [
+                jnp.asarray(self._temps), jnp.asarray(self._top_ps),
+                jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
+                jnp.asarray(steps),
+            ]
+        t0 = time.perf_counter()
+        (self.cache_k, self.cache_v, self.cache_ks, self.cache_vs,
+         toks) = fn(*args)
+        toks_np = np.asarray(toks)               # ONE sync for n steps
+        self.stats.steps += n
+        self.stats.step_time_s += time.perf_counter() - t0
+
+        # device cursors advanced by n for every row; mirror, then fix up
+        self.lengths += n
+        done_ids = []
+        for slot, st in enumerate(self.slots):
+            if not active[slot]:
+                continue
+            rid = st.req.req_id
+            appended = 0
+            retired = False
+            for j in range(n):
+                appended += 1
+                if self._append_token(slot, int(toks_np[j, slot])):
+                    done_ids.append(rid)
+                    self.lengths[slot] = 0
+                    retired = True
+                    break
+            self.stats.tokens_generated += appended
+            if not retired:
+                self.cur_tokens[slot] = int(toks_np[n - 1, slot])
+        self.stats.requests_completed += len(done_ids)
+        return done_ids
+
     def _get_spec_fn(self, win: int | None = None):
         """One jitted speculative step for ALL slots: a spec_gamma-step
         draft scan (vector cursors) proposes tokens, ONE target forward
@@ -938,6 +1101,10 @@ class ContinuousBatchEngine:
             len(st.req.prompt) + len(st.generated)
             for st, a in zip(self.slots, active) if a
         )
+        # multi-step block: all-decode state and enough cache headroom
+        if (self.decode_block > 1 and not pf_slots
+                and need + self.decode_block <= self.max_seq_len):
+            return self._block_step(active, sampling, need)
         win = _bucket(need)
         if win >= self.max_seq_len:
             win = None
