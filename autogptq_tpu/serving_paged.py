@@ -88,6 +88,7 @@ class PagedContinuousBatchEngine:
         use_kernel: Optional[bool] = None,
         on_token=None,
         enable_prefix_cache: bool = False,
+        decode_block: int = 1,
     ):
         _check_cfg(model.cfg)
         if "q_proj" not in model.params["layers"][0].get("attn", {}):
@@ -142,9 +143,17 @@ class PagedContinuousBatchEngine:
         self.finished: dict[int, np.ndarray] = {}
         self.stats = EngineStats()
         self._streamed: dict[int, int] = {}   # req_id -> tokens emitted
+        # decode_block > 1: run that many decode steps per jitted call (one
+        # host sync per block; pages for the whole block are preallocated).
+        # Streams are unchanged; a request can retire up to decode_block-1
+        # device steps late, its surplus tokens discarded at emission.
+        if not 1 <= decode_block < page_size * pages_per_seq:
+            raise ValueError("decode_block must be in [1, max context)")
+        self.decode_block = decode_block
         self._prefill_fns: dict[int, object] = {}
         self._scatter_fn = None
         self._decode_fns: dict[bool, object] = {}
+        self._block_fns: dict[bool, object] = {}
         # -- automatic prefix caching (vLLM-style, opt-in) ----------------
         # Full prompt pages are content-addressed by a chain hash; a new
         # request reuses the K/V pages of the longest cached full-page
@@ -575,6 +584,81 @@ class PagedContinuousBatchEngine:
                 step, donate_argnums=(1, 2))
         return fn
 
+    def _decode_block_fn(self, sampling: bool):
+        """``decode_block`` decode steps in ONE jitted scan (multi-step
+        scheduling — the contiguous engine's _decode_block_fn counterpart):
+        one host sync per block. Pages covering the whole block are
+        preallocated by step(), so the in-scan page lookup
+        ``tables[rows, lengths // pg]`` stays valid as the carried lengths
+        advance; the table window is static for the block. Retired-slot
+        surplus tokens are discarded at emission (same replay contract)."""
+        fn = self._block_fns.get(sampling)
+        if fn is None:
+            model = self.model
+            cfg = self.cfg
+            pg = self.page_size
+            b = self.max_slots
+            h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+            scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
+            nsteps = self.decode_block
+
+            def block(params, k_pages, v_pages, tables, lengths, cur_tokens,
+                      eos_ids, min_left, *samp):
+                if sampling:
+                    temps, top_ps, top_ks, seeds, steps0 = samp
+                rows = jnp.arange(b)
+
+                def body(carry, j):
+                    k_pages, v_pages, lengths, cur, ml = carry
+                    x = arch.embed(params, cur[:, None], lengths[:, None],
+                                   cfg, model.dtype)
+                    page_of = tables[rows, lengths // pg]
+                    off = lengths % pg
+                    for idx, bp in enumerate(params["layers"]):
+                        hidden = arch.apply_norm(bp["input_norm"], x, cfg)
+                        ap = bp["attn"]
+                        q = arch.apply_linear(ap["q_proj"], hidden, model.backend).reshape(b, 1, h, d)
+                        kk = arch.apply_linear(ap["k_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
+                        vv = arch.apply_linear(ap["v_proj"], hidden, model.backend).reshape(b, 1, hkv, d)
+                        q, kk = arch.apply_rope(q, kk, lengths[:, None], cfg)
+                        if cfg.logn_attn_seq_len is not None:
+                            import math as _math
+
+                            L = float(cfg.logn_attn_seq_len)
+                            logn = jnp.maximum(
+                                jnp.log(lengths.astype(jnp.float32) + 1.0)
+                                / _math.log(L), 1.0)
+                            q = (q.astype(jnp.float32)
+                                 * logn[:, None, None, None]).astype(x.dtype)
+                        k_pages = k_pages.at[idx, page_of, :, off].set(
+                            kk[:, 0].astype(k_pages.dtype))
+                        v_pages = v_pages.at[idx, page_of, :, off].set(
+                            vv[:, 0].astype(v_pages.dtype))
+                        of = self._attend(
+                            q[:, 0], k_pages[idx], v_pages[idx],
+                            lengths + 1, tables, scale,
+                        ).reshape(b, 1, h * d).astype(x.dtype)
+                        x = x + arch.apply_linear(ap["o_proj"], of, model.backend)
+                        h2 = arch.apply_norm(bp["post_norm"], x, cfg)
+                        x = x + arch.mlp(bp["mlp"], h2, cfg, model.backend)
+                    logits = arch.unembed(params, x, cfg)[:, -1, :]
+                    if sampling:
+                        nxt = _sample_tokens(logits, temps, top_ps, top_ks,
+                                             seeds, steps0 + j, eos_ids, ml)
+                    else:
+                        nxt = _greedy_tokens(logits, eos_ids, ml)
+                    return (k_pages, v_pages, lengths + 1, nxt,
+                            jnp.maximum(ml - 1, 0)), nxt
+
+                carry = (k_pages, v_pages, lengths, cur_tokens, min_left)
+                carry, toks = jax.lax.scan(
+                    body, carry, jnp.arange(nsteps, dtype=jnp.int32))
+                return carry[0], carry[1], toks        # toks [nsteps, B]
+
+            self._block_fns[sampling] = fn = jax.jit(
+                block, donate_argnums=(1, 2))
+        return fn
+
     def warmup(self, sampling: bool = True) -> None:
         """Pre-compile every jit variant the engine can hit mid-serving
         (the contiguous engine's warmup() counterpart). The decode step
@@ -634,25 +718,83 @@ class PagedContinuousBatchEngine:
                              jnp.ones((self.max_slots,), jnp.float32),
                              zeros, zeros, zeros]
                 self.k_pages, self.v_pages, _, _ = step(*args)
+        if self.decode_block > 1:
+            # block variants retrace per table width like the one-step fn;
+            # the reachable bucket set is the same (page_window_bucket is
+            # monotone and the near-cap guard falls back to one-step)
+            for s in (False, True) if sampling else (False,):
+                bfn = self._decode_block_fn(s)
+                for wb in wins:
+                    args = [self.model.params, self.k_pages, self.v_pages,
+                            jnp.zeros((self.max_slots, wb), jnp.int32),
+                            zeros, zeros,
+                            jnp.full((self.max_slots,), -1, jnp.int32), zeros]
+                    if s:
+                        args += [jnp.zeros((self.max_slots,), jnp.float32),
+                                 jnp.ones((self.max_slots,), jnp.float32),
+                                 zeros, zeros, zeros]
+                    self.k_pages, self.v_pages, _ = bfn(*args)
+
+    def _append_paged(self, slot: int, tok: int) -> bool:
+        """Append ONE generated token to a live slot: advance the host
+        mirrors, stream it (the post-EOS token is excluded from the output
+        so it is not streamed either), retire on EOS/max_new. Returns True
+        when the slot retired. The single source of truth for retirement
+        semantics — used by the one-step and the block path."""
+        st = self.slots[slot]
+        self.lengths[slot] += 1
+        self.cur_tokens[slot] = tok
+        st.generated.append(tok)
+        req = st.req
+        hit_eos = (req.eos_token_id is not None
+                   and st.generated[-2] == req.eos_token_id)
+        if not hit_eos and len(st.generated) - 1 < req.max_new_tokens:
+            self._emit(req.req_id, len(st.generated) - 1, tok)
+        if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
+            out = st.generated[: req.max_new_tokens]
+            if req.eos_token_id is not None and req.eos_token_id in out:
+                out = out[: out.index(req.eos_token_id) + 1]
+            self.finished[req.req_id] = np.asarray(out, np.int32)
+            self._streamed.pop(req.req_id, None)
+            self._hash_memo.pop(req.req_id, None)
+            st.req = None
+            st.generated = []
+            self._temps[slot] = 0.0
+            self._eos[slot] = -1
+            self._min_new[slot] = 0
+            self._free_slot_pages(slot)
+            self.lengths[slot] = 0
+            return True
+        return False
 
     def step(self) -> list[int]:
         self._admit()
         active = [st.req is not None for st in self.slots]
         if not any(active):
             return []
+        nblk = self.decode_block
+        if nblk > 1:
+            # a block writes nblk positions per slot unconditionally (a
+            # mid-block retiree keeps writing garbage into ITS OWN pages);
+            # near the per-sequence context cap those positions could not be
+            # backed by owned pages — run the tail single-step instead
+            mx = max(int(self.lengths[i])
+                     for i, a in enumerate(active) if a)
+            if mx + nblk > self.pages_per_seq * self.page_size:
+                nblk = 1
 
-        # grow page tables for slots crossing a page boundary next write;
-        # on pool exhaustion PREEMPT the youngest sequence (vLLM recompute
-        # policy): free its pages and re-queue the request — decoding is
+        # grow page tables to cover the next nblk writes per slot; on pool
+        # exhaustion PREEMPT the youngest sequence (vLLM recompute policy):
+        # free its pages and re-queue the request — decoding is
         # deterministic per (seed, token index), so the restarted request
         # produces the same final output
         for slot, st in enumerate(self.slots):
             if st.req is None:
                 continue
             ln = int(self.lengths[slot])  # host-side, no device sync
-            needed = self._pages_needed(ln + 1)
+            needed = self._pages_needed(ln + nblk)
             have = int(np.count_nonzero(self.tables[slot]))
-            if needed > have:
+            while needed > have:
                 while not self._free:
                     if self._cached:
                         self._evict_one()
@@ -678,21 +820,24 @@ class PagedContinuousBatchEngine:
                     self._free_slot_pages(v)
                     self.lengths[v] = 0
                 self.tables[slot, have] = self._alloc(1)[0]
+                have += 1
         active = [st.req is not None for st in self.slots]
         if not any(active):
             return []
 
         sampling = any(self._temps[i] > 0 for i, a in enumerate(active) if a)
-        fn = self._decode_step_fn(sampling)
-        # Static page window covering every live position (lengths are
-        # host-known): the attention kernel walks the table width it is
-        # given, so slicing the tables keeps its DMA length-proportional
-        # (the page-space analog of serving.py's window-bucketed decode).
-        # Bucketed to powers of two so recompiles stay rare; the in-window
-        # write ordinal lengths // pg < wb is guaranteed by construction.
+        fn = (self._decode_block_fn(sampling) if nblk > 1
+              else self._decode_step_fn(sampling))
+        # Static page window covering every live position through the block
+        # (lengths are host-known): the attention kernel walks the table
+        # width it is given, so slicing the tables keeps its DMA
+        # length-proportional (the page-space analog of serving.py's
+        # window-bucketed decode). Bucketed to powers of two so recompiles
+        # stay rare; the in-window write ordinal lengths // pg < wb is
+        # guaranteed by the preallocation above.
         need = max(
-            int(self.lengths[i]) + 1 for i, a in enumerate(active) if a
-        )
+            int(self.lengths[i]) for i, a in enumerate(active) if a
+        ) + nblk
         wb = page_window_bucket(need, self.page_size, self.pages_per_seq)
         min_left = np.array([
             max(0, self._min_new[i] - len(st.generated))
@@ -708,41 +853,26 @@ class PagedContinuousBatchEngine:
                      jnp.asarray(self._top_ks), jnp.asarray(self._seeds),
                      jnp.asarray(steps)]
         t0 = time.perf_counter()
-        self.k_pages, self.v_pages, _, nxt = fn(*args)
-        nxt_np = np.asarray(nxt)        # the ONE device sync per step
-        self.stats.steps += 1
+        if nblk > 1:
+            self.k_pages, self.v_pages, toks = fn(*args)
+            toks_np = np.asarray(toks)  # the ONE device sync per BLOCK
+        else:
+            self.k_pages, self.v_pages, _, nxt = fn(*args)
+            toks_np = np.asarray(nxt)[None]   # [1, B]
+        self.stats.steps += nblk
         self.stats.step_time_s += time.perf_counter() - t0
-        self.stats.tokens_generated += int(sum(active))
 
         done_ids = []
         for slot, st in enumerate(self.slots):
             if st.req is None:
                 self.lengths[slot] = 0
                 continue
-            self.lengths[slot] += 1
-            self.cur_tokens[slot] = nxt_np[slot]
-            st.generated.append(int(nxt_np[slot]))
-            req = st.req
-            hit_eos = req.eos_token_id is not None and st.generated[-2] == req.eos_token_id
-            if not hit_eos and len(st.generated) - 1 < req.max_new_tokens:
-                # the post-EOS token is excluded from the final output, so
-                # it must not be streamed either
-                self._emit(req.req_id, len(st.generated) - 1, int(nxt_np[slot]))
-            if hit_eos or len(st.generated) - 1 >= req.max_new_tokens:
-                out = st.generated[: req.max_new_tokens]
-                if req.eos_token_id is not None and req.eos_token_id in out:
-                    out = out[: out.index(req.eos_token_id) + 1]
-                self.finished[req.req_id] = np.asarray(out, np.int32)
-                self._streamed.pop(req.req_id, None)
-                self._hash_memo.pop(req.req_id, None)
-                done_ids.append(req.req_id)
-                st.req = None
-                st.generated = []
-                self._temps[slot] = 0.0
-                self._eos[slot] = -1
-                self._min_new[slot] = 0
-                self._free_slot_pages(slot)
-                self.lengths[slot] = 0
+            rid = st.req.req_id
+            for j in range(nblk):
+                self.stats.tokens_generated += 1
+                if self._append_paged(slot, int(toks_np[j, slot])):
+                    done_ids.append(rid)
+                    break
         self.stats.requests_completed += len(done_ids)
         if done_ids:
             self._drain = False          # capacity freed; admissions resume
