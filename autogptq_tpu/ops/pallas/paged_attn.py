@@ -178,6 +178,49 @@ def paged_attention_mh(
     return out[:, :h]
 
 
+def write_token_pages(pool, layer: int, page_of, off, rows):
+    """Write one token's rows into a page-major pool, per sequence:
+    ``pool[layer, page_of[b], :, off[b]] = rows[b]``.
+
+    The obvious ``pool.at[layer, page_of, :, off].set(rows)`` lowers to an
+    XLA scatter, which serializes on TPU — profiled at ~134 us PER LAYER
+    for a 64 KB write in the beam step (4.3 ms/step over 32 layers, rivaling
+    the entire weight stream). An unrolled chain of per-sequence
+    ``dynamic_update_slice`` writes lowers to in-place row stores instead.
+    ``rows``: [B, hkv, d_or_1]; ``page_of``/``off``: [B] int32 (each
+    sequence owns its current page, so the updates never alias)."""
+    b = rows.shape[0]
+    r5 = rows[:, None, None, :, None, :].astype(pool.dtype)  # [B,1,1,hkv,1,d]
+    zero = jnp.int32(0)
+    for i in range(b):
+        pool = jax.lax.dynamic_update_slice(
+            pool, r5[i], (jnp.int32(layer), page_of[i], zero, off[i], zero))
+    return pool
+
+
+def copy_pages(pool, src, dst):
+    """Copy whole pages ``pool[:, dst[i]] = pool[:, src[i]]`` for each i —
+    the beam-search copy-on-share primitive. The gather+scatter form
+    (``pool.at[:, dst].set(pool[:, src])``) profiled at 2.3 ms/step on TPU;
+    per-page dynamic_slice + dynamic_update_slice moves the same bytes at
+    HBM rate. Two-phase (gather every src page FIRST, then write) because a
+    dst page can be another copy's src in the same reorder (a sibling
+    beam's parent page); dst entries themselves are unique (each beam's own
+    page), matching the one-shot gather+scatter semantics."""
+    n = src.shape[0]
+    zero = jnp.int32(0)
+    zeros = (zero,) * (pool.ndim - 2)
+    sizes = (pool.shape[0], 1) + pool.shape[2:]
+    pages = [
+        jax.lax.dynamic_slice(pool, (zero, src[i]) + zeros, sizes)
+        for i in range(n)            # all reads see the PRE-copy pool
+    ]
+    for i in range(n):
+        pool = jax.lax.dynamic_update_slice(
+            pool, pages[i], (zero, dst[i]) + zeros)
+    return pool
+
+
 def page_window_bucket(need: int, page_size: int, width: int) -> int:
     """Power-of-two page-table window (>= 8 pages) whose span covers ``need``
     positions, clamped to the preallocated table ``width``. The mh kernel

@@ -525,6 +525,7 @@ def _generate_beam_paged(
     from ..ops.pallas.paged_attn import (
         paged_attention_mh,
         paged_attention_mh_ref,
+        write_token_pages as _write_pages,
     )
 
     b, t = tokens.shape
@@ -612,8 +613,7 @@ def _generate_beam_paged(
                     0, n_pages - 1)
     bdst = g0 + jnp.arange(bk) * gmax
 
-    def _copy_pages(pool, srcp, dstp):
-        return pool.at[:, dstp].set(pool[:, srcp])
+    from ..ops.pallas.paged_attn import copy_pages as _copy_pages
 
     k_pool = _copy_pages(k_pool, bsrc, bdst)
     v_pool = _copy_pages(v_pool, bsrc, bdst)
@@ -681,17 +681,15 @@ def _generate_beam_paged(
             if kv_quant:
                 kq, ksc = _quant(kk[:, 0])
                 vq, vsc = _quant(vv[:, 0])
-                k_pool = k_pool.at[idx, page_of, :, off].set(kq)
-                v_pool = v_pool.at[idx, page_of, :, off].set(vq)
-                ks_pool = ks_pool.at[idx, page_of, :, off].set(ksc)
-                vs_pool = vs_pool.at[idx, page_of, :, off].set(vsc)
+                k_pool = _write_pages(k_pool, idx, page_of, off, kq)
+                v_pool = _write_pages(v_pool, idx, page_of, off, vq)
+                ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
+                vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
             else:
-                k_pool = k_pool.at[idx, page_of, :, off].set(
-                    kk[:, 0].astype(cache_dtype))
-                v_pool = v_pool.at[idx, page_of, :, off].set(
-                    vv[:, 0].astype(cache_dtype))
+                k_pool = _write_pages(k_pool, idx, page_of, off, kk[:, 0])
+                v_pool = _write_pages(v_pool, idx, page_of, off, vv[:, 0])
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              None, None, pos + 1, att_tables)
             of = of.reshape(bk, 1, h * d).astype(x.dtype)

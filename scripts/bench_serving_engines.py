@@ -36,33 +36,35 @@ def requests(rng):
     ]
 
 
-def run_contiguous(model, rng):
+def run_contiguous(model, rng, decode_block=1):
     eng = ContinuousBatchEngine(model, max_slots=SLOTS, max_seq_len=256,
-                                prefill_chunk=None)
+                                prefill_chunk=None, decode_block=decode_block)
     eng.warmup(buckets=(32,), sampling=False)
     out = eng.run(requests(rng))          # includes first-step compiles
     t0 = time.perf_counter()
     out = eng.run(requests(rng))
     dt = time.perf_counter() - t0
     tot = sum(len(v) for v in out.values())
-    print(f"contiguous engine: {tot} tokens in {dt:.2f}s = "
-          f"{tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)", flush=True)
+    print(f"contiguous engine (block={decode_block}): {tot} tokens in "
+          f"{dt:.2f}s = {tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)",
+          flush=True)
     print(f"  stats: {eng.stats.snapshot()}", flush=True)
 
 
-def run_paged(model, rng):
+def run_paged(model, rng, decode_block=1):
     from autogptq_tpu.serving_paged import PagedContinuousBatchEngine
 
     eng = PagedContinuousBatchEngine(
         model, max_slots=SLOTS, total_pages=SLOTS * 16 + 8, page_size=16,
-        pages_per_seq=16)
+        pages_per_seq=16, decode_block=decode_block)
     out = eng.run(requests(rng))
     t0 = time.perf_counter()
     out = eng.run(requests(rng))
     dt = time.perf_counter() - t0
     tot = sum(len(v) for v in out.values())
-    print(f"paged engine:      {tot} tokens in {dt:.2f}s = "
-          f"{tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)", flush=True)
+    print(f"paged engine (block={decode_block}):      {tot} tokens in "
+          f"{dt:.2f}s = {tot/dt:.1f} aggregate tok/s ({SLOTS} concurrent)",
+          flush=True)
     print(f"  stats: {eng.stats.snapshot()}", flush=True)
 
 
@@ -103,7 +105,9 @@ def main():
     params, cfg = bench.build_model()
     model = bench._Shim(params, cfg)
     run_contiguous(model, rng)
+    run_contiguous(model, rng, decode_block=8)
     run_paged(model, rng)
+    run_paged(model, rng, decode_block=8)
     run_paged_prefix_cache(model, rng)
 
 

@@ -102,3 +102,29 @@ def test_mh_kernel_int8_scales(rng):
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_write_token_pages_matches_scatter(rng):
+    """dus-chain page writes == the vector-index scatter form."""
+    L, P, hkv, ps, d, B = 3, 7, 4, 8, 128, 5
+    pool = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), jnp.float32)
+    rows = jnp.asarray(rng.standard_normal((B, hkv, d)), jnp.float32)
+    page_of = jnp.asarray([1, 3, 2, 6, 5], jnp.int32)   # unique per slot
+    off = jnp.asarray(rng.integers(0, ps, size=(B,)), jnp.int32)
+    for layer in (0, 2):
+        ref = pool.at[layer, page_of, :, off].set(rows)
+        got = paged_attn.write_token_pages(pool, layer, page_of, off, rows)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_copy_pages_matches_gather_scatter_with_aliasing(rng):
+    """Two-phase copy == one-shot gather+scatter, INCLUDING the hazard case
+    where one copy's dst page is another copy's src (sibling-beam reorder:
+    beam0 takes beam1's page while beam2 still sources old beam0)."""
+    L, P, hkv, ps, d = 2, 9, 2, 4, 128
+    pool = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), jnp.float32)
+    src = jnp.asarray([4, 3, 3, 6], jnp.int32)
+    dst = jnp.asarray([3, 5, 7, 8], jnp.int32)   # dst[0]=3 is src[1]/src[2]
+    ref = pool.at[:, dst].set(pool[:, src])
+    got = paged_attn.copy_pages(pool, src, dst)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
