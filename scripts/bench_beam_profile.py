@@ -139,9 +139,48 @@ for wb in sorted({wb_live, W}):
 probes += [("T3 scatter x32", t3_scatter),
            ("T4 unembed+topk", t4_unembed_topk),
            ("T5 page copy", t5_pagecopy)]
+
+
+# -- shipped-path variants: page-major pools + the dus-chain helpers --------
+from autogptq_tpu.ops.pallas import paged_attn as _pa  # noqa: E402
+
+
+def t3b_dus_write(x, params, kp, vp):
+    rows = jnp.arange(bk)
+    page_of = tables[rows, 3]
+    off = rows % ps
+    kk = jnp.broadcast_to(x[:, :D][:, None, :], (bk, HKV, D)).astype(jnp.bfloat16)
+    for i in range(L):
+        kp = _pa.write_token_pages(kp, i, page_of, off, kk)
+        vp = _pa.write_token_pages(vp, i, page_of, off, kk)
+    return (kp[0, 0, 0, 0, :1] + vp[0, 0, 0, 0, :1]).reshape(1, 1)
+
+
+def t5b_dus_copy(x, params, kp, vp):
+    src = tables[jnp.arange(bk), 2]
+    dst = tables[jnp.arange(bk), 4]
+    kp = _pa.copy_pages(kp, src, dst)
+    vp = _pa.copy_pages(vp, src, dst)
+    return ((kp[0, 0, 0, 0, :1] + x[0, 0].astype(jnp.bfloat16))
+            + vp[0, 0, 0, 0, :1]).reshape(1, 1)
+
+
 for name, fn in probes:
     try:
         t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pool, v_pool))
+    except Exception as e:
+        print(f"{name:22s} FAILED {type(e).__name__}: {e}", flush=True)
+        continue
+    print(f"{name:22s} {t * 1e3:8.3f} ms/step", flush=True)
+
+# page-major pools for the shipped-path probes (threaded as args — a
+# closure-captured pool becomes compile-payload constants -> tunnel 413)
+k_pm_pool = jnp.zeros((L, P, HKV, ps, D), jnp.bfloat16)
+v_pm_pool = jnp.zeros((L, P, HKV, ps, D), jnp.bfloat16)
+for name, fn in [("T3b dus write x32", t3b_dus_write),
+                 ("T5b dus page copy", t5b_dus_copy)]:
+    try:
+        t = slope_time(fn, x0, n1=20, n2=220, args=(params, k_pm_pool, v_pm_pool))
     except Exception as e:
         print(f"{name:22s} FAILED {type(e).__name__}: {e}", flush=True)
         continue

@@ -48,3 +48,16 @@ run dma_probe python scripts/kernel_dma_probe.py
 run beam_profile python scripts/bench_beam_profile.py 512
 
 echo "ALL DONE — logs in /tmp/hw_r4/"
+
+# appended while running (bash reads incrementally): decode decomposition
+run decode_profile python scripts/bench_decode_profile.py
+echo "EXTRAS DONE"
+# retry the int8 beam bench with the fixed 3-D scale-pool blocks
+run beam_int8_fixed env BENCH_KV_QUANT=1 python scripts/bench_beam.py
+echo "RETRY DONE"
+run prefill_profile python scripts/bench_prefill_profile.py
+echo "PROFILE DONE"
+run upload_probe python scripts/upload_probe.py
+echo "UPLOAD PROBE DONE"
+run serving_r4 python scripts/bench_serving_engines.py
+echo "SERVING R4 DONE"
