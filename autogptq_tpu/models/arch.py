@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Optional
 
 import jax
@@ -128,6 +129,14 @@ class ArchConfig:
 # Escape hatch for the Pallas flash-attention prefill path (debugging /
 # A-B comparisons); the per-call eligibility conditions live in attention().
 FLASH_PREFILL = True
+
+# Flash-attention tile sizes. The stock kernel defaults to 128x128 blocks
+# (BlockSizes.get_default carries a "TODO: select better parameters"), which
+# measured ~34 TFLOP/s on v5e at 7B prefill shapes — ~20% efficiency, 2.0 ms
+# of a 7.5 ms layer. Larger q/k tiles amortize the per-block softmax
+# bookkeeping; 512 measured 3.1x faster (see docs/PARITY.md round 4).
+# Override with AUTOGPTQ_TPU_FLASH_BLOCK=<n> for A/Bs.
+FLASH_BLOCK = int(os.environ.get("AUTOGPTQ_TPU_FLASH_BLOCK", "512"))
 
 # A "linear" in a params tree is either a DenseLinear or a
 # quantlinear.QuantLinear; dispatch happens on node type at trace time.
@@ -771,6 +780,15 @@ def attention(
         # kernel's softmax/accumulation is f32 internally either way). f32
         # models (numerics tests) still run f32 end-to-end.
         fa_dt = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+        blk = max(128, min(FLASH_BLOCK, t))        # t % 128 == 0 guaranteed
+        while t % blk:
+            blk //= 2
+        bs = _fa.BlockSizes(
+            block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+            block_q_major_dkv=blk, block_k_major_dkv=blk,
+            block_k_dkv=blk, block_q_dkv=blk,
+            block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+        )
         of = _fa.flash_attention(
             q.swapaxes(1, 2).astype(fa_dt),
             kf.swapaxes(1, 2).astype(fa_dt),
@@ -778,6 +796,7 @@ def attention(
             segment_ids=seg,
             causal=True,
             sm_scale=float(scale),
+            block_sizes=bs,
         ).swapaxes(1, 2)                                   # [B, T, H, D]
         if cfg.attn_variant == "mla":
             of = of[..., : cfg.v_head_dim]
@@ -1143,8 +1162,15 @@ def forward(
     attn_mask: Optional[jnp.ndarray] = None,
     dtype=jnp.bfloat16,
     fresh_prefill: bool = False,        # static: cache is known empty
+    logits_last_only: bool = False,     # static: unembed only position T-1
 ):
-    """Full forward. Returns (logits [B, T, V], new_cache or None)."""
+    """Full forward. Returns (logits [B, T, V], new_cache or None).
+
+    ``logits_last_only`` unembeds only the final position (returned as
+    [B, 1, V]) — generation prefill discards every other row, and at 7B/2048
+    the full [B, T, V] head costs ~3.4 ms + a 262 MB f32 buffer. NOTE: with
+    left padding the LAST position is the newest token for every row (the
+    generation call sites pad left), so slicing x is exact there."""
     b, t = tokens.shape
     if positions is None:
         start = cache.length if cache is not None else 0
@@ -1174,7 +1200,7 @@ def forward(
                 new_ks = new_ks.at[i].set(kv[2])
                 new_vs = new_vs.at[i].set(kv[3])
 
-    logits = unembed(params, x, cfg)
+    logits = unembed(params, x[:, -1:] if logits_last_only else x, cfg)
     if cache is not None:
         cache = KVCache(
             k=new_k, v=new_v, length=cache.length + t,

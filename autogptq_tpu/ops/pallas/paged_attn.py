@@ -32,6 +32,7 @@ path bit-for-bit shapes and HF-token-exact beam search.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -178,17 +179,25 @@ def paged_attention_mh(
     return out[:, :h]
 
 
+# Pool token-write strategy, A/B-able per process:
+#   "dus"     — unrolled per-sequence dynamic_update_slice chain
+#   "scatter" — the vector-index .at[].set form (XLA scatter)
+# Same semantics when each sequence owns its current page (duplicate
+# (page, off) pairs are last-wins in both). e2e beam numbers on v5e:
+# int8 cache 273.8 (dus) vs 192.8 (scatter); bf16 218.2 (dus) vs 241.4
+# (scatter) — see docs/PARITY.md round 4.
+_POOL_WRITE = os.environ.get("AUTOGPTQ_TPU_POOL_WRITE", "dus")
+
+
 def write_token_pages(pool, layer: int, page_of, off, rows):
     """Write one token's rows into a page-major pool, per sequence:
     ``pool[layer, page_of[b], :, off[b]] = rows[b]``.
 
-    The obvious ``pool.at[layer, page_of, :, off].set(rows)`` lowers to an
-    XLA scatter, which serializes on TPU — profiled at ~134 us PER LAYER
-    for a 64 KB write in the beam step (4.3 ms/step over 32 layers, rivaling
-    the entire weight stream). An unrolled chain of per-sequence
-    ``dynamic_update_slice`` writes lowers to in-place row stores instead.
     ``rows``: [B, hkv, d_or_1]; ``page_of``/``off``: [B] int32 (each
-    sequence owns its current page, so the updates never alias)."""
+    sequence owns its current page, so the updates never alias). Strategy
+    selected by AUTOGPTQ_TPU_POOL_WRITE (see _POOL_WRITE above)."""
+    if _POOL_WRITE == "scatter":
+        return pool.at[layer, page_of, :, off].set(rows.astype(pool.dtype))
     b = rows.shape[0]
     r5 = rows[:, None, None, :, None, :].astype(pool.dtype)  # [B,1,1,hkv,1,d]
     zero = jnp.int32(0)

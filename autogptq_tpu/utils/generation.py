@@ -141,6 +141,7 @@ def _generate_greedy(
     logits, cache = arch.forward(
         params, tokens, cfg, cache=cache, positions=positions,
         backend=backend, attn_mask=validity, dtype=dtype, fresh_prefill=True,
+        logits_last_only=True,   # left-padded: last position is the newest
     )
     last_logits = logits[:, -1, :]
     next_pos = positions[:, -1] + 1
@@ -342,6 +343,7 @@ def _generate_beam(
     logits, cache_b = arch.forward(
         params, tokens, cfg, cache=cache_b, positions=positions_b,
         backend=backend, attn_mask=validity_b, dtype=dtype, fresh_prefill=True,
+        logits_last_only=True,   # left-padded: last position is the newest
     )
 
     def _rep_beams(a):
@@ -555,6 +557,7 @@ def _generate_beam_paged(
     logits, cache_b = arch.forward(
         params, tokens, cfg, cache=cache_b, positions=positions_b,
         backend=backend, attn_mask=validity_b, dtype=dtype, fresh_prefill=True,
+        logits_last_only=True,   # left-padded: last position is the newest
     )
     plen = jnp.sum(mask, axis=-1).astype(jnp.int32)                 # [B]
 

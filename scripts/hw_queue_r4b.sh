@@ -27,3 +27,9 @@ run beam_profile3 python scripts/bench_beam_profile.py 512
 run decode_profile2 python scripts/bench_decode_profile.py
 run prefill_profile2 python scripts/bench_prefill_profile.py
 echo "PROFILES DONE"
+run write_probe python scripts/kernel_write_probe.py
+echo "WRITE PROBE DONE"
+run flash_probe python scripts/kernel_flash_probe.py
+run prefill_r4 python scripts/bench_prefill.py
+run prefill_profile3 python scripts/bench_prefill_profile.py
+echo "FLASH DONE"
