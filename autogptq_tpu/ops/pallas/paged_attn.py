@@ -180,13 +180,15 @@ def paged_attention_mh(
 
 
 # Pool token-write strategy, A/B-able per process:
+#   "auto"    — dus for int8 pools and the width-1 f32 scale pools,
+#               scatter for float full-width pools (the per-dtype winners)
 #   "dus"     — unrolled per-sequence dynamic_update_slice chain
 #   "scatter" — the vector-index .at[].set form (XLA scatter)
 # Same semantics when each sequence owns its current page (duplicate
-# (page, off) pairs are last-wins in both). e2e beam numbers on v5e:
-# int8 cache 273.8 (dus) vs 192.8 (scatter); bf16 218.2 (dus) vs 241.4
-# (scatter) — see docs/PARITY.md round 4.
-_POOL_WRITE = os.environ.get("AUTOGPTQ_TPU_POOL_WRITE", "dus")
+# (page, off) pairs are last-wins in both). Same-session beam-4 e2e on
+# v5e: int8 cache 272.8 (all-dus) vs 187.0 (all-scatter); bf16 218.3
+# (dus) vs 236.5 (scatter) — "auto" reproduces the winner of each.
+_POOL_WRITE = os.environ.get("AUTOGPTQ_TPU_POOL_WRITE", "auto")
 
 
 def write_token_pages(pool, layer: int, page_of, off, rows):
@@ -196,7 +198,13 @@ def write_token_pages(pool, layer: int, page_of, off, rows):
     ``rows``: [B, hkv, d_or_1]; ``page_of``/``off``: [B] int32 (each
     sequence owns its current page, so the updates never alias). Strategy
     selected by AUTOGPTQ_TPU_POOL_WRITE (see _POOL_WRITE above)."""
-    if _POOL_WRITE == "scatter":
+    strategy = _POOL_WRITE
+    if strategy == "auto":
+        strategy = (
+            "dus" if pool.dtype == jnp.int8 or pool.shape[-1] == 1
+            else "scatter"
+        )
+    if strategy == "scatter":
         return pool.at[layer, page_of, :, off].set(rows.astype(pool.dtype))
     b = rows.shape[0]
     r5 = rows[:, None, None, :, None, :].astype(pool.dtype)  # [B,1,1,hkv,1,d]
