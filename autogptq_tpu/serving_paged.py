@@ -42,7 +42,11 @@ import numpy as np
 
 from .models import arch
 from .models.arch import KVCache
-from .ops.pallas.paged_attn import page_window_bucket, write_token_pages
+from .ops.pallas.paged_attn import (
+    page_window_bucket,
+    write_token_pages,
+    write_token_pages_kernel,
+)
 from .serving import (EngineStats, Request, _bucket, _greedy_tokens,
                       _sample_tokens)
 
@@ -567,12 +571,21 @@ class PagedContinuousBatchEngine:
                             / _math.log(L), 1.0)
                         q = (q.astype(jnp.float32)
                              * logn[:, None, None, None]).astype(x.dtype)
-                    # write current K/V into each slot's active page via the
-                    # per-slot dynamic_update_slice chain (the vector-index
-                    # .at[].set form lowers to an XLA scatter that costs
-                    # ~134 us/layer on TPU — see paged_attn.write_token_pages)
-                    k_pages = write_token_pages(k_pages, idx, page_of, off, kk[:, 0])
-                    v_pages = write_token_pages(v_pages, idx, page_of, off, vv[:, 0])
+                    # write current K/V into each slot's active page. On the
+                    # real-kernel path this is an aliased Pallas RMW — any
+                    # XLA lowering (scatter/dus) gives the pools a layout
+                    # preference that fights the attention custom-call,
+                    # inserting two full-pool copies per step.
+                    if self.use_kernel:
+                        k_pages, v_pages = write_token_pages_kernel(
+                            k_pages, v_pages, idx, page_of, off,
+                            kk[:, 0], vv[:, 0],
+                            interpret=self.use_kernel == "interpret")
+                    else:
+                        k_pages = write_token_pages(
+                            k_pages, idx, page_of, off, kk[:, 0])
+                        v_pages = write_token_pages(
+                            v_pages, idx, page_of, off, vv[:, 0])
                     of = self._attend(
                         q[:, 0], k_pages[idx], v_pages[idx],
                         lengths + 1, tables, scale,
@@ -642,10 +655,16 @@ class PagedContinuousBatchEngine:
                                 / _math.log(L), 1.0)
                             q = (q.astype(jnp.float32)
                                  * logn[:, None, None, None]).astype(x.dtype)
-                        k_pages = write_token_pages(
-                            k_pages, idx, page_of, off, kk[:, 0])
-                        v_pages = write_token_pages(
-                            v_pages, idx, page_of, off, vv[:, 0])
+                        if self.use_kernel:
+                            k_pages, v_pages = write_token_pages_kernel(
+                                k_pages, v_pages, idx, page_of, off,
+                                kk[:, 0], vv[:, 0],
+                                interpret=self.use_kernel == "interpret")
+                        else:
+                            k_pages = write_token_pages(
+                                k_pages, idx, page_of, off, kk[:, 0])
+                            v_pages = write_token_pages(
+                                v_pages, idx, page_of, off, vv[:, 0])
                         of = self._attend(
                             q[:, 0], k_pages[idx], v_pages[idx],
                             lengths + 1, tables, scale,

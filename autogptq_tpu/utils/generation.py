@@ -528,6 +528,7 @@ def _generate_beam_paged(
         paged_attention_mh,
         paged_attention_mh_ref,
         write_token_pages as _write_pages,
+        write_token_pages_kernel as _write_kernel_pages,
     )
 
     b, t = tokens.shape
@@ -684,15 +685,32 @@ def _generate_beam_paged(
             if kv_quant:
                 kq, ksc = _quant(kk[:, 0])
                 vq, vsc = _quant(vv[:, 0])
-                k_pool = _write_pages(k_pool, idx, page_of, off, kq)
-                v_pool = _write_pages(v_pool, idx, page_of, off, vq)
-                ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
-                vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
+                if use_kernel:  # aliased Pallas write: keeps the pools'
+                    # default layout (any XLA write lowering gives them a
+                    # layout preference that fights the attention
+                    # custom-call — two full-pool copies per step)
+                    interp = use_kernel == "interpret"
+                    k_pool, v_pool = _write_kernel_pages(
+                        k_pool, v_pool, idx, page_of, off, kq, vq,
+                        interpret=interp)
+                    ks_pool, vs_pool = _write_kernel_pages(
+                        ks_pool, vs_pool, idx, page_of, off, ksc, vsc,
+                        interpret=interp)
+                else:
+                    k_pool = _write_pages(k_pool, idx, page_of, off, kq)
+                    v_pool = _write_pages(v_pool, idx, page_of, off, vq)
+                    ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
+                    vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
             else:
-                k_pool = _write_pages(k_pool, idx, page_of, off, kk[:, 0])
-                v_pool = _write_pages(v_pool, idx, page_of, off, vv[:, 0])
+                if use_kernel:
+                    k_pool, v_pool = _write_kernel_pages(
+                        k_pool, v_pool, idx, page_of, off, kk[:, 0], vv[:, 0],
+                        interpret=use_kernel == "interpret")
+                else:
+                    k_pool = _write_pages(k_pool, idx, page_of, off, kk[:, 0])
+                    v_pool = _write_pages(v_pool, idx, page_of, off, vv[:, 0])
                 of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
                              None, None, pos + 1, att_tables)
             of = of.reshape(bk, 1, h * d).astype(x.dtype)

@@ -128,3 +128,31 @@ def test_copy_pages_matches_gather_scatter_with_aliasing(rng):
     ref = pool.at[:, dst].set(pool[:, src])
     got = paged_attn.copy_pages(pool, src, dst)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("dtype,d", [(jnp.float32, 128), (jnp.int8, 128),
+                                     (jnp.float32, 1)])
+def test_write_token_pages_kernel(rng, dtype, d):
+    """Aliased Pallas page write == the scatter form, for value pools
+    (bf16/int8, d=128) and width-1 scale pools (d=1)."""
+    L, P, hkv, ps, B = 3, 9, 4, 8, 5
+    if dtype == jnp.int8:
+        pool_k = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), dtype)
+        pool_v = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), dtype)
+        rows_k = jnp.asarray(rng.integers(-127, 128, (B, hkv, d)), dtype)
+        rows_v = jnp.asarray(rng.integers(-127, 128, (B, hkv, d)), dtype)
+    else:
+        pool_k = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), dtype)
+        pool_v = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), dtype)
+        rows_k = jnp.asarray(rng.standard_normal((B, hkv, d)), dtype)
+        rows_v = jnp.asarray(rng.standard_normal((B, hkv, d)), dtype)
+    page_of = jnp.asarray([1, 3, 2, 6, 5], jnp.int32)
+    off = jnp.asarray(rng.integers(0, ps, size=(B,)), jnp.int32)
+    for layer in (0, 2):
+        got_k, got_v = paged_attn.write_token_pages_kernel(
+            pool_k, pool_v, layer, page_of, off, rows_k, rows_v,
+            interpret=True)
+        ref_k = pool_k.at[layer, page_of, :, off].set(rows_k)
+        ref_v = pool_v.at[layer, page_of, :, off].set(rows_v)
+        np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
