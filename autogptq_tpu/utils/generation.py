@@ -216,6 +216,25 @@ def _gather_beams(tree, idx):
     return jax.tree_util.tree_map(lambda x: x[idx] if x.ndim >= 1 else x, tree)
 
 
+def _flat_top2k(cand):
+    """top_k(cand.reshape(b, k*vocab), 2k) computed in two stages (per-beam
+    top-2k over [b, k, vocab], then a tiny merge). A single-row top_k over
+    k*vocab lanes reduces serially on TPU (profiled 0.51 ms/step at beam 4,
+    Llama vocab); the per-beam stage uses the k sublane rows in parallel.
+    EXACTLY equivalent, ties included: within a beam, top_k orders equal
+    values by ascending index (same as flat); across beams the merge input
+    is ordered beam-major (same as flat); and a beam can contribute at most
+    2k entries to the global 2k, which its own stage-1 list always covers.
+    Returns (values [b, 2k], flat indices [b, 2k])."""
+    b, k, vocab = cand.shape
+    k2 = 2 * k
+    v1, i1 = jax.lax.top_k(cand, k2)                        # [b, k, 2k]
+    i1f = (jnp.arange(k, dtype=jnp.int32)[None, :, None] * vocab
+           + i1.astype(jnp.int32)).reshape(b, k * k2)
+    v2, sel = jax.lax.top_k(v1.reshape(b, k * k2), k2)      # [b, 2k]
+    return v2, jnp.take_along_axis(i1f, sel, axis=1)
+
+
 
 def _beam_row_done(done_scores, best_raw, gen_len, p, early_stopping,
                    max_new_tokens):
@@ -398,9 +417,8 @@ def _generate_beam(
         lp = mask_eos(lp, step).reshape(b, k, vocab)
 
         cand = scores[:, :, None] + lp                              # [B, k, V]
-        flat = cand.reshape(b, k * vocab)
         k2 = 2 * k                                                  # HF: 2k cands
-        s2k, flat_idx = jax.lax.top_k(flat, k2)                     # [B, 2k]
+        s2k, flat_idx = _flat_top2k(cand)                           # [B, 2k]
         beam2k = flat_idx // vocab
         tok2k = (flat_idx % vocab).astype(jnp.int32)
 
@@ -731,9 +749,8 @@ def _generate_beam_paged(
         lp = mask_eos(lp, step).reshape(b, k, vocab)
 
         cand = scores[:, :, None] + lp
-        flat = cand.reshape(b, k * vocab)
         k2 = 2 * k
-        s2k, flat_idx = jax.lax.top_k(flat, k2)
+        s2k, flat_idx = _flat_top2k(cand)
         beam2k = flat_idx // vocab
         tok2k = (flat_idx % vocab).astype(jnp.int32)
 
