@@ -242,7 +242,13 @@ def write_token_pages_kernel(k_pool, v_pool, layer: int, page_of, off,
     pools). With the write as an aliased custom call, every pool use keeps
     the default layout. Each sequence owns its page (copy-on-share), so
     grid steps never collide; inactive serving slots all target the
-    reserved null page, whose content is never attended."""
+    reserved null page, whose content is never attended.
+
+    HAZARD: only use for float pools with a full-width minor dim. The
+    int8-pool + width-1 f32 scale-pool combination compiled but FAULTED
+    the TPU worker at runtime (Mosaic 1-lane blocks are a known danger
+    zone); int8 paths keep the dus chain, which also measured fastest
+    there (beam-4 int8 272.8 all-dus)."""
     b = page_of.shape[0]
     _, _, hkv, ps, d = k_pool.shape
     grid = (b,)

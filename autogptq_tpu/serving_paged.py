@@ -93,6 +93,7 @@ class PagedContinuousBatchEngine:
         on_token=None,
         enable_prefix_cache: bool = False,
         decode_block: int = 1,
+        write_kernel: Optional[bool] = None,
     ):
         _check_cfg(model.cfg)
         if "q_proj" not in model.params["layers"][0].get("attn", {}):
@@ -115,6 +116,11 @@ class PagedContinuousBatchEngine:
         self.use_kernel = (
             use_kernel if use_kernel is not None
             else jax.default_backend() == "tpu"
+        )
+        # token writes via the aliased Pallas kernel (default = follow
+        # use_kernel); False keeps the dus chain for A/Bs
+        self.write_kernel = (
+            write_kernel if write_kernel is not None else bool(self.use_kernel)
         )
         # PAGE-MAJOR pools: one page holds every kv head's slab contiguously,
         # so the mh attention kernel fetches a whole page per DMA (the stock
@@ -576,7 +582,7 @@ class PagedContinuousBatchEngine:
                     # XLA lowering (scatter/dus) gives the pools a layout
                     # preference that fights the attention custom-call,
                     # inserting two full-pool copies per step.
-                    if self.use_kernel:
+                    if self.write_kernel:
                         k_pages, v_pages = write_token_pages_kernel(
                             k_pages, v_pages, idx, page_of, off,
                             kk[:, 0], vv[:, 0],
@@ -655,7 +661,7 @@ class PagedContinuousBatchEngine:
                                 / _math.log(L), 1.0)
                             q = (q.astype(jnp.float32)
                                  * logn[:, None, None, None]).astype(x.dtype)
-                        if self.use_kernel:
+                        if self.write_kernel:
                             k_pages, v_pages = write_token_pages_kernel(
                                 k_pages, v_pages, idx, page_of, off,
                                 kk[:, 0], vv[:, 0],

@@ -701,28 +701,22 @@ def _generate_beam_paged(
                     / math.log(float(cfg.logn_attn_seq_len)), 1.0)
                 q = (q.astype(jnp.float32) * ln[:, None, None, None]).astype(x.dtype)
             if kv_quant:
+                # int8 pools stay on the dus chain (the measured-best int8
+                # config; the Pallas write on int8/width-1 blocks faulted
+                # the TPU worker — Mosaic 1-lane blocks are a known hazard)
                 kq, ksc = _quant(kk[:, 0])
                 vq, vsc = _quant(vv[:, 0])
+                k_pool = _write_pages(k_pool, idx, page_of, off, kq)
+                v_pool = _write_pages(v_pool, idx, page_of, off, vq)
+                ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
+                vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
+                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
+                             ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
+            else:
                 if use_kernel:  # aliased Pallas write: keeps the pools'
                     # default layout (any XLA write lowering gives them a
                     # layout preference that fights the attention
                     # custom-call — two full-pool copies per step)
-                    interp = use_kernel == "interpret"
-                    k_pool, v_pool = _write_kernel_pages(
-                        k_pool, v_pool, idx, page_of, off, kq, vq,
-                        interpret=interp)
-                    ks_pool, vs_pool = _write_kernel_pages(
-                        ks_pool, vs_pool, idx, page_of, off, ksc, vsc,
-                        interpret=interp)
-                else:
-                    k_pool = _write_pages(k_pool, idx, page_of, off, kq)
-                    v_pool = _write_pages(v_pool, idx, page_of, off, vq)
-                    ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
-                    vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
-                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
-                             ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
-            else:
-                if use_kernel:
                     k_pool, v_pool = _write_kernel_pages(
                         k_pool, v_pool, idx, page_of, off, kk[:, 0], vv[:, 0],
                         interpret=use_kernel == "interpret")
