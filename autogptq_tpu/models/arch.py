@@ -465,33 +465,35 @@ def _mla_attention_cached(
         ks = vs = None
     cks = cvs = None
     start = cache.length
+    # Writes target the FULL stacked arrays (see attention(): restacking a
+    # per-layer slice forced a whole-cache copy per step).
     if start.ndim == 1:  # continuous batching: per-slot cursors (T == 1)
         rows = jnp.arange(b)
-        ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0])
-        cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0])
+        ck = cache.k.at[layer_idx, rows, start].set(kq[:, 0])
+        cv = cache.v.at[layer_idx, rows, start].set(vq[:, 0])
         if kv_int8:
-            cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0])
-            cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0])
-        s = ck.shape[1]
+            cks = cache.k_scale.at[layer_idx, rows, start].set(ks[:, 0])
+            cvs = cache.v_scale.at[layer_idx, rows, start].set(vs[:, 0])
+        s = ck.shape[2]
         mask = jnp.arange(s)[None, None, :] <= start[:, None, None]  # [B,1,S]
     else:
-        ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq, (0, start, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq, (0, start, 0, 0))
+        ck = jax.lax.dynamic_update_slice(cache.k, kq[None], (layer_idx, 0, start, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cache.v, vq[None], (layer_idx, 0, start, 0, 0))
         if kv_int8:
-            cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks, (0, start, 0, 0))
-            cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs, (0, start, 0, 0))
-        s = ck.shape[1]
+            cks = jax.lax.dynamic_update_slice(cache.k_scale, ks[None], (layer_idx, 0, start, 0, 0))
+            cvs = jax.lax.dynamic_update_slice(cache.v_scale, vs[None], (layer_idx, 0, start, 0, 0))
+        s = ck.shape[2]
         q_slot = (start + jnp.arange(t))[None, :, None]
         mask = jnp.arange(s)[None, None, :] <= q_slot        # [1,T,S]
     mask = jnp.broadcast_to(mask, (b, t, s))
     if attn_mask is not None:
         mask = mask & attn_mask[:, None, :].astype(bool)
 
-    pe_s = ck[:, :, 0, :].astype(jnp.float32)                # [B,S,dr]
-    lat_s = cv[:, :, 0, :].astype(jnp.float32)               # [B,S,rkv]
+    pe_s = ck[layer_idx, :, :, 0, :].astype(jnp.float32)     # [B,S,dr]
+    lat_s = cv[layer_idx, :, :, 0, :].astype(jnp.float32)    # [B,S,rkv]
     if kv_int8:  # latent is ~27x smaller than per-head K/V: a f32 dequant
-        pe_s = pe_s * cks[:, :, 0, :]        # copy here is still far below
-        lat_s = lat_s * cvs[:, :, 0, :]      # the bf16 materialized cache
+        pe_s = pe_s * cks[layer_idx, :, :, 0, :]   # copy here is still far
+        lat_s = lat_s * cvs[layer_idx, :, :, 0, :] # below the bf16 cache
 
     # absorbed kv_b (dequantized once per call; rkv x H x (dn+dv) is small)
     node = bp["kv_b_proj"]
@@ -648,6 +650,13 @@ def attention(
 
     # Causality is computed in cache-SLOT space (uniform across the batch,
     # works with left padding); logical positions feed only RoPE/learned-pos.
+    #
+    # Cache writes go into the FULL stacked [L, B, S, Hkv, D] arrays at
+    # [layer_idx, ...] and the full arrays are returned: updating a per-layer
+    # slice and restacking it in forward() made XLA rewrite the whole cache
+    # every decode step (~4 full-cache copy fusions/step, ~0.2 ms/tok at a
+    # 128 window and growing linearly with it — measured on the v5e trace).
+    # In-place chained updates on the scan-carried arrays are free.
     if cache is not None:
         start = cache.length
         kv_int8 = cache.k.dtype == jnp.int8
@@ -680,30 +689,30 @@ def attention(
             # cursors (max_seq_len - 1, beyond any sliced decode window)
             # safe under window-bucketed steps.
             if t == 1:
-                ck = cache.k[layer_idx].at[rows, start].set(kq[:, 0], mode="drop")
-                cv = cache.v[layer_idx].at[rows, start].set(vq[:, 0], mode="drop")
+                ck = cache.k.at[layer_idx, rows, start].set(kq[:, 0], mode="drop")
+                cv = cache.v.at[layer_idx, rows, start].set(vq[:, 0], mode="drop")
                 if kv_int8:
-                    cks = cache.k_scale[layer_idx].at[rows, start].set(ks[:, 0], mode="drop")
-                    cvs = cache.v_scale[layer_idx].at[rows, start].set(vs[:, 0], mode="drop")
+                    cks = cache.k_scale.at[layer_idx, rows, start].set(ks[:, 0], mode="drop")
+                    cvs = cache.v_scale.at[layer_idx, rows, start].set(vs[:, 0], mode="drop")
             else:
                 idx = start[:, None] + jnp.arange(t)[None, :]      # [B, T]
                 r2 = rows[:, None]
-                ck = cache.k[layer_idx].at[r2, idx].set(kq, mode="drop")
-                cv = cache.v[layer_idx].at[r2, idx].set(vq, mode="drop")
+                ck = cache.k.at[layer_idx, r2, idx].set(kq, mode="drop")
+                cv = cache.v.at[layer_idx, r2, idx].set(vq, mode="drop")
                 if kv_int8:
-                    cks = cache.k_scale[layer_idx].at[r2, idx].set(ks, mode="drop")
-                    cvs = cache.v_scale[layer_idx].at[r2, idx].set(vs, mode="drop")
-            s = ck.shape[1]
+                    cks = cache.k_scale.at[layer_idx, r2, idx].set(ks, mode="drop")
+                    cvs = cache.v_scale.at[layer_idx, r2, idx].set(vs, mode="drop")
+            s = ck.shape[2]
             kv_slot = jnp.arange(s)
             q_slot = (start[:, None] + jnp.arange(t)[None, :])[:, :, None]
             mask = kv_slot[None, None, :] <= q_slot        # [B, T, S]
         else:
-            ck = jax.lax.dynamic_update_slice(cache.k[layer_idx], kq, (0, start, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache.v[layer_idx], vq, (0, start, 0, 0))
+            ck = jax.lax.dynamic_update_slice(cache.k, kq[None], (layer_idx, 0, start, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cache.v, vq[None], (layer_idx, 0, start, 0, 0))
             if kv_int8:
-                cks = jax.lax.dynamic_update_slice(cache.k_scale[layer_idx], ks, (0, start, 0, 0))
-                cvs = jax.lax.dynamic_update_slice(cache.v_scale[layer_idx], vs, (0, start, 0, 0))
-            s = ck.shape[1]
+                cks = jax.lax.dynamic_update_slice(cache.k_scale, ks[None], (layer_idx, 0, start, 0, 0))
+                cvs = jax.lax.dynamic_update_slice(cache.v_scale, vs[None], (layer_idx, 0, start, 0, 0))
+            s = ck.shape[2]
             kv_slot = jnp.arange(s)[None, :]               # [1, S]
             q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
             mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
@@ -712,9 +721,9 @@ def attention(
         # after the QK dot, probs *= v_scale before the PV dot) — exact
         # same math, but no [B,S,Hkv,D] dequantized copy is ever written,
         # so the HBM traffic win of the int8 cache is preserved.
-        keys, values = ck, cv
-        key_sc = cks if kv_int8 else None    # f32 [B, S, Hkv, 1]
-        val_sc = cvs if kv_int8 else None
+        keys, values = ck[layer_idx], cv[layer_idx]
+        key_sc = cks[layer_idx] if kv_int8 else None    # f32 [B, S, Hkv, 1]
+        val_sc = cvs[layer_idx] if kv_int8 else None
         if keys.shape[2] != hkv:  # variable-GQA cache sized for max kv heads
             keys = keys[:, :, :hkv, :]
             values = values[:, :, :hkv, :]
@@ -1185,26 +1194,27 @@ def forward(
 
     x = embed(params, tokens, positions, cfg, dtype)
 
-    new_k, new_v = (cache.k, cache.v) if cache is not None else (None, None)
-    new_ks = cache.k_scale if cache is not None else None
-    new_vs = cache.v_scale if cache is not None else None
+    # The layer's attention updates its rows of the FULL stacked cache in
+    # place and returns the full arrays; thread them through the layer loop
+    # (restacking per-layer slices here cost a whole-cache copy per step).
+    cur = cache
     for i, bp in enumerate(params["layers"]):
         x, kv = block_forward(
-            bp, x, i, cache, positions, cfg, backend, attn_mask,
+            bp, x, i, cur, positions, cfg, backend, attn_mask,
             fresh_prefill=fresh_prefill,
         )
         if cache is not None:
-            new_k = new_k.at[i].set(kv[0])
-            new_v = new_v.at[i].set(kv[1])
-            if len(kv) == 4:  # int8 KV: per-row scales travel with the cache
-                new_ks = new_ks.at[i].set(kv[2])
-                new_vs = new_vs.at[i].set(kv[3])
+            cur = KVCache(
+                k=kv[0], v=kv[1], length=cur.length,
+                k_scale=kv[2] if len(kv) == 4 else None,
+                v_scale=kv[3] if len(kv) == 4 else None,
+            )
 
     logits = unembed(params, x[:, -1:] if logits_last_only else x, cfg)
     if cache is not None:
         cache = KVCache(
-            k=new_k, v=new_v, length=cache.length + t,
-            k_scale=new_ks, v_scale=new_vs,
+            k=cur.k, v=cur.v, length=cache.length + t,
+            k_scale=cur.k_scale, v_scale=cur.v_scale,
         )
     return logits, cache
 
