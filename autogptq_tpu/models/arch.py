@@ -138,6 +138,12 @@ FLASH_PREFILL = True
 # Override with AUTOGPTQ_TPU_FLASH_BLOCK=<n> for A/Bs.
 FLASH_BLOCK = int(os.environ.get("AUTOGPTQ_TPU_FLASH_BLOCK", "512"))
 
+# Flash-DECODE kernel over the contiguous stacked cache
+# (ops/pallas/flash_decode.py): "1" = on where eligible (TPU, t == 1,
+# bf16/f32 cache, contiguous key validity), "0" = einsum path,
+# "interpret" = run the kernel in interpret mode (CPU tests).
+FLASH_DECODE = os.environ.get("AUTOGPTQ_TPU_FLASH_DECODE", "1")
+
 # A "linear" in a params tree is either a DenseLinear or a
 # quantlinear.QuantLinear; dispatch happens on node type at trace time.
 
@@ -581,6 +587,8 @@ def attention(
     attn_mask: Optional[jnp.ndarray] = None,   # [B, S] key-side validity
     capture: Optional[dict] = None,            # calibration: linear inputs
     fresh_prefill: bool = False,        # static: cache is known empty
+    mask_contig: bool = False,          # static: attn_mask is a contiguous
+                                        # left-pad run (enables flash-decode)
 ):
     b, t, _ = x.shape
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -647,6 +655,11 @@ def attention(
         if cfg.tp_axis is not None:
             out = jax.lax.psum(out, cfg.tp_axis)
         return out, None
+
+    window = cfg.sliding_window
+    if window is not None and cfg.sliding_window_every_other and layer_idx % 2 == 1:
+        window = None  # gemma2: odd layers attend globally
+    scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
 
     # Causality is computed in cache-SLOT space (uniform across the batch,
     # works with left padding); logical positions feed only RoPE/learned-pos.
@@ -716,6 +729,55 @@ def attention(
             kv_slot = jnp.arange(s)[None, :]               # [1, S]
             q_slot = (start + jnp.arange(t))[None, :, None]  # [1, T, 1]
             mask = kv_slot[:, None, :] <= q_slot           # [1, T, S]
+        # Decode fast path: Pallas flash-decode over the stacked cache —
+        # the layer index lives in the kernel's BlockSpec, so no per-layer
+        # cache slice or f32 key/value copy is ever materialized, and each
+        # grid step DMAs one contiguous [sblk, Hkv, D] cache span (see
+        # ops/pallas/flash_decode.py). Key validity must be expressible as
+        # per-row [lo, hi) bounds: causality gives hi = start + 1; a
+        # CONTIGUOUS left-pad mask gives lo (mask_contig is the caller's
+        # static promise — utils.generation builds masks by left-padding,
+        # so its decode steps always qualify).
+        if (
+            t == 1
+            and not kv_int8
+            and capture is None
+            and FLASH_DECODE != "0"
+            and backend != "xla"
+            and (FLASH_DECODE == "interpret" or jax.default_backend() == "tpu")
+            and cfg.pos_embedding != "alibi"
+            and cfg.attn_softcap is None
+            and window is None
+            and "adaption" not in bp
+            and (d % 128 == 0 or FLASH_DECODE == "interpret")
+            and (attn_mask is None or mask_contig)
+        ):
+            from ..ops.pallas import flash_decode as _fd
+
+            sblk = _fd.pick_sblk(
+                ck.shape[2], ck.shape[3], d, ck.dtype.itemsize)
+            if sblk is not None:
+                if attn_mask is None:
+                    lo = jnp.zeros((b,), jnp.int32)
+                else:  # first valid slot of the contiguous mask
+                    lo = jnp.argmax(
+                        attn_mask.astype(jnp.int32), axis=1).astype(jnp.int32)
+                hi = (start + 1).astype(jnp.int32)
+                if hi.ndim == 0:
+                    hi = jnp.broadcast_to(hi, (b,))
+                of = _fd.flash_decode(
+                    q[:, 0], ck, cv, lo, hi, layer=layer_idx,
+                    sm_scale=float(scale), sblk=sblk, hkv=hkv,
+                    interpret=FLASH_DECODE == "interpret",
+                )
+                of = of.reshape(b, 1, h * d).astype(x.dtype)
+                out = apply_linear(
+                    bp["o_proj"],
+                    _row_parallel_input(of, bp["o_proj"], cfg), backend)
+                if cfg.tp_axis is not None:
+                    out = jax.lax.psum(out, cfg.tp_axis)
+                return out, (ck, cv)
+
         # int8 cache: keys/values stay int8 here; the per-(token, head)
         # scales are folded into the attention dots below (logits *= k_scale
         # after the QK dot, probs *= v_scale before the PV dot) — exact
@@ -742,14 +804,9 @@ def attention(
         # attn_mask: [B, S] key-side validity (pads = 0)
         mask = mask & attn_mask[:, None, :].astype(bool)
 
-    window = cfg.sliding_window
-    if window is not None and cfg.sliding_window_every_other and layer_idx % 2 == 1:
-        window = None  # gemma2: odd layers attend globally
     if window is not None:
         kv_slot = jnp.arange(s)[None, None, :]
         mask = mask & (kv_slot > q_slot - window)
-
-    scale = cfg.attn_scale if cfg.attn_scale is not None else d ** -0.5
 
     # Prefill fast path: the Pallas flash-attention kernel avoids
     # materializing the T x S score matrix (the dominant prefill cost at
@@ -1061,6 +1118,7 @@ def block_forward(
     attn_mask: Optional[jnp.ndarray] = None,
     capture: Optional[dict] = None,
     fresh_prefill: bool = False,
+    mask_contig: bool = False,
 ):
     """One decoder block. Returns (hidden, (cache_k, cache_v) or None).
 
@@ -1077,7 +1135,7 @@ def block_forward(
         # reads the raw residual stream; the norm is applied after the add
         attn_out, kv = attention(
             bp["attn"], x, layer_idx, cache, positions, cfg, backend,
-            attn_mask, attn_cap, fresh_prefill,
+            attn_mask, attn_cap, fresh_prefill, mask_contig,
         )
         x = apply_norm(bp["input_norm"], x + attn_out, cfg)
         mlp_out = mlp(bp["mlp"], x, cfg, backend, mlp_cap)
@@ -1092,7 +1150,7 @@ def block_forward(
     h = apply_norm(bp["input_norm"], x, cfg)
     attn_out, kv = attention(
         bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask,
-        attn_cap, fresh_prefill,
+        attn_cap, fresh_prefill, mask_contig,
     )
     rs = cfg.residual_scale  # minicpm: scale_depth / sqrt(num_layers)
     if cfg.parallel_block:
@@ -1172,6 +1230,7 @@ def forward(
     dtype=jnp.bfloat16,
     fresh_prefill: bool = False,        # static: cache is known empty
     logits_last_only: bool = False,     # static: unembed only position T-1
+    mask_contig: bool = False,          # static: attn_mask is left-pad runs
 ):
     """Full forward. Returns (logits [B, T, V], new_cache or None).
 
@@ -1201,7 +1260,7 @@ def forward(
     for i, bp in enumerate(params["layers"]):
         x, kv = block_forward(
             bp, x, i, cur, positions, cfg, backend, attn_mask,
-            fresh_prefill=fresh_prefill,
+            fresh_prefill=fresh_prefill, mask_contig=mask_contig,
         )
         if cache is not None:
             cur = KVCache(

@@ -175,6 +175,7 @@ def _generate_greedy(
         logits, cache = arch.forward(
             params, cur_tok[:, None], cfg, cache=cache,
             positions=cur_pos[:, None], backend=backend, attn_mask=validity, dtype=dtype,
+            mask_contig=True,   # validity = left-pad run + appended ones
         )
         if temperature and temperature > 0.0:
             key, sub = jax.random.split(key)
@@ -412,6 +413,7 @@ def _generate_beam(
         logits, cache = arch.forward(
             params, cur_tok[:, None], cfg, cache=cache,
             positions=cur_pos[:, None], backend=backend, attn_mask=validity, dtype=dtype,
+            mask_contig=True,   # beam rows are gathered left-pad runs
         )
         lp = jax.nn.log_softmax(logits[:, -1, :].astype(jnp.float32))
         lp = mask_eos(lp, step).reshape(b, k, vocab)
