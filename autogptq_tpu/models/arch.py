@@ -144,6 +144,24 @@ FLASH_BLOCK = int(os.environ.get("AUTOGPTQ_TPU_FLASH_BLOCK", "512"))
 # "interpret" = run the kernel in interpret mode (CPU tests).
 FLASH_DECODE = os.environ.get("AUTOGPTQ_TPU_FLASH_DECODE", "1")
 
+# Fused norm+matmul for the decode step: the RMS norm feeding each
+# quantized q/k/v/gate/up runs inside the Pallas kernel (~6 us of per-op
+# latency per tiny [1, K] norm otherwise, x65 per decode token). "0" = off,
+# "1" = on where eligible (fine-grained gates live in quantlinear.matmul /
+# matmul_pallas, which fall back to an unfused norm elsewhere).
+FUSE_NORM = os.environ.get("AUTOGPTQ_TPU_FUSE_NORM", "0")
+
+
+def _prenorm_linear(node, x, norm_params, cfg, backend):
+    """apply_linear(node, apply_norm(norm, x)) with the norm fused into the
+    quantized decode kernel when the node/shape is eligible."""
+    if isinstance(node, qlin.QuantLinear):
+        return qlin.matmul(
+            x, node, backend,
+            prenorm=(norm_params["weight"], cfg.norm_eps, cfg.norm_plus_one),
+        )
+    return apply_linear(node, apply_norm(norm_params, x, cfg), backend)
+
 # A "linear" in a params tree is either a DenseLinear or a
 # quantlinear.QuantLinear; dispatch happens on node type at trace time.
 
@@ -589,6 +607,8 @@ def attention(
     fresh_prefill: bool = False,        # static: cache is known empty
     mask_contig: bool = False,          # static: attn_mask is a contiguous
                                         # left-pad run (enables flash-decode)
+    prenorm: Optional[dict] = None,     # input-norm params: x arrives RAW and
+                                        # the norm fuses into q/k/v (FUSE_NORM)
 ):
     b, t, _ = x.shape
     h, hkv, d = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -609,16 +629,20 @@ def attention(
         if capture is not None:
             capture["q_proj"] = capture["k_proj"] = capture["v_proj"] = x
 
+        if prenorm is not None:
+            _lin = lambda node, inp: _prenorm_linear(node, inp, prenorm, cfg, backend)
+        else:
+            _lin = lambda node, inp: apply_linear(node, inp, backend)
         if "qkv_proj" in bp:  # statically fused at load (params.fuse_qkv_gateup)
-            qkv = apply_linear(bp["qkv_proj"], x, backend)
+            qkv = _lin(bp["qkv_proj"], x)
             hq = h * d
             q = qkv[..., :hq].reshape(b, t, h, d)
             k = qkv[..., hq:hq + hkv * d].reshape(b, t, hkv, d)
             v = qkv[..., hq + hkv * d:].reshape(b, t, hkv, d)
         else:
-            q = apply_linear(bp["q_proj"], x, backend).reshape(b, t, h, d)
-            k = apply_linear(bp["k_proj"], x, backend).reshape(b, t, hkv, d)
-            v = apply_linear(bp["v_proj"], x, backend).reshape(b, t, hkv, d)
+            q = _lin(bp["q_proj"], x).reshape(b, t, h, d)
+            k = _lin(bp["k_proj"], x).reshape(b, t, hkv, d)
+            v = _lin(bp["v_proj"], x).reshape(b, t, hkv, d)
 
         if cfg.pos_embedding in ("rope", "rope_gptj"):
             q, k = apply_rope(q, k, positions, cfg)
@@ -960,21 +984,28 @@ def mlp(
     cfg: ArchConfig,
     backend: str = "auto",
     capture: Optional[dict] = None,
+    prenorm: Optional[dict] = None,     # post-norm params: x arrives RAW and
+                                        # the norm fuses into gate/up (FUSE_NORM)
 ) -> jnp.ndarray:
     if cfg.moe_num_experts > 0:
+        assert prenorm is None  # MoE routing needs the normed hidden
         return moe_mlp(bp, x, cfg, backend, capture)
+    if prenorm is not None:
+        _lin = lambda node, inp: _prenorm_linear(node, inp, prenorm, cfg, backend)
+    else:
+        _lin = lambda node, inp: apply_linear(node, inp, backend)
     if capture is not None:
         capture["up_proj"] = x
         if cfg.mlp_act.endswith("_glu"):
             capture["gate_proj"] = x
     if cfg.mlp_act.endswith("_glu"):
         if "gateup_proj" in bp:  # statically fused at load
-            gu = apply_linear(bp["gateup_proj"], x, backend)
+            gu = _lin(bp["gateup_proj"], x)
             half = gu.shape[-1] // 2
             gate, up = gu[..., :half], gu[..., half:]
         else:
-            gate = apply_linear(bp["gate_proj"], x, backend)
-            up = apply_linear(bp["up_proj"], x, backend)
+            gate = _lin(bp["gate_proj"], x)
+            up = _lin(bp["up_proj"], x)
         act = jax.nn.silu if cfg.mlp_act == "silu_glu" else jax.nn.gelu
         h = act(gate) * up
         if capture is not None:
@@ -983,7 +1014,7 @@ def mlp(
         if cfg.tp_axis is not None:
             y = jax.lax.psum(y, cfg.tp_axis)
         return y
-    h = apply_linear(bp["up_proj"], x, backend)
+    h = _lin(bp["up_proj"], x)
     if cfg.mlp_act == "gelu":
         h = jax.nn.gelu(h, approximate=False)
     elif cfg.mlp_act == "gelu_new":
@@ -1147,11 +1178,31 @@ def block_forward(
                 capture[f"mlp.{k}"] = v
         return x, kv
 
-    h = apply_norm(bp["input_norm"], x, cfg)
-    attn_out, kv = attention(
-        bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask,
-        attn_cap, fresh_prefill, mask_contig,
+    # Fused-norm decode: pass RAW x into attention/mlp with the norm params;
+    # the RMS norm runs inside the quantized kernels (FUSE_NORM knob). Only
+    # the standard sequential pre-norm block shape qualifies.
+    fuse_norm = (
+        FUSE_NORM != "0"
+        and cfg.norm_type == "rmsnorm"
+        and capture is None
+        and cache is not None
+        and x.shape[1] == 1
+        and not cfg.parallel_block
+        and cfg.attn_variant != "mla"
+        and cfg.moe_num_experts == 0
     )
+    if fuse_norm:
+        attn_out, kv = attention(
+            bp["attn"], x, layer_idx, cache, positions, cfg, backend,
+            attn_mask, attn_cap, fresh_prefill, mask_contig,
+            prenorm=bp["input_norm"],
+        )
+    else:
+        h = apply_norm(bp["input_norm"], x, cfg)
+        attn_out, kv = attention(
+            bp["attn"], h, layer_idx, cache, positions, cfg, backend, attn_mask,
+            attn_cap, fresh_prefill, mask_contig,
+        )
     rs = cfg.residual_scale  # minicpm: scale_depth / sqrt(num_layers)
     if cfg.parallel_block:
         h_mlp = apply_norm(bp["post_norm"], x, cfg) if cfg.parallel_norms else h
@@ -1163,8 +1214,12 @@ def block_forward(
         if cfg.post_sublayer_norms:  # gemma2 sandwich norms
             attn_out = apply_norm(bp["post_attn_norm"], attn_out, cfg)
         x = x + (attn_out if rs is None else attn_out * rs)
-        h2 = apply_norm(bp["post_norm"], x, cfg)
-        mlp_out = mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
+        if fuse_norm:
+            mlp_out = mlp(bp["mlp"], x, cfg, backend, mlp_cap,
+                          prenorm=bp["post_norm"])
+        else:
+            h2 = apply_norm(bp["post_norm"], x, cfg)
+            mlp_out = mlp(bp["mlp"], h2, cfg, backend, mlp_cap)
         if cfg.post_sublayer_norms:
             mlp_out = apply_norm(bp["post_ffn_norm"], mlp_out, cfg)
         x = x + (mlp_out if rs is None else mlp_out * rs)

@@ -329,20 +329,49 @@ def _ki32_decode_words(t):
     )
 
 
-def _kernel_ki32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill):
+def _prenorm_x(x_ref, xf_ref, nw_ref, eps, plus_one, dot_dtype):
+    """Fused RMS-norm prologue: normalize this grid step's x block using
+    row statistics from the FULL-K x operand (xf_ref — a constant-index
+    block that stays VMEM-resident across grid steps). Matches
+    arch.rms_norm bit-for-bit up to reduce ordering: f32 math, cast back
+    to the activation dtype, then to the dot dtype — exactly the value
+    the unfused path would feed the kernel."""
+    xf = xf_ref[...].astype(jnp.float32)                  # [bm, K]
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)                       # [bm, 1]
+    w = nw_ref[0].astype(jnp.float32)                     # [bk]
+    if plus_one:                                          # gemma (1 + w)
+        w = 1.0 + w
+    xn = x_ref[...].astype(jnp.float32) * rstd * w[None, :]
+    return xn.astype(x_ref.dtype).astype(dot_dtype)
+
+
+def _kernel_ki32(x_ref, *rest, rows_per_blk, gs, dot_dtype, prefill,
+                 norm_eps=0.0, norm_plus_one=False, prenorm=False):
     """i32-loaded 4-bit kernel — the fastest decode path (measured 15.7 us
     vs 19.2 for the byte-loaded kpair at 4096x4096 g128 M=1 on v5e). wp is
     int32 [BK/8, BN] in the per-group quarter-split layout; decode uses half
     the integer ops of kpair. Decode regime: per-group 4-part sublane concat
     + one gs-wide dot + the exact factored correction. Prefill: dequantize
-    every quarter once and contract the full BK in one MXU dot."""
+    every quarter once and contract the full BK in one MXU dot.
+
+    ``prenorm``: the RMS norm feeding this linear runs INSIDE the kernel
+    (extra operands: full-K x + norm weight) — each decode step otherwise
+    pays ~6 us of per-op latency per tiny [1, K] norm, x65 per token."""
+    if prenorm:
+        xf_ref, nw_ref, wp_ref, s_ref, z_ref, out_ref = rest
+    else:
+        wp_ref, s_ref, z_ref, out_ref = rest
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    xv = x_ref[...].astype(dot_dtype)
+    if prenorm:
+        xv = _prenorm_x(x_ref, xf_ref, nw_ref, norm_eps, norm_plus_one, dot_dtype)
+    else:
+        xv = x_ref[...].astype(dot_dtype)
     w0, w1, w2, w3 = _ki32_decode_words(wp_ref[...])
     q = gs // 4
     if prefill:
@@ -380,13 +409,14 @@ def _kernel_ki32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype", "norm_eps", "norm_plus_one")
 )
 def _matmul_ki32(
     x2d,
     wp,
     scales3,
     sz3,
+    norm_w=None,
     *,
     group_size,
     n_pad,
@@ -395,6 +425,8 @@ def _matmul_ki32(
     bm,
     bn,
     dot_dtype,
+    norm_eps=0.0,
+    norm_plus_one=False,
 ):
     m, k = x2d.shape
     gs = group_size if group_size != -1 else k
@@ -402,24 +434,40 @@ def _matmul_ki32(
     assert bk is not None, "unsupported shape for ki32 pallas kernel"
     bn = min(bn, n_pad)
     rows_per_blk = bk // gs          # whole groups per block by construction
+    prenorm = norm_w is not None
+    assert not (prenorm and m >= 32), "fused prenorm is decode-regime only"
 
     grid = (_cdiv(m, bm), _cdiv(n_pad, bn), k // bk)
     kernel = functools.partial(
         _kernel_ki32, rows_per_blk=rows_per_blk, gs=gs,
         dot_dtype=dot_dtype, prefill=m >= 32,
+        norm_eps=norm_eps, norm_plus_one=norm_plus_one, prenorm=prenorm,
     )
     flops = 2 * m * k * n_pad
     bytes_accessed = wp.size * 4 + m * k * x2d.dtype.itemsize + m * n_pad * 4
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d]
+    if prenorm:
+        # full-K x (constant block index: stays VMEM-resident) + norm weight
+        in_specs += [
+            pl.BlockSpec((bm, k), lambda mi, j, ki: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda mi, j, ki: (0, ki), memory_space=pltpu.VMEM),
+        ]
+        operands += [x2d, norm_w.reshape(1, k)]
+    in_specs += [
+        pl.BlockSpec((bk // 8, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+    ]
+    operands += [wp, scales3, sz3]
+
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 8, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
         ),
@@ -431,12 +479,13 @@ def _matmul_ki32(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x2d, wp, scales3, sz3)
+    )(*operands)
 
     return y[:, :out_features]
 
 
-def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_dtype, prefill, lin=False):
+def _kernel_kb32(x_ref, *rest, rows_per_blk, gs, dot_dtype, prefill, lin=False,
+                 norm_eps=0.0, norm_plus_one=False, prenorm=False):
     """Block-quarter-split 4-bit kernel ("kb32" layout). Same masked-word
     decode as ki32, but the quarter split is over the whole 1024-row K
     superblock instead of each group, so every group is a DIRECT static
@@ -450,14 +499,23 @@ def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_
     [1, BK/8, BN] slices of a linearized [(N/bn)*(K/bk), BK/8, BN] array
     whose blocks are CONTIGUOUS in HBM (Marlin's repack idea,
     marlin_repack.cu:8-92), turning the strided block-row DMA into a pure
-    sequential stream."""
+    sequential stream.
+
+    ``prenorm``: fused RMS-norm prologue (see _kernel_ki32)."""
+    if prenorm:
+        xf_ref, nw_ref, wp_ref, s_ref, z_ref, out_ref = rest
+    else:
+        wp_ref, s_ref, z_ref, out_ref = rest
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
 
-    xv = x_ref[...].astype(dot_dtype)
+    if prenorm:
+        xv = _prenorm_x(x_ref, xf_ref, nw_ref, norm_eps, norm_plus_one, dot_dtype)
+    else:
+        xv = x_ref[...].astype(dot_dtype)
     wv = wp_ref[0] if lin else wp_ref[...]
     ws = _ki32_decode_words(wv)            # 4 x [BK/4, BN], K-contiguous
     quarter = (rows_per_blk * gs) // 4
@@ -496,13 +554,14 @@ def _kernel_kb32(x_ref, wp_ref, s_ref, z_ref, out_ref, *, rows_per_blk, gs, dot_
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype")
+    jax.jit, static_argnames=("group_size", "n_pad", "out_features", "interpret", "bm", "bn", "dot_dtype", "norm_eps", "norm_plus_one")
 )
 def _matmul_kb32(
     x2d,
     wp,
     scales3,
     sz3,
+    norm_w=None,
     *,
     group_size,
     n_pad,
@@ -511,6 +570,8 @@ def _matmul_kb32(
     bm,
     bn,
     dot_dtype,
+    norm_eps=0.0,
+    norm_plus_one=False,
 ):
     m, k = x2d.shape
     gs = group_size if group_size != -1 else k
@@ -518,24 +579,40 @@ def _matmul_kb32(
     assert bk is not None, "unsupported shape for kb32 pallas kernel"
     bn = min(bn, n_pad)
     rows_per_blk = bk // gs          # whole groups per block by construction
+    prenorm = norm_w is not None
+    assert not (prenorm and m >= 32), "fused prenorm is decode-regime only"
 
     grid = (_cdiv(m, bm), _cdiv(n_pad, bn), k // bk)
     kernel = functools.partial(
         _kernel_kb32, rows_per_blk=rows_per_blk, gs=gs,
         dot_dtype=dot_dtype, prefill=m >= 32,
+        norm_eps=norm_eps, norm_plus_one=norm_plus_one, prenorm=prenorm,
     )
     flops = 2 * m * k * n_pad
     bytes_accessed = wp.size * 4 + m * k * x2d.dtype.itemsize + m * n_pad * 4
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
+    ]
+    operands = [x2d]
+    if prenorm:
+        # full-K x (constant block index: stays VMEM-resident) + norm weight
+        in_specs += [
+            pl.BlockSpec((bm, k), lambda mi, j, ki: (mi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk), lambda mi, j, ki: (0, ki), memory_space=pltpu.VMEM),
+        ]
+        operands += [x2d, norm_w.reshape(1, k)]
+    in_specs += [
+        pl.BlockSpec((bk // 8, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
+    ]
+    operands += [wp, scales3, sz3]
+
     y = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda mi, j, ki: (mi, ki), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // 8, bn), lambda mi, j, ki: (ki, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_blk, 1, bn), lambda mi, j, ki: (ki, 0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda mi, j, ki: (mi, j), memory_space=pltpu.VMEM
         ),
@@ -547,7 +624,7 @@ def _matmul_kb32(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=interpret,
-    )(x2d, wp, scales3, sz3)
+    )(*operands)
 
     return y[:, :out_features]
 
@@ -1503,6 +1580,17 @@ def _autotune_bench(ql: QuantLinear, m: int, bn: int):
     return one
 
 
+def rms_apply(x, w, eps, plus_one):
+    """Unfused RMS norm (matches models.arch.rms_norm exactly) — the
+    fallback when a prenorm request is not kernel-eligible."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    wf = w.astype(jnp.float32)
+    if plus_one:
+        wf = 1.0 + wf
+    return (xf * jax.lax.rsqrt(var + eps) * wf).astype(x.dtype)
+
+
 def matmul_pallas(
     x: jnp.ndarray,
     ql: QuantLinear,
@@ -1511,6 +1599,7 @@ def matmul_pallas(
     bm: int = 256,
     bnh: int = 1024,
     dot_dtype=jnp.bfloat16,
+    prenorm=None,
 ) -> jnp.ndarray:
     # bnh default 1024: for the kpair layout, narrower N tiles reduce VMEM
     # pressure (double-buffered wp + the bf16-decoded tile) and pipeline
@@ -1520,6 +1609,15 @@ def matmul_pallas(
     # DMAs strided; kpair rows are contiguous along N so 512KB blocks are
     # already DMA-efficient.
     """Fused quantized matmul. ``x``: [..., K] -> [..., N]."""
+    if prenorm is not None and (
+        ql.kperm is not None
+        or ql.layout not in ("kb32", "ki32")
+        or int(np.prod(x.shape[:-1])) >= 32
+        or prenorm[0].shape[-1] != x.shape[-1]
+    ):
+        # not kernel-eligible: apply the norm unfused and fall through
+        x = rms_apply(x, *prenorm)
+        prenorm = None
     if ql.kperm is not None:
         x = jnp.take(x, ql.kperm, axis=-1)
     batch_shape = x.shape[:-1]
@@ -1591,6 +1689,9 @@ def matmul_pallas(
     if ql.layout == "kb32":
         k_pad = ql.wp.shape[0] * 8
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            if prenorm is not None:   # norm weight length would mismatch
+                x2d = rms_apply(x2d, *prenorm)
+                prenorm = None
             x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
         n_loc = ql.wp.shape[1]
         y = _matmul_kb32(
@@ -1598,6 +1699,9 @@ def matmul_pallas(
             ql.wp,
             ql.scales,
             ql.zeros,
+            None if prenorm is None else prenorm[0],
+            norm_eps=0.0 if prenorm is None else float(prenorm[1]),
+            norm_plus_one=False if prenorm is None else bool(prenorm[2]),
             group_size=ql.group_size,
             n_pad=n_loc,
             out_features=min(ql.out_features, n_loc),
@@ -1617,6 +1721,9 @@ def matmul_pallas(
     if ql.layout == "ki32":
         k_pad = ql.wp.shape[0] * 8
         if k_pad != x2d.shape[-1]:  # load-time K padding: zero-pad x
+            if prenorm is not None:   # norm weight length would mismatch
+                x2d = rms_apply(x2d, *prenorm)
+                prenorm = None
             x2d = jnp.pad(x2d, ((0, 0), (0, k_pad - x2d.shape[-1])))
         n_loc = ql.wp.shape[1]
         y = _matmul_ki32(
@@ -1624,6 +1731,9 @@ def matmul_pallas(
             ql.wp,
             ql.scales,
             ql.zeros,
+            None if prenorm is None else prenorm[0],
+            norm_eps=0.0 if prenorm is None else float(prenorm[1]),
+            norm_plus_one=False if prenorm is None else bool(prenorm[2]),
             group_size=ql.group_size,
             n_pad=n_loc,
             out_features=min(ql.out_features, n_loc),

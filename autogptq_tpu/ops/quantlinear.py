@@ -783,7 +783,8 @@ def _matmul_vjp_bwd(backend, res, g):
 _matmul_vjp.defvjp(_matmul_vjp_fwd, _matmul_vjp_bwd)
 
 
-def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarray:
+def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto",
+           prenorm=None) -> jnp.ndarray:
     """Quantized matmul ``y = x @ dequant(W) + b``.
 
     backend: "auto" | "pallas" | "pallas_interpret" | "xla". "auto" uses the
@@ -795,7 +796,26 @@ def matmul(x: jnp.ndarray, ql: QuantLinear, backend: str = "auto") -> jnp.ndarra
     Differentiable w.r.t. ``x`` on EVERY backend via a custom VJP whose
     backward runs the fused transpose kernel (so LoRA/AdaLoRA training keeps
     the 4x kernel advantage instead of dropping to the XLA dequant path).
+
+    ``prenorm=(weight, eps, plus_one)`` applies an RMS norm to ``x`` first —
+    fused INTO the decode kernel when eligible (kb32/ki32 layout, decode
+    regime, no kperm), else computed unfused. Inference-only (the prenorm
+    path is outside the custom VJP).
     """
+    if prenorm is not None:
+        from .pallas import gemm as pallas_gemm
+
+        if backend != "xla" and (
+            backend in ("pallas", "pallas_interpret")
+            or pallas_gemm.supported(ql)
+        ):
+            # matmul_pallas resolves fine-grained eligibility itself and
+            # falls back to an unfused norm when the kernel can't fuse it
+            return pallas_gemm.matmul_pallas(
+                x, ql, interpret=(backend == "pallas_interpret"),
+                prenorm=prenorm,
+            )
+        x = pallas_gemm.rms_apply(x, *prenorm)
     return _matmul_vjp(x, ql, backend)
 
 
