@@ -690,12 +690,22 @@ def _generate_beam_paged(
         rows = jnp.arange(bk)
         page_of = tables[rows, pos // ps]
         off = pos % ps
+        # Fused norm+matmul (FUSE_NORM): same gating idea as block_forward —
+        # this inline loop is already restricted to the standard pre-norm
+        # rope decoder (_beam_paged_ok), so only the norm type matters.
+        fuse_norm = arch.FUSE_NORM != "0" and cfg.norm_type == "rmsnorm"
+        if fuse_norm:
+            _pn = lambda node, inp, np_: arch._prenorm_linear(
+                node, inp, np_, cfg, backend)
+        else:
+            _pn = lambda node, inp, np_: arch.apply_linear(
+                node, arch.apply_norm(np_, inp, cfg), backend)
         for idx, bp in enumerate(params["layers"]):
-            hidden = arch.apply_norm(bp["input_norm"], x, cfg)
             ap = bp["attn"]
-            q = arch.apply_linear(ap["q_proj"], hidden, backend).reshape(bk, 1, h, d)
-            kk = arch.apply_linear(ap["k_proj"], hidden, backend).reshape(bk, 1, hkv, d)
-            vv = arch.apply_linear(ap["v_proj"], hidden, backend).reshape(bk, 1, hkv, d)
+            inorm = bp["input_norm"]
+            q = _pn(ap["q_proj"], x, inorm).reshape(bk, 1, h, d)
+            kk = _pn(ap["k_proj"], x, inorm).reshape(bk, 1, hkv, d)
+            vv = _pn(ap["v_proj"], x, inorm).reshape(bk, 1, hkv, d)
             q, kk = arch.apply_rope(q, kk, pos[:, None], cfg)
             if cfg.logn_attn_seq_len is not None:
                 ln = jnp.maximum(
@@ -729,8 +739,12 @@ def _generate_beam_paged(
                              None, None, pos + 1, att_tables)
             of = of.reshape(bk, 1, h * d).astype(x.dtype)
             x = x + arch.apply_linear(ap["o_proj"], of, backend)
-            h2 = arch.apply_norm(bp["post_norm"], x, cfg)
-            x = x + arch.mlp(bp["mlp"], h2, cfg, backend)
+            if fuse_norm:
+                x = x + arch.mlp(bp["mlp"], x, cfg, backend,
+                                 prenorm=bp["post_norm"])
+            else:
+                h2 = arch.apply_norm(bp["post_norm"], x, cfg)
+                x = x + arch.mlp(bp["mlp"], h2, cfg, backend)
         logits = arch.unembed(params, x, cfg)[:, -1, :]
         return (k_pool, v_pool, ks_pool, vs_pool), logits
 

@@ -122,3 +122,20 @@ def test_generate_token_equality(rng):
         arch.qlin.matmul = orig
     assert calls, "fused-norm path never fired"
     np.testing.assert_array_equal(got, want)
+
+
+def test_beam_paged_token_equality(rng):
+    model = _Shim(layers=2)
+    prompts = [rng.integers(0, 255, size=n) for n in (4, 7)]
+    kw = dict(max_new_tokens=6, num_beams=2, eos_token_id=7)
+    generation.BEAM_PAGED = "always"
+    try:
+        arch.FUSE_NORM = "0"
+        jax.clear_caches()
+        want = generation.generate(model, prompts, **kw)
+        arch.FUSE_NORM = "1"
+        jax.clear_caches()
+        got = generation.generate(model, prompts, **kw)
+    finally:
+        generation.BEAM_PAGED = "auto"
+    np.testing.assert_array_equal(got, want)
