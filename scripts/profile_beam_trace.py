@@ -1,14 +1,14 @@
 """Capture a jax.profiler device trace of the paged beam-4 decode and dump
-per-op self-times (the honest step decomposition — the slope-timing
+per-op device self-times (the honest step decomposition — the slope-timing
 component probes mis-measure in-place update costs).
 
-    python scripts/profile_beam_trace.py [mode]   # mode: beam|batch8
+    python scripts/profile_beam_trace.py [mode] [new_tokens]   # mode: beam|batch8
 
-Parses the xplane locally via tensorboard_plugin_profile.
+Parses the xplane locally via scripts/xplane_util.py (the
+tensorboard_plugin_profile wrapper is broken in this environment).
 """
-import glob
-import os
 import sys
+import time
 
 sys.path.insert(0, ".")
 import numpy as np
@@ -17,8 +17,16 @@ import jax
 import bench
 from autogptq_tpu.utils import generation
 
+sys.path.insert(0, "scripts")
+from xplane_util import print_report
+
 MODE = sys.argv[1] if len(sys.argv) > 1 else "beam"
-LOGDIR = f"/tmp/trace_{MODE}"
+NEW = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+import os as _os
+
+# Unique per process: a reused dir would make xplane_util sum this run
+# with stale snapshots (it globs recursively).
+LOGDIR = f"/tmp/trace_{MODE}-{_os.getpid()}"
 
 params, cfg = bench.build_model()
 model = bench._Shim(params, cfg)
@@ -30,49 +38,22 @@ else:
     kw = {}
 
 # compile everything first so the trace holds only steady-state steps
-out = generation.generate(model, prompt, max_new_tokens=64, **kw)
+out = generation.generate(model, prompt, max_new_tokens=NEW, **kw)
 print("warmup done", out.shape, flush=True)
+t0 = time.perf_counter()
+out = generation.generate(model, prompt, max_new_tokens=NEW, **kw)
+np.asarray(out[:1, :1])
+wall = time.perf_counter() - t0
+print(f"steady-state: {NEW/wall:.1f} step-tok/s ({wall/NEW*1e3:.2f} ms/step)",
+      flush=True)
 
 with jax.profiler.trace(LOGDIR):
-    out = generation.generate(model, prompt, max_new_tokens=64, **kw)
+    out = generation.generate(model, prompt, max_new_tokens=NEW, **kw)
     np.asarray(out[:1, :1])
 print("trace captured", flush=True)
 
-# ---- parse: per-op self time on the device plane ----
-from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-files = glob.glob(f"{LOGDIR}/**/*.xplane.pb", recursive=True)
-print("xplane files:", files, flush=True)
-params_tool = {"tqx": "out:csv;"}
-csv, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", params_tool)
-if isinstance(csv, bytes):
-    csv = csv.decode()
-lines = csv.splitlines()
-print(lines[0], flush=True)
-import csv as _csv
-
-rows = list(_csv.reader(lines))
-hdr = rows[0]
-
-
-def col(name):
-    return hdr.index(name)
-
-
-try:
-    i_name, i_total = col("Operation"), col("Total self-time (us)")
-except ValueError:
-    print("columns:", hdr, flush=True)
-    i_name = 1
-    i_total = next(i for i, h in enumerate(hdr) if "self" in h.lower())
-data = []
-for r in rows[1:]:
-    try:
-        data.append((float(r[i_total]), r[i_name]))
-    except (ValueError, IndexError):
-        continue
-data.sort(reverse=True)
-tot = sum(t for t, _ in data)
-print(f"total self-time {tot/1e3:.1f} ms over trace")
-for t, name in data[:30]:
-    print(f"{t/1e3:9.3f} ms  {100*t/tot:5.1f}%  {name[:90]}")
+rows = print_report(LOGDIR, top=45)
+tot_ms = sum(t for t, _, _ in rows) / 1e3
+print(f"\nper-step device time: {tot_ms/NEW:.3f} ms "
+      f"(wall {wall/NEW*1e3:.2f} ms) -> idle/dispatch gap "
+      f"{(wall*1e3 - tot_ms)/NEW:.3f} ms/step")

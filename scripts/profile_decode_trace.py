@@ -17,7 +17,11 @@ sys.path.insert(0, "scripts")
 from xplane_util import print_report
 
 NEW = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-LOGDIR = "/tmp/trace_decode32"
+# Unique per process: jax.profiler.trace adds a snapshot per run and
+# xplane_util globs recursively — a reused dir sums unrelated runs.
+import os as _os
+
+LOGDIR = f"/tmp/trace_decode32-{_os.getpid()}"
 
 params, cfg = bench._build_with_knobs()
 model = bench._Shim(params, cfg)
