@@ -64,14 +64,16 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
         d = q_ref.shape[-1]
         cols = hkv * ps
         q = q_ref[0].astype(jnp.float32)                      # [h_pad, D]
-        kf3 = k_ref[0].astype(jnp.float32)                    # [hkv, ps, D]
+        # block rank differs between per-layer [P,...] pools (leading 1) and
+        # stacked [L, P, ...] pools (leading 1, 1) — reshape normalizes
+        kf3 = k_ref[...].reshape(hkv, ps, d).astype(jnp.float32)
         if quantized:  # int8 pages, per-(page, head, position) scales
             # scales arrive [hkv, ps] (3-D pool blocks: a (1, N)-block over a
             # 2-D (P, N) pool is NOT liftable on real TPU hardware — the
             # second-to-last block dim must divide 8 or equal the array's);
             # apply them BEFORE the [hkv, ps, D] -> [cols, D] collapse so no
             # sublane->lane reshape of the scale vector is ever needed
-            kf3 = kf3 * (ks_ref[0][..., None] * (1.0 / 127.5))
+            kf3 = kf3 * (ks_ref[...].reshape(hkv, ps)[..., None] * (1.0 / 127.5))
         kf = kf3.reshape(cols, d)
         s = jax.lax.dot_general(
             q, kf, (((1,), (1,)), ((), ())),
@@ -89,9 +91,9 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)                       # [h_pad, 1]
-        vf3 = v_ref[0].astype(jnp.float32)
+        vf3 = v_ref[...].reshape(hkv, ps, d).astype(jnp.float32)
         if quantized:
-            vf3 = vf3 * (vs_ref[0][..., None] * (1.0 / 127.5))
+            vf3 = vf3 * (vs_ref[...].reshape(hkv, ps)[..., None] * (1.0 / 127.5))
         vf = vf3.reshape(cols, d)
         pv = jax.lax.dot_general(
             p, vf, (((1,), (0,)), ((), ())),
@@ -110,25 +112,34 @@ def _mh_kernel(lengths_ref, tables_ref, q_ref, k_ref, v_ref, *rest,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret", "layer"))
 def paged_attention_mh(
     q: jnp.ndarray,        # [B, H, D] one query token per row
-    k_pages: jnp.ndarray,  # [P, Hkv, ps, D] page-major pool
-    v_pages: jnp.ndarray,  # [P, Hkv, ps, D]
+    k_pages: jnp.ndarray,  # [P, Hkv, ps, D] page-major pool, or [L, P, ...]
+    v_pages: jnp.ndarray,  #   with layer=<static int> (stacked pools)
     lengths: jnp.ndarray,  # [B] int32 valid tokens per row
     tables: jnp.ndarray,   # [B, W] int32 page ids (W = the live window)
-    k_scales: jnp.ndarray | None = None,   # [P, Hkv, ps] f32 (int8 pools)
+    k_scales: jnp.ndarray | None = None,   # [(L,) P, Hkv, ps] f32 (int8)
     v_scales: jnp.ndarray | None = None,
     *,
     sm_scale: float,
     interpret: bool = False,
+    layer: int | None = None,
 ) -> jnp.ndarray:
     """Returns [B, H, D] attention outputs. ``tables``'s width W bounds the
     pages read per row — slice it to the live window before calling. int8
     pools pass per-(page, head, position) ``k_scales``/``v_scales``
-    (dequant = q * s / 127.5, the serving int8 convention)."""
+    (dequant = q * s / 127.5, the serving int8 convention).
+
+    Stacked pools: pass the full [L, P, Hkv, ps, D] pool with a static
+    ``layer`` — the layer is baked into the BlockSpec index_map, so no
+    [P, ...] slice is ever materialized (a per-layer slice of a 256-token
+    beam pool profiled at 0.85 ms/step across 32 layers x 2 pools)."""
     b, h, d = q.shape
-    n_pages, hkv, ps, _ = k_pages.shape
+    stacked = k_pages.ndim == 5
+    if stacked and layer is None:
+        raise ValueError("layer= is required for stacked [L, P, ...] pools")
+    hkv, ps = k_pages.shape[-3], k_pages.shape[-2]
     w_total = tables.shape[1]
     rep = h // hkv
     h_pad = max(8, -(-h // 8) * 8)
@@ -141,9 +152,22 @@ def paged_attention_mh(
         scale=float(sm_scale), w_total=w_total, quantized=quantized,
     )
     grid = (b, w_total)
-    page_spec = pl.BlockSpec(
-        (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
-    )
+    if stacked:
+        lyr = int(layer)
+        page_spec = pl.BlockSpec(
+            (1, 1, hkv, ps, d),
+            lambda b_, w_, L, T: (lyr, T[b_, w_], 0, 0, 0),
+        )
+        scale_spec = pl.BlockSpec(
+            (1, 1, hkv, ps), lambda b_, w_, L, T: (lyr, T[b_, w_], 0, 0)
+        )
+    else:
+        page_spec = pl.BlockSpec(
+            (1, hkv, ps, d), lambda b_, w_, L, T: (T[b_, w_], 0, 0, 0)
+        )
+        scale_spec = pl.BlockSpec(
+            (1, hkv, ps), lambda b_, w_, L, T: (T[b_, w_], 0, 0)
+        )
     in_specs = [
         pl.BlockSpec((1, h_pad, d), lambda b_, w_, L, T: (b_, 0, 0)),
         page_spec,
@@ -152,9 +176,6 @@ def paged_attention_mh(
     operands = [lengths.astype(jnp.int32), tables.astype(jnp.int32),
                 q, k_pages, v_pages]
     if quantized:
-        scale_spec = pl.BlockSpec(
-            (1, hkv, ps), lambda b_, w_, L, T: (T[b_, w_], 0, 0)
-        )
         in_specs += [scale_spec, scale_spec]
         operands += [k_scales, v_scales]
     out = pl.pallas_call(
@@ -277,6 +298,81 @@ def write_token_pages_kernel(k_pool, v_pool, layer: int, page_of, off,
     )(page_of.astype(jnp.int32), off.astype(jnp.int32),
       k_pool, v_pool,
       krows.astype(k_pool.dtype), vrows.astype(v_pool.dtype))
+
+
+def _gather_pages_kernel(src_ref, kin, vin, kout, vout):
+    del src_ref
+    kout[...] = kin[...]
+    vout[...] = vin[...]
+
+
+def _scatter_pages_kernel(dst_ref, kpg, vpg, kin, vin, kout, vout):
+    del dst_ref, kin, vin   # pool inputs exist only for the aliasing
+    kout[...] = kpg[...]
+    vout[...] = vpg[...]
+
+
+def copy_pages_pair(k_pool, v_pool, src, dst, *, interpret: bool = False):
+    """``pool[:, dst[i]] = pool[:, src[i]]`` for BOTH pools, as two aliased
+    Pallas calls: gather every src page into a compact [L, n, ...] buffer
+    (all reads see the PRE-copy pools), then scatter it at ``dst``.
+
+    Exists because the dynamic-slice + dynamic-update-slice form reads and
+    writes the same buffer, which defeats XLA's in-place buffer assignment
+    for the scan carry: the fused slice/update writes a fresh buffer and
+    XLA restores the carry with a FULL-POOL copy — profiled at 4 x ~0.9 ms
+    per beam-4 step on 256-token pools (the dominant beam-search cost,
+    scaling with pool size). The scatter call aliases the pools
+    (input_output_aliases), so only the n dst pages move. dst entries are
+    unique (each beam's own page); src may alias another copy's dst, which
+    the gather-first phase makes safe."""
+    L, P, hkv, ps, d = k_pool.shape
+    n = int(src.shape[0])
+    grid = (n, L)
+    page_blk = (1, 1, hkv, ps, d)
+
+    def _pool_at(sel):
+        return pl.BlockSpec(page_blk, lambda i, l, S: (l, sel(S, i), 0, 0, 0))
+
+    def _compact():
+        return pl.BlockSpec(page_blk, lambda i, l, S: (l, i, 0, 0, 0))
+
+    pages_shape = jax.ShapeDtypeStruct((L, n, hkv, ps, d), k_pool.dtype)
+    kpg, vpg = pl.pallas_call(
+        _gather_pages_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[_pool_at(lambda S, i: S[i]), _pool_at(lambda S, i: S[i])],
+            out_specs=[_compact(), _compact()],
+        ),
+        out_shape=[pages_shape, pages_shape],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(src.astype(jnp.int32), k_pool, v_pool)
+
+    pool_shape = jax.ShapeDtypeStruct(k_pool.shape, k_pool.dtype)
+    return pl.pallas_call(
+        _scatter_pages_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                _compact(), _compact(),
+                _pool_at(lambda S, i: S[i]), _pool_at(lambda S, i: S[i]),
+            ],
+            out_specs=[_pool_at(lambda S, i: S[i]),
+                       _pool_at(lambda S, i: S[i])],
+        ),
+        out_shape=[pool_shape, pool_shape],
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(dst.astype(jnp.int32), kpg, vpg, k_pool, v_pool)
 
 
 def copy_pages(pool, src, dst):

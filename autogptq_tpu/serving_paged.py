@@ -529,7 +529,10 @@ class PagedContinuousBatchEngine:
 
     # -- decode ----------------------------------------------------------
 
-    def _attend(self, q, kp, vp, lengths, tables, scale):
+    def _attend(self, q, kp, vp, lengths, tables, scale, layer):
+        """kp/vp are the FULL stacked [L, P, ...] pools; the kernel bakes
+        ``layer`` into its index_map (a per-layer [P, ...] slice costs a
+        pool-sized copy per layer per step). The jnp reference slices."""
         from .ops.pallas.paged_attn import (
             paged_attention_mh,
             paged_attention_mh_ref,
@@ -538,10 +541,10 @@ class PagedContinuousBatchEngine:
         if self.use_kernel:  # True on TPU; "interpret" = real kernel on CPU
             return paged_attention_mh(
                 q, kp, vp, lengths, tables, sm_scale=float(scale),
-                interpret=self.use_kernel == "interpret",
+                interpret=self.use_kernel == "interpret", layer=layer,
             )
         return paged_attention_mh_ref(
-            q, kp, vp, lengths, tables, sm_scale=float(scale))
+            q, kp[layer], vp[layer], lengths, tables, sm_scale=float(scale))
 
     def _decode_step_fn(self, sampling: bool):
         fn = self._decode_fns.get(sampling)
@@ -593,8 +596,8 @@ class PagedContinuousBatchEngine:
                         v_pages = write_token_pages(
                             v_pages, idx, page_of, off, vv[:, 0])
                     of = self._attend(
-                        q[:, 0], k_pages[idx], v_pages[idx],
-                        lengths + 1, tables, scale,
+                        q[:, 0], k_pages, v_pages,
+                        lengths + 1, tables, scale, idx,
                     ).reshape(b, 1, h * d).astype(x.dtype)
                     attn_out = arch.apply_linear(ap["o_proj"], of, model.backend)
                     x = x + attn_out
@@ -672,8 +675,8 @@ class PagedContinuousBatchEngine:
                             v_pages = write_token_pages(
                                 v_pages, idx, page_of, off, vv[:, 0])
                         of = self._attend(
-                            q[:, 0], k_pages[idx], v_pages[idx],
-                            lengths + 1, tables, scale,
+                            q[:, 0], k_pages, v_pages,
+                            lengths + 1, tables, scale, idx,
                         ).reshape(b, 1, h * d).astype(x.dtype)
                         x = x + arch.apply_linear(ap["o_proj"], of, model.backend)
                         h2 = arch.apply_norm(bp["post_norm"], x, cfg)

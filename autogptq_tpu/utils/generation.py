@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -21,6 +22,20 @@ from ..models import arch
 from ..models.arch import KVCache
 
 NEG_INF = -1e30
+
+# Whole-program jit for generate(): without it the prefill forward and the
+# inter-phase cache slice/merge dispatch op-by-op and every phase scan is a
+# separate executable launch — through the remote-TPU tunnel that measured
+# ~0.4 ms/token of device idle between launches. One jit = one launch per
+# generate() call. "0" restores per-op dispatch (debugging knob).
+JIT_GENERATE = os.environ.get("AUTOGPTQ_TPU_JIT_GENERATE", "1") != "0"
+
+
+def _maybe_jit(**jit_kwargs):
+    """jax.jit under the JIT_GENERATE knob (identity decorator when off)."""
+    if JIT_GENERATE:
+        return functools.partial(jax.jit, **jit_kwargs)
+    return lambda fn: fn
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -113,6 +128,13 @@ def _merge_cache(full: KVCache, part: KVCache) -> KVCache:
     jax.jit,
     static_argnames=(
         "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype", "kv_quant", "pad_token_id", "phased",
+    ),
+)
+@_maybe_jit(
+    static_argnames=(
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id",
+        "temperature", "backend", "dtype", "kv_quant", "pad_token_id",
+        "phased",
     ),
 )
 def _generate_greedy(
@@ -501,6 +523,14 @@ def _beam_paged_ok(model) -> bool:
         "num_return_sequences", "page_size", "use_kernel", "phased",
     ),
 )
+@_maybe_jit(
+    static_argnames=(
+        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id",
+        "num_beams", "backend", "dtype", "kv_quant", "length_penalty",
+        "early_stopping", "num_return_sequences", "page_size", "use_kernel",
+        "phased",
+    ),
+)
 def _generate_beam_paged(
     params,
     tokens,           # [B, T]
@@ -638,9 +668,21 @@ def _generate_beam_paged(
     bdst = g0 + jnp.arange(bk) * gmax
 
     from ..ops.pallas.paged_attn import copy_pages as _copy_pages
+    from ..ops.pallas.paged_attn import copy_pages_pair as _copy_pages_pair
 
-    k_pool = _copy_pages(k_pool, bsrc, bdst)
-    v_pool = _copy_pages(v_pool, bsrc, bdst)
+    def _copy_kv(kp, vp, src, dst):
+        """Page copy-on-share for the two big K/V pools: the aliased Pallas
+        pair on TPU (a dus-chain copy defeats in-place carry assignment —
+        XLA restores the scan carry with FULL-POOL copies, ~3.5 ms/step at
+        256-token beam-4 pools), dus chains elsewhere. The width-1 scale
+        pools stay on the dus path (1-lane Pallas blocks are a known
+        Mosaic hazard; the pools are 1/64th the size)."""
+        if use_kernel:
+            return _copy_pages_pair(kp, vp, src, dst,
+                                    interpret=use_kernel == "interpret")
+        return _copy_pages(kp, src, dst), _copy_pages(vp, src, dst)
+
+    k_pool, v_pool = _copy_kv(k_pool, v_pool, bsrc, bdst)
     if kv_quant:
         ks_pool = _copy_pages(ks_pool, bsrc, bdst)
         vs_pool = _copy_pages(vs_pool, bsrc, bdst)
@@ -667,18 +709,26 @@ def _generate_beam_paged(
     out0 = out0.at[:, :, 0].set(top_tok)
     cur_tok0 = top_tok.reshape(bk)
 
-    def _attend(q, kp, vp, ksp, vsp, lengths, tables):
-        # [P, hkv, ps]: the kernel's scale blocks must stay 3-D — a (1, N)
-        # block over a 2-D (P, N) pool is unliftable on real TPU hardware
-        ks = None if ksp is None else ksp.reshape(n_pages, hkv, ps)
-        vs = None if vsp is None else vsp.reshape(n_pages, hkv, ps)
+    def _attend(q, kp, vp, ksp, vsp, lengths, tables, layer):
+        # kp/vp/ksp/vsp are the FULL stacked [L, P, ...] pools; the kernel
+        # bakes ``layer`` into its index_map so no per-layer [P, ...] slice
+        # is materialized (0.85 ms/step across 32 layers x 2 pools at
+        # 256-token beam pools). The jnp reference path slices — it exists
+        # for CPU exactness tests where the copies are irrelevant.
+        # Scale blocks must stay >=3-D: a (1, N) block over a 2-D (P, N)
+        # pool is unliftable on real TPU hardware.
         if use_kernel:  # True on TPU; "interpret" runs the REAL kernel on CPU
+            ks = None if ksp is None else ksp.reshape(L, n_pages, hkv, ps)
+            vs = None if vsp is None else vsp.reshape(L, n_pages, hkv, ps)
             return paged_attention_mh(
                 q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale),
-                interpret=use_kernel == "interpret",
+                interpret=use_kernel == "interpret", layer=layer,
             )
+        ks = None if ksp is None else ksp[layer].reshape(n_pages, hkv, ps)
+        vs = None if vsp is None else vsp[layer].reshape(n_pages, hkv, ps)
         return paged_attention_mh_ref(
-            q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale))
+            q, kp[layer], vp[layer], lengths, tables, ks, vs,
+            sm_scale=float(scale))
 
     def _fwd_step(pools, tables, cur_tok, pos, wb):
         """One decode token per beam over the paged pools; writes the token's
@@ -722,8 +772,8 @@ def _generate_beam_paged(
                 v_pool = _write_pages(v_pool, idx, page_of, off, vq)
                 ks_pool = _write_pages(ks_pool, idx, page_of, off, ksc)
                 vs_pool = _write_pages(vs_pool, idx, page_of, off, vsc)
-                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
-                             ks_pool[idx], vs_pool[idx], pos + 1, att_tables)
+                of = _attend(q[:, 0], k_pool, v_pool,
+                             ks_pool, vs_pool, pos + 1, att_tables, idx)
             else:
                 if use_kernel:  # aliased Pallas write: keeps the pools'
                     # default layout (any XLA write lowering gives them a
@@ -735,8 +785,8 @@ def _generate_beam_paged(
                 else:
                     k_pool = _write_pages(k_pool, idx, page_of, off, kk[:, 0])
                     v_pool = _write_pages(v_pool, idx, page_of, off, vv[:, 0])
-                of = _attend(q[:, 0], k_pool[idx], v_pool[idx],
-                             None, None, pos + 1, att_tables)
+                of = _attend(q[:, 0], k_pool, v_pool,
+                             None, None, pos + 1, att_tables, idx)
             of = of.reshape(bk, 1, h * d).astype(x.dtype)
             x = x + arch.apply_linear(ap["o_proj"], of, backend)
             if fuse_norm:
@@ -783,8 +833,7 @@ def _generate_beam_paged(
         nc_vec = next_pos // ps             # next write ordinal [bk]
         psrc = tables[jnp.arange(bk), nc_vec]             # parent's page
         pdst = bdst + (nc_vec - c0)                       # own page, same ord
-        k_pool = _copy_pages(k_pool, psrc, pdst)
-        v_pool = _copy_pages(v_pool, psrc, pdst)
+        k_pool, v_pool = _copy_kv(k_pool, v_pool, psrc, pdst)
         if kv_quant:
             ks_pool = _copy_pages(ks_pool, psrc, pdst)
             vs_pool = _copy_pages(vs_pool, psrc, pdst)

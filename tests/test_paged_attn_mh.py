@@ -156,3 +156,76 @@ def test_write_token_pages_kernel(rng, dtype, d):
         ref_v = pool_v.at[layer, page_of, :, off].set(rows_v)
         np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
         np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
+def test_mh_kernel_stacked_pools_layer_indexmap(rng):
+    """5-D [L, P, ...] pools with a static layer= must equal slicing the
+    layer out first (the stacked form avoids materializing the slice)."""
+    b, h, hkv, d, ps, w, L = 2, 8, 4, 128, 16, 4, 3
+    q, kp, vp, lengths, tables = _setup(
+        rng, b, h, hkv, d, ps, n_pages=9, w=w, max_len=w * ps)
+    kst = jnp.stack([kp, kp * 0.5, kp + 0.1])
+    vst = jnp.stack([vp + 0.2, vp, vp * 2.0])
+    for layer in range(L):
+        ref = paged_attn.paged_attention_mh(
+            q, kst[layer], vst[layer], lengths, tables,
+            sm_scale=d ** -0.5, interpret=True)
+        got = paged_attn.paged_attention_mh(
+            q, kst, vst, lengths, tables, sm_scale=d ** -0.5,
+            interpret=True, layer=layer)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_mh_kernel_stacked_pools_quantized(rng):
+    """Stacked int8 pools + [L, P, hkv, ps] scales through layer=."""
+    b, h, hkv, d, ps, w, L = 2, 4, 2, 128, 16, 3, 2
+    q, kp, vp, lengths, tables = _setup(
+        rng, b, h, hkv, d, ps, n_pages=7, w=w, max_len=w * ps)
+    kq = jnp.clip(jnp.rint(kp * 100), -127, 127).astype(jnp.int8)
+    vq = jnp.clip(jnp.rint(vp * 100), -127, 127).astype(jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.5, 2.0, kq.shape[:-1]), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.5, 2.0, vq.shape[:-1]), jnp.float32)
+    kst, vst = jnp.stack([kq, vq]), jnp.stack([vq, kq])
+    kss, vss = jnp.stack([ks, vs]), jnp.stack([vs, ks])
+    for layer in range(L):
+        ref = paged_attn.paged_attention_mh(
+            q, kst[layer], vst[layer], lengths, tables, kss[layer],
+            vss[layer], sm_scale=d ** -0.5, interpret=True)
+        got = paged_attn.paged_attention_mh(
+            q, kst, vst, lengths, tables, kss, vss, sm_scale=d ** -0.5,
+            interpret=True, layer=layer)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_copy_pages_pair_matches_copy_pages(rng):
+    """The aliased Pallas gather/scatter pair must equal the dus-chain
+    copy_pages for BOTH pools, including the hazard case where one copy's
+    src equals another copy's dst (reads must see the pre-copy pools)."""
+    L, P, hkv, ps, d, n = 3, 11, 2, 16, 128, 4
+    kp = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, P, hkv, ps, d)), jnp.float32)
+    # dst unique; src[2] == dst[0] (hazard), src[3] == src[1] (shared parent)
+    src = jnp.asarray([5, 6, 8, 6], jnp.int32)
+    dst = jnp.asarray([8, 2, 9, 4], jnp.int32)
+    ref_k = paged_attn.copy_pages(kp, src, dst)
+    ref_v = paged_attn.copy_pages(vp, src, dst)
+    got_k, got_v = paged_attn.copy_pages_pair(kp, vp, src, dst,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+
+
+def test_copy_pages_pair_int8(rng):
+    L, P, hkv, ps, d, n = 2, 7, 2, 16, 128, 3
+    kp = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
+    vp = jnp.asarray(rng.integers(-127, 128, (L, P, hkv, ps, d)), jnp.int8)
+    src = jnp.asarray([1, 4, 4], jnp.int32)
+    dst = jnp.asarray([4, 2, 6], jnp.int32)
+    ref_k = paged_attn.copy_pages(kp, src, dst)
+    ref_v = paged_attn.copy_pages(vp, src, dst)
+    got_k, got_v = paged_attn.copy_pages_pair(kp, vp, src, dst,
+                                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
