@@ -216,9 +216,22 @@ def write_token_pages(pool, layer: int, page_of, off, rows):
     """Write one token's rows into a page-major pool, per sequence:
     ``pool[layer, page_of[b], :, off[b]] = rows[b]``.
 
-    ``rows``: [B, hkv, d_or_1]; ``page_of``/``off``: [B] int32 (each
-    sequence owns its current page, so the updates never alias). Strategy
-    selected by AUTOGPTQ_TPU_POOL_WRITE (see _POOL_WRITE above)."""
+    5-D pools take ``rows`` [B, hkv, d_or_1]; 4-D [L, P, hkv, ps] pools
+    (the beam int8 SCALE pools — stored without the trailing 1 so the
+    attention kernel never needs a full-pool squeeze-reshape) take
+    [B, hkv]. ``page_of``/``off``: [B] int32 (each sequence owns its
+    current page, so the updates never alias). Strategy selected by
+    AUTOGPTQ_TPU_POOL_WRITE (see _POOL_WRITE above)."""
+    if pool.ndim == 4:
+        if rows.ndim == 3:  # callers may pass [B, hkv, 1] scale rows
+            rows = rows[..., 0]
+        b = rows.shape[0]
+        r4 = rows[:, None, None, :, None].astype(pool.dtype)  # [B,1,1,hkv,1]
+        zero = jnp.int32(0)
+        for i in range(b):
+            pool = jax.lax.dynamic_update_slice(
+                pool, r4[i], (jnp.int32(layer), page_of[i], zero, off[i]))
+        return pool
     strategy = _POOL_WRITE
     if strategy == "auto":
         strategy = (

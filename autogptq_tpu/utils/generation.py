@@ -633,15 +633,18 @@ def _generate_beam_paged(
     L = cfg.num_layers
     k_pool = jnp.zeros((L, n_pages, hkv, ps, d), cache_dtype)
     v_pool = jnp.zeros((L, n_pages, hkv, ps, d), cache_dtype)
-    ks_pool = jnp.ones((L, n_pages, hkv, ps, 1), jnp.float32) if kv_quant else None
-    vs_pool = jnp.ones((L, n_pages, hkv, ps, 1), jnp.float32) if kv_quant else None
+    # Scale pools are 4-D [L, P, hkv, ps] (no trailing 1): the attention
+    # kernel's scale blocks are [hkv, ps], and squeezing a 5-D pool per
+    # layer per step relayouts the whole pool
+    ks_pool = jnp.ones((L, n_pages, hkv, ps), jnp.float32) if kv_quant else None
+    vs_pool = jnp.ones((L, n_pages, hkv, ps), jnp.float32) if kv_quant else None
     if kv_quant:
         kq, ksc = _quant(_to_pages(cache_b.k))
         vq, vsc = _quant(_to_pages(cache_b.v))
         k_pool = k_pool.at[:, 1:g0].set(kq)
         v_pool = v_pool.at[:, 1:g0].set(vq)
-        ks_pool = ks_pool.at[:, 1:g0].set(ksc)
-        vs_pool = vs_pool.at[:, 1:g0].set(vsc)
+        ks_pool = ks_pool.at[:, 1:g0].set(ksc[..., 0])
+        vs_pool = vs_pool.at[:, 1:g0].set(vsc[..., 0])
     else:
         k_pool = k_pool.at[:, 1:g0].set(_to_pages(cache_b.k).astype(cache_dtype))
         v_pool = v_pool.at[:, 1:g0].set(_to_pages(cache_b.v).astype(cache_dtype))
@@ -718,14 +721,12 @@ def _generate_beam_paged(
         # Scale blocks must stay >=3-D: a (1, N) block over a 2-D (P, N)
         # pool is unliftable on real TPU hardware.
         if use_kernel:  # True on TPU; "interpret" runs the REAL kernel on CPU
-            ks = None if ksp is None else ksp.reshape(L, n_pages, hkv, ps)
-            vs = None if vsp is None else vsp.reshape(L, n_pages, hkv, ps)
             return paged_attention_mh(
-                q, kp, vp, lengths, tables, ks, vs, sm_scale=float(scale),
+                q, kp, vp, lengths, tables, ksp, vsp, sm_scale=float(scale),
                 interpret=use_kernel == "interpret", layer=layer,
             )
-        ks = None if ksp is None else ksp[layer].reshape(n_pages, hkv, ps)
-        vs = None if vsp is None else vsp[layer].reshape(n_pages, hkv, ps)
+        ks = None if ksp is None else ksp[layer]
+        vs = None if vsp is None else vsp[layer]
         return paged_attention_mh_ref(
             q, kp[layer], vp[layer], lengths, tables, ks, vs,
             sm_scale=float(scale))
