@@ -124,12 +124,6 @@ def _merge_cache(full: KVCache, part: KVCache) -> KVCache:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "temperature", "backend", "dtype", "kv_quant", "pad_token_id", "phased",
-    ),
-)
 @_maybe_jit(
     static_argnames=(
         "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id",
@@ -515,14 +509,6 @@ def _beam_paged_ok(model) -> bool:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id", "num_beams",
-        "backend", "dtype", "kv_quant", "length_penalty", "early_stopping",
-        "num_return_sequences", "page_size", "use_kernel", "phased",
-    ),
-)
 @_maybe_jit(
     static_argnames=(
         "cfg", "max_new_tokens", "min_new_tokens", "eos_token_id",
